@@ -1,0 +1,80 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Last-writer-wins MERGE semantics (SURVEY.md §7.3).
+  *
+  * The reference's contract: replaying the same snapshot (re-running a job)
+  * must converge to the same table state — enforced there by a
+  * skip-if-populated fence (reference `data-pipeline.workflows.yaml:269-294`)
+  * and per-document ordered folds (`modules/transformation.py:404-423`).
+  * Here the contract is algebraic: state is the max over the total ordering
+  * key `(commit, lsn)` per `(repo, path)`, which makes merge idempotent,
+  * associative and order-insensitive across batches — no watermark needed,
+  * late events ordered before the stored winner simply lose.
+  *
+  * Implementation notes (scale):
+  *  - `max_by(struct(...), struct(commit, lsn))` is a declarative aggregate
+  *    → map-side partial aggregation, ONE shuffle, no per-key sort (unlike a
+  *    row_number window which sorts every partition).
+  *  - schema drift: batches are united by name with missing columns allowed
+  *    (additive evolution, reference `ignoreUnknownValues`/key-fallback at
+  *    `modules/transformation.py:87-91,133-136`).
+  */
+object MergeEngine {
+
+  /** Columns that make up the upsert key. */
+  val keyCols: Seq[String] = Seq("repo", "path")
+
+  /** Columns that make up the total LWW ordering. */
+  val orderCols: Seq[String] = Seq("commit", "lsn")
+
+  private def ordKey: Column = struct(col("commit"), col("lsn"))
+
+  /** Dedup a batch of change events to the single LWW winner per key.
+    * Output keeps the `op` column (a winning tombstone must still delete
+    * against the existing state). */
+  def dedupBatch(batch: DataFrame): DataFrame = {
+    val payload = batch.columns.filterNot(keyCols.contains)
+    batch
+      .groupBy(keyCols.map(col): _*)
+      .agg(
+        max_by(struct(payload.map(col): _*), ordKey).as("_w")
+      )
+      .select(keyCols.map(col) ++ payload.map(c => col(s"_w.$c").as(c)): _*)
+  }
+
+  /** Apply a batch of change events onto the current state.
+    *
+    * @param state current snapshot rows (no `op` column; every row is live)
+    * @param batch raw change events (may contain intra-batch duplicates and
+    *              columns `state` doesn't have yet — additive evolution)
+    * @return new state (no `op` column); tombstone winners are dropped
+    */
+  def apply(state: DataFrame, batch: DataFrame): DataFrame = {
+    // Treat current rows as low-priority "upserts": a state row only survives
+    // if no batch event with a greater (commit, lsn) exists for its key.
+    // union + ONE max_by aggregation resolves dedup-within-batch and
+    // merge-against-state in a single shuffle.
+    val liveState = state.withColumn("op", lit("U"))
+    val unioned = liveState.unionByName(batch, allowMissingColumns = true)
+    dedupBatch(unioned)
+      .where(col("op") =!= "D")
+      .drop("op")
+  }
+
+  /** Plain-Scala fold oracle for tests: the same semantics computed
+    * sequentially on the driver (SURVEY.md §5 point 3). */
+  def foldOracle(events: Seq[ChangeEvent]): Map[(String, String), ChangeEvent] =
+    events.foldLeft(Map.empty[(String, String), ChangeEvent]) { (m, e) =>
+      val k = (e.repo, e.path)
+      m.get(k) match {
+        case Some(cur)
+            if (cur.commit > e.commit) ||
+              (cur.commit == e.commit && cur.lsn > e.lsn) =>
+          m
+        case _ => m.updated(k, e)
+      }
+    }.filter { case (_, e) => e.op != "D" }
+}
