@@ -32,6 +32,10 @@ object LakeMerge {
   def bucketOf(repoCol: org.apache.spark.sql.Column, numBuckets: Int): org.apache.spark.sql.Column =
     pmod(xxhash64(repoCol), lit(numBuckets.toLong)).cast("int")
 
+  /** Consumer-facing current state: tombstones filtered, `op` dropped. */
+  def readState(table: LakeTable): DataFrame =
+    MergeEngine.liveView(table.read())
+
   /** Apply one batch of change events.
     *
     * @param fence   optional (queryId, epochId): skip as a no-op when the
@@ -55,10 +59,10 @@ object LakeMerge {
     val snap = table.snapshot
     val nBuckets = snap.numBuckets
 
-    // additive / widening schema evolution driven by the incoming batch
-    // (minus the transient `op` column)
-    val incomingState = StructType(batch.schema.fields.filterNot(_.name == "op"))
-    val schemaId = table.evolveSchema(incomingState)
+    // additive / widening schema evolution driven by the incoming batch.
+    // The table schema retains `op`: tombstones are stored (see
+    // MergeEngine.apply scaladoc), filtered out by [[readState]].
+    val schemaId = table.evolveSchema(batch.schema)
     val tableSchema = table.schema
 
     // 1. batch-local LWW winners (keeps op: winning tombstones still delete)
@@ -73,7 +77,8 @@ object LakeMerge {
     val current = table.readBuckets(touched)
       .withColumn("bucket", bucketOf(col("repo"), nBuckets))
 
-    // 4. resolve: union + single max_by aggregation (one shuffle)
+    // 4. resolve: union + single max_by aggregation (one shuffle);
+    //    tombstones retained so late out-of-order upserts cannot resurrect
     val mergedCols = tableSchema.fieldNames.toSeq :+ "bucket"
     val resolved = MergeEngine.apply(
       current,

@@ -45,24 +45,30 @@ object MergeEngine {
       .select(keyCols.map(col) ++ payload.map(c => col(s"_w.$c").as(c)): _*)
   }
 
-  /** Apply a batch of change events onto the current state.
+  /** Apply a batch of change events onto the current state, RETAINING
+    * tombstones.
     *
-    * @param state current snapshot rows (no `op` column; every row is live)
+    * The state carries `op` ('U' live row / 'D' tombstone). Tombstones must
+    * stay in the state: if a delete were physically dropped, an
+    * out-of-order *older* upsert for the same key arriving in a later batch
+    * would find no row to lose against and resurrect the key — breaking
+    * replay-order insensitivity (the property that lets any checkpoint
+    * restart reconverge). Consumers read through [[liveView]].
+    *
+    * union + ONE max_by aggregation resolves dedup-within-batch and
+    * merge-against-state in a single shuffle; a state row survives only if
+    * no event with a greater (commit, lsn) exists for its key.
+    *
+    * @param state current snapshot rows including `op`
     * @param batch raw change events (may contain intra-batch duplicates and
     *              columns `state` doesn't have yet — additive evolution)
-    * @return new state (no `op` column); tombstone winners are dropped
     */
-  def apply(state: DataFrame, batch: DataFrame): DataFrame = {
-    // Treat current rows as low-priority "upserts": a state row only survives
-    // if no batch event with a greater (commit, lsn) exists for its key.
-    // union + ONE max_by aggregation resolves dedup-within-batch and
-    // merge-against-state in a single shuffle.
-    val liveState = state.withColumn("op", lit("U"))
-    val unioned = liveState.unionByName(batch, allowMissingColumns = true)
-    dedupBatch(unioned)
-      .where(col("op") =!= "D")
-      .drop("op")
-  }
+  def apply(state: DataFrame, batch: DataFrame): DataFrame =
+    dedupBatch(state.unionByName(batch, allowMissingColumns = true))
+
+  /** The consumer-facing view of a tombstone-retaining state. */
+  def liveView(state: DataFrame): DataFrame =
+    state.where(col("op") =!= "D").drop("op")
 
   /** Plain-Scala fold oracle for tests: the same semantics computed
     * sequentially on the driver (SURVEY.md §5 point 3). */

@@ -88,7 +88,13 @@ final class LakeTable private (val root: String, val spark: SparkSession) {
 
   def snapshotAt(version: Int): Snapshot = {
     val p = metaDir.resolve(s"v$version.metadata.json")
-    mapper.readValue(Files.readString(p), classOf[Snapshot])
+    val raw = mapper.readValue(Files.readString(p), classOf[Snapshot])
+    // Jackson erases Map[String, Long] values to Integer for small numbers;
+    // normalize so downstream Long-typed access doesn't hit unbox CCEs.
+    val fixedFences = raw.fences.asInstanceOf[Map[String, Any]].map {
+      case (k, v) => k -> v.asInstanceOf[Number].longValue()
+    }
+    raw.copy(fences = fixedFences)
   }
 
   def schema: StructType = snapshot.schema

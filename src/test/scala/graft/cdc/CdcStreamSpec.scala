@@ -1,0 +1,105 @@
+package graft.cdc
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.lake.LakeTable
+
+class CdcStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val N = 8000L
+
+  private def oracleState(langFrom: Long = Long.MaxValue): Map[(String, String), String] = {
+    val events = EventGen.events(spark, N, nRepos = 80, pathsPerRepo = 10,
+      langFromLsn = langFrom).orderBy("lsn").as[ChangeEvent].collect().toSeq
+    MergeEngine.foldOracle(events).map { case (k, e) =>
+      k -> org.apache.commons.codec.digest.DigestUtils.sha256Hex(e.content)
+    }
+  }
+
+  private def tableState(t: LakeTable): Map[(String, String), String] =
+    LakeMerge.readState(t).select($"repo", $"path", sha2($"content", 256))
+      .as[(String, String, String)].collect()
+      .map(x => (x._1, x._2) -> x._3).toMap
+
+  test("streaming replay (AvailableNow) converges to the fold oracle, with mid-stream schema evolution") {
+    val dir = tmpDir("cdcstream")
+    val binlog = s"$dir/binlog"
+    val langFrom = 5000L
+    // schema evolution mid-stream: events before lsn 5000 have no lang value
+    EventGen.writeBinlog(spark, binlog, N, segments = 8, nRepos = 80,
+      pathsPerRepo = 10, langFromLsn = langFrom)
+
+    val table = LakeTable.create(spark, s"$dir/table", CdcStream.binlogSchema,
+      numBuckets = 8)
+    val metrics = CdcStream.metricsTable(spark, s"$dir/metrics")
+
+    val q = CdcStream.start(spark, table, metrics, binlog, s"$dir/ckpt",
+      queryId = "replay-test", maxFilesPerTrigger = 2)
+    q.awaitTermination()
+
+    assert(tableState(table) == oracleState(langFrom))
+
+    // lineage sidecar: every applied epoch recorded, offsets json present
+    val m = metrics.read().orderBy("epoch_id").collect()
+    assert(m.length >= 2, "multiple micro-batches expected")
+    assert(m.map(_.getAs[Long]("batch_rows")).sum == N)
+    assert(m.forall(_.getAs[String]("partition_offsets").startsWith("[")))
+    // fences recorded on both tables
+    assert(table.fence("replay-test") == m.last.getAs[Long]("epoch_id"))
+
+    // restart with same checkpoint and no new data: no-op, state unchanged
+    val before = table.currentVersion
+    val q2 = CdcStream.start(spark, table, metrics, binlog, s"$dir/ckpt",
+      queryId = "replay-test", maxFilesPerTrigger = 2)
+    q2.awaitTermination()
+    assert(table.currentVersion == before)
+    assert(tableState(table) == oracleState(langFrom))
+  }
+
+  test("redelivered epoch is fenced to a no-op; state and version unchanged") {
+    val dir = tmpDir("cdcfence")
+    val table = LakeTable.create(spark, s"$dir/table", CdcStream.binlogSchema,
+      numBuckets = 4)
+    val metrics = CdcStream.metricsTable(spark, s"$dir/metrics")
+    val batch = EventGen.events(spark, 1000L, nRepos = 20, pathsPerRepo = 5)
+
+    val s1 = CdcStream.applyBatch(table, metrics, batch, "q", 0L)
+    assert(s1.applied)
+    val v = table.currentVersion
+    val state1 = tableState(table)
+
+    val s2 = CdcStream.applyBatch(table, metrics, batch, "q", 0L) // redelivery
+    assert(!s2.applied)
+    assert(table.currentVersion == v)
+    assert(tableState(table) == state1)
+
+    val s3 = CdcStream.applyBatch(table, metrics, batch, "q", 1L) // next epoch, same data → idempotent content
+    assert(s3.applied)
+    assert(tableState(table) == state1)
+  }
+
+  test("kill/restart mid-stream from checkpoint reconverges byte-identically") {
+    val dir = tmpDir("cdcrestart")
+    val binlog = s"$dir/binlog"
+    EventGen.writeBinlog(spark, binlog, N, segments = 8, nRepos = 80, pathsPerRepo = 10)
+    val table = LakeTable.create(spark, s"$dir/table", CdcStream.binlogSchema,
+      numBuckets = 8)
+    val metrics = CdcStream.metricsTable(spark, s"$dir/metrics")
+
+    // phase 1: process a couple of micro-batches, then kill the query
+    val q1 = CdcStream.start(spark, table, metrics, binlog, s"$dir/ckpt",
+      queryId = "restart-test", maxFilesPerTrigger = 1, availableNow = false)
+    var waited = 0
+    while (table.fence("restart-test") < 1L && waited < 300) { Thread.sleep(100); waited += 1 }
+    q1.stop() // hard stop mid-stream
+    assert(table.fence("restart-test") >= 1L, "at least two epochs before the kill")
+
+    // phase 2: restart from the same checkpoint, drain
+    val q2 = CdcStream.start(spark, table, metrics, binlog, s"$dir/ckpt",
+      queryId = "restart-test", maxFilesPerTrigger = 3)
+    q2.awaitTermination()
+
+    assert(tableState(table) == oracleState())
+  }
+}

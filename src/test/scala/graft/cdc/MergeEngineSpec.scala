@@ -25,17 +25,17 @@ class MergeEngineSpec extends SparkSpec {
 
   test("apply: upsert, delete, and late-event-loses semantics") {
     val state = Seq(
-      ("r1", "a", "c005", 50L, null: String, "cur-a"),
-      ("r1", "b", "c005", 51L, null: String, "cur-b"),
-      ("r2", "c", "c005", 52L, null: String, "cur-c")
-    ).toDF("repo", "path", "commit", "lsn", "lang", "content")
+      ("r1", "a", "c005", 50L, "U", null: String, "cur-a"),
+      ("r1", "b", "c005", 51L, "U", null: String, "cur-b"),
+      ("r2", "c", "c005", 52L, "U", null: String, "cur-c")
+    ).toDF("repo", "path", "commit", "lsn", "op", "lang", "content")
     val batch = Seq(
       ChangeEvent("r1", "a", "c006", 60L, "U", null, "new-a"), // newer → wins
       ChangeEvent("r1", "b", "c004", 40L, "U", null, "old-b"), // late → loses
       ChangeEvent("r2", "c", "c006", 61L, "D", null, null),    // tombstone → gone
       ChangeEvent("r3", "d", "c006", 62L, "I", null, "new-d")  // insert
     ).toDF()
-    val out = collectState(MergeEngine.apply(state, batch))
+    val out = collectState(MergeEngine.liveView(MergeEngine.apply(state, batch)))
     assert(out.keySet == Set(("r1", "a"), ("r1", "b"), ("r3", "d")))
     assert(out(("r1", "a"))._3 == "new-a")
     assert(out(("r1", "b"))._3 == "cur-b")
@@ -49,12 +49,13 @@ class MergeEngineSpec extends SparkSpec {
     assert(all.count() == n)
 
     // distributed: 5 consecutive batches folded through MergeEngine.apply
-    var state = all.where(lit(false)).drop("op") // empty state, event schema minus op
+    var state = all.where(lit(false)) // empty tombstone-retaining state
     (0 until 5).foreach { b =>
       val batch = all.where(col("lsn") >= b * 2000L && col("lsn") < (b + 1) * 2000L)
       state = MergeEngine.apply(state, batch)
     }
-    val got = state.select($"repo", $"path", sha2(col("content"), 256).as("h"))
+    val got = MergeEngine.liveView(state)
+      .select($"repo", $"path", sha2(col("content"), 256).as("h"))
       .as[(String, String, String)].collect().toMap2
 
     // oracle: plain Scala fold on the driver
@@ -71,10 +72,10 @@ class MergeEngineSpec extends SparkSpec {
     val all = EventGen.events(spark, 3000L, nRepos = 50, pathsPerRepo = 8).cache()
     val b1 = all.where(col("lsn") < 2000L)
     val b2 = all.where(col("lsn") >= 2000L)
-    val s1 = MergeEngine.apply(MergeEngine.apply(all.where(lit(false)).drop("op"), b1), b2)
+    val s1 = MergeEngine.apply(MergeEngine.apply(all.where(lit(false)), b1), b2)
     val s2 = MergeEngine.apply(s1, b2) // duplicate redelivery
-    val h1 = s1.select($"repo", $"path", sha2($"content", 256)).as[(String, String, String)].collect().toSet
-    val h2 = s2.select($"repo", $"path", sha2($"content", 256)).as[(String, String, String)].collect().toSet
+    val h1 = MergeEngine.liveView(s1).select($"repo", $"path", sha2($"content", 256)).as[(String, String, String)].collect().toSet
+    val h2 = MergeEngine.liveView(s2).select($"repo", $"path", sha2($"content", 256)).as[(String, String, String)].collect().toSet
     assert(h1 == h2)
     all.unpersist()
   }
@@ -82,13 +83,23 @@ class MergeEngineSpec extends SparkSpec {
   test("batch-split commutativity: different batch boundaries converge") {
     val all = EventGen.events(spark, 4000L, nRepos = 40, pathsPerRepo = 6).cache()
     def replay(bounds: Seq[Long]): Set[(String, String, String)] = {
-      var state = all.where(lit(false)).drop("op")
+      var state = all.where(lit(false))
       bounds.sliding(2).foreach { case Seq(lo, hi) =>
         state = MergeEngine.apply(state, all.where(col("lsn") >= lo && col("lsn") < hi))
       }
-      state.select($"repo", $"path", sha2($"content", 256)).as[(String, String, String)].collect().toSet
+      MergeEngine.liveView(state)
+        .select($"repo", $"path", sha2($"content", 256)).as[(String, String, String)].collect().toSet
     }
     assert(replay(Seq(0L, 2000L, 4000L)) == replay(Seq(0L, 500L, 3100L, 4000L)))
+    // OUT-OF-ORDER batches (delete before older upsert) must also converge:
+    // tombstone retention prevents resurrection
+    assert(replay(Seq(0L, 2000L, 4000L)) == {
+      var state = all.where(lit(false))
+      state = MergeEngine.apply(state, all.where(col("lsn") >= 2000L)) // newer first
+      state = MergeEngine.apply(state, all.where(col("lsn") < 2000L))  // older later
+      MergeEngine.liveView(state)
+        .select($"repo", $"path", sha2($"content", 256)).as[(String, String, String)].collect().toSet
+    })
     all.unpersist()
   }
 
