@@ -1,0 +1,212 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data deduplication operators over the `documents` table:
+  * exact (hash-groupBy), MinHash+LSH (shingle→minhash→band→bucket-join),
+  * SimHash (bit votes), n-gram Jaccard. All hashing is md5-derived so the
+  * DuckDB oracle computes the identical values.
+  *
+  * Scale notes: shingling/minhash/simhash are per-row HOF pipelines (no
+  * shuffle until the final groupBy); the candidate-pair joins are equi-joins
+  * on (band, signature) / gram — the LSH trick that keeps near-dup detection
+  * O(candidates), not O(n²), at 100 TB.
+  */
+object DedupQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private def tokens(c: Column): Column = split(lower(c), " ")
+
+  /** Word 3-gram shingles of a text column (distinct). */
+  private def shingles(text: Column): Column = {
+    val toks = tokens(text)
+    array_distinct(
+      when(size(toks) >= 3,
+        transform(sequence(lit(1), size(toks) - 2),
+          i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
+            element_at(toks, i + 2))))
+        .otherwise(array(concat_ws(" ", toks))))
+  }
+
+  private val NumHashes = 8
+  private val BandSize = 2 // 4 bands × 2 hashes
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup: content-hash groupBy, keep lowest doc_id as survivor.
+    "q_dedup_exact" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(md5(col("text")).as("text_md5"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+    }),
+
+    // MinHash signatures: per (doc, band) the concatenated min-hashes.
+    "q_minhash_sig" -> ((s, dir) => {
+      val withShingles = t(s, dir, "documents")
+        .select(col("doc_id"), shingles(col("text")).as("sh"))
+      val exploded = withShingles
+        .select(col("doc_id"), explode(col("sh")).as("shingle"))
+        .select(col("doc_id"), col("shingle"),
+          explode(sequence(lit(0), lit(NumHashes - 1))).as("seed"))
+        .withColumn("h", substring(md5(concat(col("seed").cast("string"), lit(":"), col("shingle"))), 1, 8))
+      exploded
+        .groupBy(col("doc_id"), (col("seed") / BandSize).cast("int").as("band"),
+          col("seed"))
+        .agg(min(col("h")).as("mh"))
+        .groupBy(col("doc_id"), col("band"))
+        .agg(concat_ws("", sort_array(collect_list(struct(col("seed"), col("mh"))))
+          .getField("mh")).as("sig"))
+    }),
+
+    // LSH candidate pairs: docs sharing any (band, signature) bucket.
+    "q_minhash_pairs" -> ((s, dir) => {
+      val sig = queries("q_minhash_sig")(s, dir)
+      val a = sig.as("a")
+      val b = sig.as("b")
+      a.join(b, col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .distinct()
+    }),
+
+    // SimHash (16-bit) per document from md5-derived 16-bit token hashes —
+    // pure per-row HOF pipeline, zero shuffles before the projection.
+    "q_simhash" -> ((s, dir) => {
+      val toks = array_distinct(tokens(col("text")))
+      val hashes = transform(toks, t => conv(substring(md5(t), 1, 4), 16, 10).cast("long"))
+      val bits = (0 until 16).map { b =>
+        val vote = aggregate(hashes, lit(0L),
+          (acc, h) => acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+        when(vote > 0, lit(1L << b)).otherwise(lit(0L))
+      }
+      t(s, dir, "documents")
+        .select(col("doc_id"), bits.reduce(_ + _).as("simhash"))
+    }),
+
+    // n-gram Jaccard near-dup pairs above a similarity threshold, candidate
+    // pairs bounded by the shared-gram equi-join (same-lang restriction
+    // keeps the sf-test pair count sane; at scale this is the LSH prefilter).
+    "q_ngram_jaccard" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), shingles(col("text")).as("sh"))
+      val grams = docs.select(col("doc_id"), col("lang"), explode(col("sh")).as("g"))
+      val sizes = docs.select(col("doc_id"), size(col("sh")).as("n"))
+      val inter = grams.as("x").join(grams.as("y"),
+          col("x.g") === col("y.g") && col("x.lang") === col("y.lang") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
+        .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
+        .withColumn("jaccard",
+          round(col("inter").cast("double") /
+            (col("s1.n") + col("s2.n") - col("inter")).cast("double"), 4))
+        .where(col("jaccard") >= 0.5)
+        .select(col("d1"), col("d2"), col("jaccard"))
+    }),
+
+    // Embedding-cosine near-dup pairs within a bounded id range (the
+    // brute-force correctness baseline; the scale path is q_ann_lsh).
+    "q_embed_dups" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").where(col("vec_id") < 300)
+        .select(col("vec_id"), col("embedding"))
+      val a = e.as("a"); val b = e.as("b")
+      a.join(b, col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
+          round(SimilarityQueries.cosine(col("a.embedding"), col("b.embedding")), 4).as("sim"))
+        .where(col("sim") >= 0.4)
+    })
+  )
+
+  private val shinglesSqlFor = (table: String) =>
+    s"""SELECT doc_id, lang, list_distinct(
+       |  CASE WHEN len(string_split(lower(text), ' ')) >= 3 THEN
+       |    list_transform(range(1, len(string_split(lower(text), ' ')) - 1),
+       |      i -> concat_ws(' ', string_split(lower(text), ' ')[i],
+       |                     string_split(lower(text), ' ')[i+1],
+       |                     string_split(lower(text), ' ')[i+2]))
+       |  ELSE [array_to_string(string_split(lower(text), ' '), ' ')] END) AS sh
+       |FROM $table""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS n_dups
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_minhash_sig" ->
+      s"""WITH sh AS (${shinglesSqlFor("documents")}),
+         |ex AS (
+         |  SELECT doc_id, unnest(sh) AS shingle FROM sh),
+         |hs AS (
+         |  SELECT doc_id, seed, min(substr(md5(concat(cast(seed AS VARCHAR), ':', shingle)), 1, 8)) AS mh
+         |  FROM ex, (SELECT unnest(range(0, $NumHashes)) AS seed)
+         |  GROUP BY 1, 2)
+         |SELECT doc_id, cast(seed // $BandSize AS INT) AS band,
+         |       string_agg(mh, '' ORDER BY seed) AS sig
+         |FROM hs GROUP BY 1, 2""".stripMargin,
+
+    "q_minhash_pairs" ->
+      s"""WITH sh AS (${shinglesSqlFor("documents")}),
+         |ex AS (
+         |  SELECT doc_id, unnest(sh) AS shingle FROM sh),
+         |hs AS (
+         |  SELECT doc_id, seed, min(substr(md5(concat(cast(seed AS VARCHAR), ':', shingle)), 1, 8)) AS mh
+         |  FROM ex, (SELECT unnest(range(0, $NumHashes)) AS seed)
+         |  GROUP BY 1, 2),
+         |sig AS (
+         |  SELECT doc_id, cast(seed // $BandSize AS INT) AS band,
+         |         string_agg(mh, '' ORDER BY seed) AS sig
+         |  FROM hs GROUP BY 1, 2)
+         |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id""".stripMargin,
+
+    "q_simhash" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |         list_transform(list_distinct(string_split(lower(text), ' ')),
+        |           t -> cast(concat('0x', substr(md5(t), 1, 4)) AS BIGINT)) AS hashes
+        |  FROM documents)
+        |SELECT doc_id,
+        |  cast((
+        |    CASE WHEN list_aggregate(list_transform(hashes, h -> CASE WHEN (h >> 0) & 1 = 1 THEN 1 ELSE -1 END), 'sum') > 0 THEN 1 ELSE 0 END * 1 +
+        |    CASE WHEN list_aggregate(list_transform(hashes, h -> CASE WHEN (h >> 1) & 1 = 1 THEN 1 ELSE -1 END), 'sum') > 0 THEN 1 ELSE 0 END * 2 +
+        |    CASE WHEN list_aggregate(list_transform(hashes, h -> CASE WHEN (h >> 2) & 1 = 1 THEN 1 ELSE -1 END), 'sum') > 0 THEN 1 ELSE 0 END * 4 +
+        |    CASE WHEN list_aggregate(list_transform(hashes, h -> CASE WHEN (h >> 3) & 1 = 1 THEN 1 ELSE -1 END), 'sum') > 0 THEN 1 ELSE 0 END * 8 +
+        |    CASE WHEN list_aggregate(list_transform(hashes, h -> CASE WHEN (h >> 4) & 1 = 1 THEN 1 ELSE -1 END), 'sum') > 0 THEN 1 ELSE 0 END * 16 +
+        |    CASE WHEN list_aggregate(list_transform(hashes, h -> CASE WHEN (h >> 5) & 1 = 1 THEN 1 ELSE -1 END), 'sum') > 0 THEN 1 ELSE 0 END * 32 +
+        |    CASE WHEN list_aggregate(list_transform(hashes, h -> CASE WHEN (h >> 6) & 1 = 1 THEN 1 ELSE -1 END), 'sum') > 0 THEN 1 ELSE 0 END * 64 +
+        |    CASE WHEN list_aggregate(list_transform(hashes, h -> CASE WHEN (h >> 7) & 1 = 1 THEN 1 ELSE -1 END), 'sum') > 0 THEN 1 ELSE 0 END * 128 +
+        |    CASE WHEN list_aggregate(list_transform(hashes, h -> CASE WHEN (h >> 8) & 1 = 1 THEN 1 ELSE -1 END), 'sum') > 0 THEN 1 ELSE 0 END * 256 +
+        |    CASE WHEN list_aggregate(list_transform(hashes, h -> CASE WHEN (h >> 9) & 1 = 1 THEN 1 ELSE -1 END), 'sum') > 0 THEN 1 ELSE 0 END * 512 +
+        |    CASE WHEN list_aggregate(list_transform(hashes, h -> CASE WHEN (h >> 10) & 1 = 1 THEN 1 ELSE -1 END), 'sum') > 0 THEN 1 ELSE 0 END * 1024 +
+        |    CASE WHEN list_aggregate(list_transform(hashes, h -> CASE WHEN (h >> 11) & 1 = 1 THEN 1 ELSE -1 END), 'sum') > 0 THEN 1 ELSE 0 END * 2048 +
+        |    CASE WHEN list_aggregate(list_transform(hashes, h -> CASE WHEN (h >> 12) & 1 = 1 THEN 1 ELSE -1 END), 'sum') > 0 THEN 1 ELSE 0 END * 4096 +
+        |    CASE WHEN list_aggregate(list_transform(hashes, h -> CASE WHEN (h >> 13) & 1 = 1 THEN 1 ELSE -1 END), 'sum') > 0 THEN 1 ELSE 0 END * 8192 +
+        |    CASE WHEN list_aggregate(list_transform(hashes, h -> CASE WHEN (h >> 14) & 1 = 1 THEN 1 ELSE -1 END), 'sum') > 0 THEN 1 ELSE 0 END * 16384 +
+        |    CASE WHEN list_aggregate(list_transform(hashes, h -> CASE WHEN (h >> 15) & 1 = 1 THEN 1 ELSE -1 END), 'sum') > 0 THEN 1 ELSE 0 END * 32768
+        |  ) AS BIGINT) AS simhash
+        |FROM h""".stripMargin,
+
+    "q_ngram_jaccard" ->
+      s"""WITH sh AS (${shinglesSqlFor("documents")}),
+         |grams AS (SELECT doc_id, lang, unnest(sh) AS g FROM sh),
+         |sizes AS (SELECT doc_id, len(sh) AS n FROM sh),
+         |inter AS (
+         |  SELECT x.doc_id AS d1, y.doc_id AS d2, count(*) AS inter
+         |  FROM grams x JOIN grams y ON x.g = y.g AND x.lang = y.lang AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT d1, d2, round(cast(inter AS DOUBLE) / cast(s1.n + s2.n - inter AS DOUBLE), 4) AS jaccard
+         |FROM inter JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+         |WHERE round(cast(inter AS DOUBLE) / cast(s1.n + s2.n - inter AS DOUBLE), 4) >= 0.5""".stripMargin,
+
+    "q_embed_dups" ->
+      """SELECT a.vec_id AS v1, b.vec_id AS v2,
+        |       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE a.vec_id < 300 AND b.vec_id < 300
+        |  AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.4""".stripMargin
+  )
+}

@@ -1,0 +1,111 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (`Array[Float]` column):
+  * brute-force cosine top-k as the correctness baseline; an LSH
+  * (sign-bit-bucketed) variant as the scale path — candidates restricted to
+  * one bucket turn the O(n·q) scan into an equi-join.
+  */
+object SimilarityQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Sequential-fold cosine similarity over two float-array columns, in
+    * double precision — bit-identical to DuckDB's list_cosine_similarity on
+    * DOUBLE[] (both are left-to-right folds). Pure HOF expression, stays in
+    * codegen; no UDF. */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val na = aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double"))
+    val nb = aggregate(b, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double"))
+    dot / (sqrt(na) * sqrt(nb))
+  }
+
+  /** 8-bit sign-LSH bucket from the first 8 dimensions. */
+  def signBucket(emb: Column): Column =
+    (0 until 8).map { b =>
+      when(element_at(emb, b + 1) > 0.0f, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Brute-force cosine top-10 per query vector (query = vec_id < 5,
+    // corpus = the rest). Broadcast the tiny query side; rank on the raw
+    // double (deterministic), emit rounded.
+    "q_ann_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      val c = e.where(col("vec_id") >= 5)
+      val scored = c.join(broadcast(q))
+        .select(col("query_id"), col("vec_id"),
+          cosine(col("q_emb"), col("embedding")).as("sim_raw"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("sim_raw").desc, col("vec_id").asc)
+      scored.withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 10)
+        .select(col("query_id"), col("vec_id"), round(col("sim_raw"), 4).as("sim"), col("rk"))
+    }),
+
+    // LSH-bucketed ANN: search only the query's sign bucket — the 100 TB
+    // path (bucket equi-join instead of full cross product), top-3.
+    "q_ann_lsh" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .withColumn("bucket", signBucket(col("embedding")))
+      val q = e.where(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("bucket"))
+      val c = e.where(col("vec_id") >= 20)
+      val scored = c.join(broadcast(q), Seq("bucket"))
+        .select(col("query_id"), col("vec_id"), col("bucket"),
+          cosine(col("q_emb"), col("embedding")).as("sim_raw"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("sim_raw").desc, col("vec_id").asc)
+      scored.withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 3)
+        .select(col("query_id"), col("vec_id"), col("bucket"),
+          round(col("sim_raw"), 4).as("sim"), col("rk"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_ann_topk" ->
+      """WITH scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+        |         list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS sim_raw
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id < 5 AND c.vec_id >= 5),
+        |ranked AS (
+        |  SELECT query_id, vec_id, sim_raw,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY sim_raw DESC, vec_id ASC) AS rk
+        |  FROM scored)
+        |SELECT query_id, vec_id, round(sim_raw, 4) AS sim, rk
+        |FROM ranked WHERE rk <= 10""".stripMargin,
+
+    "q_ann_lsh" ->
+      """WITH b AS (
+        |  SELECT vec_id, embedding,
+        |         (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END * 1 +
+        |          CASE WHEN embedding[2] > 0 THEN 1 ELSE 0 END * 2 +
+        |          CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END * 4 +
+        |          CASE WHEN embedding[4] > 0 THEN 1 ELSE 0 END * 8 +
+        |          CASE WHEN embedding[5] > 0 THEN 1 ELSE 0 END * 16 +
+        |          CASE WHEN embedding[6] > 0 THEN 1 ELSE 0 END * 32 +
+        |          CASE WHEN embedding[7] > 0 THEN 1 ELSE 0 END * 64 +
+        |          CASE WHEN embedding[8] > 0 THEN 1 ELSE 0 END * 128) AS bucket
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id, q.bucket AS bucket,
+        |         list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS sim_raw
+        |  FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id < 20 AND c.vec_id >= 20),
+        |ranked AS (
+        |  SELECT query_id, vec_id, bucket, sim_raw,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY sim_raw DESC, vec_id ASC) AS rk
+        |  FROM scored)
+        |SELECT query_id, vec_id, cast(bucket AS BIGINT) AS bucket, round(sim_raw, 4) AS sim, rk
+        |FROM ranked WHERE rk <= 3""".stripMargin
+  )
+}
