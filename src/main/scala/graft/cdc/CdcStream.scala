@@ -94,7 +94,8 @@ object CdcStream {
       batch: DataFrame,
       queryId: String,
       batchId: Long,
-      saltPartitions: Int = 4
+      saltPartitions: Int = 4,
+      compactAtDeltas: Int = 8
   ): CommitStats = {
     if (table.fence(queryId) >= batchId) {
       // redelivered epoch — exactly-once no-op
@@ -122,6 +123,11 @@ object CdcStream {
       val (mn, mx) = if (n == 0) (-1L, -1L) else (agg.getLong(3), agg.getLong(4))
 
       val stats = LakeMerge.mergeBatch(table, batch, Some((queryId, batchId)), saltPartitions)
+      // bounded read amplification: fold deltas into base once a bucket
+      // accumulates compactAtDeltas delta files (single-writer: runs inside
+      // the same foreachBatch serial loop as the merge commits)
+      if (stats.applied && compactAtDeltas > 0)
+        LakeMerge.compact(table, ifDeltasAtLeast = compactAtDeltas)
 
       if (stats.applied) {
         val spark = batch.sparkSession

@@ -141,25 +141,21 @@ object EventGen {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
     Files.createDirectories(Paths.get(dir))
-    val per = math.max(1L, n / segments)
-    (0 until segments).foreach { s =>
-      val lo = s * per
-      val hi = if (s == segments - 1) n else math.min(n, (s + 1) * per)
-      if (hi > lo) {
-        val tmp = Paths.get(dir, f".seg-$s%05d.tmp")
-        eventsRange(spark, lo, hi, seed, nRepos, pathsPerRepo, skew,
-          langFromLsn = langFromLsn)
-          .write.mode("overwrite").parquet(tmp.toString)
-        // flatten: the streaming file source tails a flat directory
-        var i = 0
-        Files.list(tmp).iterator().asScala.toList.sortBy(_.toString).foreach { p =>
-          if (p.getFileName.toString.endsWith(".parquet")) {
-            Files.move(p, Paths.get(dir, f"segment-$s%05d-part-$i%03d.parquet"))
-            i += 1
-          }
-        }
-        Files.walk(tmp).iterator().asScala.toList.reverse.foreach(Files.deleteIfExists(_))
+    // ONE job: range with `segments` partitions yields contiguous lsn
+    // slices, one parquet part per segment; flatten-rename afterwards. Each
+    // file is a contiguous lsn range, so lsn predicates prune whole files
+    // via parquet min/max stats.
+    val tmp = Paths.get(dir, ".binlog.tmp")
+    eventsRange(spark, 0L, n, seed, nRepos, pathsPerRepo, skew,
+      langFromLsn = langFromLsn, numPartitions = segments)
+      .write.mode("overwrite").parquet(tmp.toString)
+    var i = 0
+    Files.list(tmp).iterator().asScala.toList.sortBy(_.toString).foreach { p =>
+      if (p.getFileName.toString.endsWith(".parquet")) {
+        Files.move(p, Paths.get(dir, f"segment-$i%05d.parquet"))
+        i += 1
       }
     }
+    Files.walk(tmp).iterator().asScala.toList.reverse.foreach(Files.deleteIfExists(_))
   }
 }

@@ -2,7 +2,6 @@ package graft.cdc
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
 
 import graft.lake.{DataFileMeta, LakeTable}
 
@@ -17,10 +16,18 @@ final case class CommitStats(
 )
 
 /** Key-partitioned MERGE INTO of change-event batches onto a [[LakeTable]]
-  * (SURVEY.md §7.2/§7.3): LWW dedup + upsert, restricted to the hash-buckets
-  * of `repo` the batch actually touches (partition pruning via lake
-  * metadata), with epoch fencing for exactly-once replay and hot-repo
-  * salting for write parallelism.
+  * (SURVEY.md §7.2/§7.3) — merge-on-read design:
+  *
+  *  - each batch is LWW-deduped and APPENDED as per-bucket delta files
+  *    (work per batch ∝ batch size, never ∝ table size — the property that
+  *    keeps 10^10-event replay linear; a copy-on-write full-bucket rewrite
+  *    per micro-batch would re-shuffle the whole table every batch)
+  *  - reads resolve base ∪ deltas with the same single max_by aggregation
+  *    (LWW is idempotent, so even redundant rows from a crashed-then-
+  *    replayed append cannot change the resolved state)
+  *  - [[compact]] folds deltas into per-bucket base files when they pile up
+  *    (bounded read amplification), under the same atomic snapshot commit
+  *  - epoch fencing makes redelivered batches no-ops (exactly-once)
   */
 object LakeMerge {
 
@@ -32,11 +39,16 @@ object LakeMerge {
   def bucketOf(repoCol: org.apache.spark.sql.Column, numBuckets: Int): org.apache.spark.sql.Column =
     pmod(xxhash64(repoCol), lit(numBuckets.toLong)).cast("int")
 
-  /** Consumer-facing current state: tombstones filtered, `op` dropped. */
-  def readState(table: LakeTable): DataFrame =
-    MergeEngine.liveView(table.read())
+  /** Raw resolved state (tombstones retained): LWW over base ∪ deltas. */
+  def resolvedState(table: LakeTable): DataFrame =
+    MergeEngine.dedupBatch(table.read())
 
-  /** Apply one batch of change events.
+  /** Consumer-facing current state: resolved, tombstones filtered, op dropped. */
+  def readState(table: LakeTable): DataFrame =
+    MergeEngine.liveView(resolvedState(table))
+
+  /** Apply one batch of change events: LWW-dedup the batch and append it as
+    * per-bucket delta files.
     *
     * @param fence   optional (queryId, epochId): skip as a no-op when the
     *                table has already committed this epoch (idempotent
@@ -48,7 +60,8 @@ object LakeMerge {
       table: LakeTable,
       batch: DataFrame,
       fence: Option[(String, Long)] = None,
-      saltPartitions: Int = 4
+      saltPartitions: Int = 4,
+      dedupOnWrite: Boolean = true
   ): CommitStats = {
     val t0 = System.nanoTime()
     val (queryId, epochId) = fence.getOrElse(("adhoc", -1L))
@@ -65,45 +78,42 @@ object LakeMerge {
     val schemaId = table.evolveSchema(batch.schema)
     val tableSchema = table.schema
 
-    // 1. batch-local LWW winners (keeps op: winning tombstones still delete)
-    val winners = MergeEngine.dedupBatch(batch)
+    // Write-aligned single shuffle: repartition by (bucket, salt) first;
+    // with dedupOnWrite the groupBy(bucket, salt, repo, path) REUSES that
+    // exchange (partitioning ⊂ grouping keys), so intra-batch LWW dedup and
+    // the file-layout shuffle are ONE exchange — each task holds exactly
+    // one (bucket, salt) group → one output file. Salt fans a hot bucket
+    // across tasks (SURVEY.md §7.6) without changing winners. The batch is
+    // aligned to the evolved table schema first (null-fill/cast for older
+    // producers). dedupOnWrite=false skips the aggregation and appends raw
+    // deltas (cheaper for near-duplicate-free streams; LWW still resolves
+    // identically at compaction/read — it is idempotent).
+    val aligned = batch.select(tableSchema.fields.map { f =>
+      (if (batch.columns.contains(f.name)) col(f.name) else lit(null))
+        .cast(f.dataType).as(f.name)
+    }.toSeq: _*)
       .withColumn("bucket", bucketOf(col("repo"), nBuckets))
+      .withColumn("_salt", pmod(xxhash64(col("path")), lit(saltPartitions.toLong)))
+      .repartition(col("bucket"), col("_salt"))
 
-    // 2. touched buckets (bounded by nBuckets, never by rows — driver-safe)
-    val touched = winners.select("bucket").distinct()
-      .collect().map(_.getInt(0)).toSet
+    val payload = tableSchema.fieldNames.filterNot(MergeEngine.keyCols.contains)
+    val deltas =
+      if (!dedupOnWrite) aligned.drop("_salt")
+      else aligned
+        .groupBy(col("bucket"), col("_salt"), col("repo"), col("path"))
+        .agg(max_by(struct(payload.map(col).toSeq: _*),
+          struct(col("commit"), col("lsn"))).as("_w"))
+        .select(col("bucket") +: col("repo") +: col("path") +:
+          payload.map(c => col(s"_w.$c").as(c)).toSeq: _*)
 
-    // 3. current state of touched buckets only (metadata partition pruning)
-    val current = table.readBuckets(touched)
-      .withColumn("bucket", bucketOf(col("repo"), nBuckets))
-
-    // 4. resolve: union + single max_by aggregation (one shuffle);
-    //    tombstones retained so late out-of-order upserts cannot resurrect
-    val mergedCols = tableSchema.fieldNames.toSeq :+ "bucket"
-    val resolved = MergeEngine.apply(
-      current,
-      winners
-    ).select(mergedCols.map(col): _*)
-
-    // 5. salt the write so one hot bucket still fans out across tasks;
-    //    salt shapes the shuffle only — files land under bucket=<b> dirs
-    val salted = resolved.repartition(
-      col("bucket"),
-      pmod(xxhash64(col("path")), lit(saltPartitions.toLong))
-    )
-
-    // 6. stage new files (invisible), then atomically swap metadata
-    val staged = table.stage(salted, schemaId)
-    val batchRows = staged.map(_.bytes).sum // placeholder weight; row counts live in lineage
+    val staged = table.stage(deltas, schemaId, kind = "delta")
     val committed = table.commit { s =>
-      val kept = s.files.filterNot(f => touched.contains(f.bucket))
       s.copy(
-        files = kept ++ staged,
+        files = s.files ++ staged,
         schemaId = math.max(s.schemaId, schemaId),
         fences = if (fence.isDefined) s.fences.updated(queryId, epochId) else s.fences,
         summary = Map(
-          "operation" -> "merge",
-          "touched-buckets" -> touched.size.toString,
+          "operation" -> "merge-append",
           "added-files" -> staged.size.toString
         )
       )
@@ -112,9 +122,50 @@ object LakeMerge {
       applied = true,
       epochId = epochId,
       snapshotId = committed.snapshotId,
-      batchRows = batchRows,
-      touchedBuckets = touched.size,
+      batchRows = staged.map(_.bytes).sum,
+      touchedBuckets = staged.map(_.bucket).distinct.size,
       wallMs = (System.nanoTime() - t0) / 1000000L
     )
+  }
+
+  /** Fold deltas into base files for the buckets whose delta count exceeds
+    * `ifDeltasAtLeast` (0 = always compact everything). Bounded read
+    * amplification: after compaction a bucket is one LWW-resolved base file
+    * set again. Atomic: the new snapshot swaps in rewritten buckets only. */
+  def compact(table: LakeTable, ifDeltasAtLeast: Int = 0): Boolean = {
+    val snap = table.snapshot
+    val deltasPerBucket = snap.files.filter(_.kind == "delta")
+      .groupBy(_.bucket).view.mapValues(_.size).toMap
+    if (deltasPerBucket.isEmpty) return false
+    val buckets =
+      if (ifDeltasAtLeast <= 0) deltasPerBucket.keySet
+      else deltasPerBucket.filter(_._2 >= ifDeltasAtLeast).keySet
+    if (buckets.isEmpty) return false
+
+    // same one-shuffle write-aligned trick as mergeBatch (salt by path so a
+    // hot bucket still compacts across several tasks)
+    val nBuckets = snap.numBuckets
+    val schema = snap.schema
+    val payload = schema.fieldNames.filterNot(MergeEngine.keyCols.contains)
+    val resolved = table.readBuckets(buckets)
+      .withColumn("bucket", bucketOf(col("repo"), nBuckets))
+      .withColumn("_salt", pmod(xxhash64(col("path")), lit(4L)))
+      .repartition(col("bucket"), col("_salt"))
+      .groupBy(col("bucket"), col("_salt"), col("repo"), col("path"))
+      .agg(max_by(struct(payload.map(col).toSeq: _*),
+        struct(col("commit"), col("lsn"))).as("_w"))
+      .select(col("bucket") +: col("repo") +: col("path") +:
+        payload.map(c => col(s"_w.$c").as(c)).toSeq: _*)
+    val staged = table.stage(resolved, snap.schemaId, kind = "base")
+    table.commit { s =>
+      val kept = s.files.filterNot(f => buckets.contains(f.bucket))
+      s.copy(
+        files = kept ++ staged,
+        summary = Map(
+          "operation" -> "compact",
+          "buckets" -> buckets.size.toString,
+          "added-files" -> staged.size.toString))
+    }
+    true
   }
 }

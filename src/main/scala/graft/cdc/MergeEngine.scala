@@ -15,9 +15,14 @@ import org.apache.spark.sql.functions._
   * late events ordered before the stored winner simply lose.
   *
   * Implementation notes (scale):
-  *  - `max_by(struct(...), struct(commit, lsn))` is a declarative aggregate
-  *    → map-side partial aggregation, ONE shuffle, no per-key sort (unlike a
-  *    row_number window which sorts every partition).
+  *  - `max_by(struct(...), struct(commit, lsn))` → map-side partial
+  *    aggregation, ONE shuffle. With a var-length payload it plans as
+  *    SortAggregate (codegen'd); the hash-based alternative
+  *    (graft.exprs.LwwMax via ObjectHashAggregate) measured ~2.5x SLOWER
+  *    because TypedImperativeAggregate updates are interpreted per row —
+  *    see BASELINE.md. The merge path therefore avoids per-batch
+  *    aggregation altogether (LakeMerge appends raw deltas; LWW resolves
+  *    at compaction/read, sorting each row once, not once per batch).
   *  - schema drift: batches are united by name with missing columns allowed
   *    (additive evolution, reference `ignoreUnknownValues`/key-fallback at
   *    `modules/transformation.py:87-91,133-136`).

@@ -13,12 +13,14 @@ import org.apache.spark.sql.types._
 
 /** One data file tracked by a snapshot. `bucket` = hash-bucket of `repo`
   * (the table's partition spec); parsed back from the written directory
-  * layout `.../bucket=<b>/part-*.parquet`. */
+  * layout `.../bucket=<b>/part-*.parquet`. `kind` is "base" (compacted) or
+  * "delta" (merge-on-read append, resolved by LWW dedup at read time). */
 final case class DataFileMeta(
     path: String,
     bucket: Int,
     bytes: Long,
-    schemaId: Int
+    schemaId: Int,
+    kind: String = "base"
 )
 
 /** A pinned, versioned schema (Spark DDL string). */
@@ -137,11 +139,11 @@ final class LakeTable private (val root: String, val spark: SparkSession) {
     * must exist and is not persisted into the files themselves — it becomes
     * the directory). Returns the staged files; they are INVISIBLE until a
     * subsequent [[commit]] references them. */
-  def stage(df: DataFrame, schemaId: Int): Seq[DataFileMeta] = {
+  def stage(df: DataFrame, schemaId: Int, kind: String = "base"): Seq[DataFileMeta] = {
     val commitUuid = UUID.randomUUID().toString
     val dir = Paths.get(root, "data", commitUuid)
     df.write.partitionBy("bucket").parquet(dir.toString)
-    listParquet(dir, schemaId)
+    listParquet(dir, schemaId).map(_.copy(kind = kind))
   }
 
   private def listParquet(dir: Path, schemaId: Int): Seq[DataFileMeta] = {
