@@ -61,8 +61,10 @@ object DedupQueries {
     }),
 
     // LSH candidate pairs: docs sharing any (band, signature) bucket.
+    // The signature subplan is persisted: a self-join otherwise computes
+    // the (shingle → minhash → band) pipeline twice.
     "q_minhash_pairs" -> ((s, dir) => {
-      val sig = queries("q_minhash_sig")(s, dir)
+      val sig = queries("q_minhash_sig")(s, dir).persist()
       val a = sig.as("a")
       val b = sig.as("b")
       a.join(b, col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
@@ -89,8 +91,10 @@ object DedupQueries {
     // pairs bounded by the shared-gram equi-join (same-lang restriction
     // keeps the sf-test pair count sane; at scale this is the LSH prefilter).
     "q_ngram_jaccard" -> ((s, dir) => {
+      // persisted: reused by the gram self-join (2x) and the size lookup
       val docs = t(s, dir, "documents")
         .select(col("doc_id"), col("lang"), shingles(col("text")).as("sh"))
+        .persist()
       val grams = docs.select(col("doc_id"), col("lang"), explode(col("sh")).as("g"))
       val sizes = docs.select(col("doc_id"), size(col("sh")).as("n"))
       val inter = grams.as("x").join(grams.as("y"),
