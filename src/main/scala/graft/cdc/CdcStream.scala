@@ -98,30 +98,19 @@ object CdcStream {
       compactAtDeltas: Int = 8
   ): CommitStats = {
     if (table.fence(queryId) >= batchId) {
-      // redelivered epoch — exactly-once no-op
+      // Redelivered epoch — exactly-once no-op for the DATA. But a crash in
+      // the window between the data commit and the metrics commit leaves
+      // the lineage row missing; the redelivered batch carries identical
+      // content, so heal the sidecar from it before returning.
+      if (metrics.fence(queryId) < batchId)
+        recordLineage(table, metrics, batch, queryId, batchId,
+          CommitStats(applied = true, batchId, table.snapshot.snapshotId, 0, 0, 0),
+          System.nanoTime())
       return CommitStats(applied = false, batchId, table.snapshot.snapshotId, 0, 0, 0)
     }
     val t0 = System.nanoTime()
     batch.persist()
     try {
-      // per-partition offset ranges + row counts (lineage, §7.7)
-      val offs = batch
-        .groupBy(spark_partition_id().as("part"))
-        .agg(min("lsn").as("minLsn"), max("lsn").as("maxLsn"), count(lit(1)).as("rows"))
-        .orderBy("part")
-        .collect()
-      val offsetsJson = offs.map { r =>
-        s"""{"part":${r.getInt(0)},"minLsn":${r.getLong(1)},"maxLsn":${r.getLong(2)},"rows":${r.getLong(3)}}"""
-      }.mkString("[", ",", "]")
-      val agg = batch.agg(
-        count(lit(1)).as("n"),
-        count_distinct(col("repo"), col("path")).as("keys"),
-        sum(when(col("op") === "D", 1L).otherwise(0L)).as("dels"),
-        min("lsn").as("mn"), max("lsn").as("mx")
-      ).collect()(0)
-      val (n, keys, dels) = (agg.getLong(0), agg.getLong(1), agg.getLong(2))
-      val (mn, mx) = if (n == 0) (-1L, -1L) else (agg.getLong(3), agg.getLong(4))
-
       val stats = LakeMerge.mergeBatch(table, batch, Some((queryId, batchId)), saltPartitions)
       // bounded read amplification: fold deltas into base once a bucket
       // accumulates compactAtDeltas delta files (single-writer: runs inside
@@ -129,26 +118,58 @@ object CdcStream {
       if (stats.applied && compactAtDeltas > 0)
         LakeMerge.compact(table, ifDeltasAtLeast = compactAtDeltas)
 
-      if (stats.applied) {
-        val spark = batch.sparkSession
-        import spark.implicits._
-        val key = org.apache.commons.codec.digest.DigestUtils.sha256Hex(s"$queryId-$batchId")
-        val row = Seq((key, queryId, batchId, stats.snapshotId, n, keys, dels,
-          stats.touchedBuckets.toLong, mn, mx, offsetsJson,
-          (System.nanoTime() - t0) / 1000000L))
-          .toDF(metricsSchema.fieldNames.toSeq: _*)
-          .withColumn("bucket", lit(0))
-        val staged = metrics.stage(row, 0)
-        metrics.commit { s =>
-          s.copy(files = s.files ++ staged,
-            fences = s.fences.updated(queryId, batchId),
-            summary = Map("operation" -> "append-metrics"))
-        }
-      }
+      if (stats.applied) recordLineage(table, metrics, batch, queryId, batchId, stats, t0)
       stats
     } finally {
       batch.unpersist()
       ()
     }
+  }
+
+  /** Compute and commit the lineage/metrics row for one epoch (§7.7):
+    * per-partition offset ranges, row counts, snapshot id — keyed by
+    * sha256(queryId-epochId) and fenced on the metrics table itself so the
+    * sidecar is exactly-once too. */
+  private def recordLineage(
+      table: LakeTable,
+      metrics: LakeTable,
+      batch: DataFrame,
+      queryId: String,
+      batchId: Long,
+      stats: CommitStats,
+      t0: Long
+  ): Unit = {
+    val offs = batch
+      .groupBy(spark_partition_id().as("part"))
+      .agg(min("lsn").as("minLsn"), max("lsn").as("maxLsn"), count(lit(1)).as("rows"))
+      .orderBy("part")
+      .collect()
+    val offsetsJson = offs.map { r =>
+      s"""{"part":${r.getInt(0)},"minLsn":${r.getLong(1)},"maxLsn":${r.getLong(2)},"rows":${r.getLong(3)}}"""
+    }.mkString("[", ",", "]")
+    val agg = batch.agg(
+      count(lit(1)).as("n"),
+      count_distinct(col("repo"), col("path")).as("keys"),
+      sum(when(col("op") === "D", 1L).otherwise(0L)).as("dels"),
+      min("lsn").as("mn"), max("lsn").as("mx")
+    ).collect()(0)
+    val (n, keys, dels) = (agg.getLong(0), agg.getLong(1), agg.getLong(2))
+    val (mn, mx) = if (n == 0) (-1L, -1L) else (agg.getLong(3), agg.getLong(4))
+
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val key = org.apache.commons.codec.digest.DigestUtils.sha256Hex(s"$queryId-$batchId")
+    val row = Seq((key, queryId, batchId, stats.snapshotId, n, keys, dels,
+      stats.touchedBuckets.toLong, mn, mx, offsetsJson,
+      (System.nanoTime() - t0) / 1000000L))
+      .toDF(metricsSchema.fieldNames.toSeq: _*)
+      .withColumn("bucket", lit(0))
+    val staged = metrics.stage(row, 0)
+    metrics.commit { s =>
+      s.copy(files = s.files ++ staged,
+        fences = s.fences.updated(queryId, batchId),
+        summary = Map("operation" -> "append-metrics"))
+    }
+    ()
   }
 }

@@ -195,6 +195,30 @@ object CoreQueries {
           sum(col("clamped")).as("sum_clamped"))
     }),
 
+    // Ordered ARRAY_AGG (A5): event types per user ordered by recency —
+    // the reference's "technologies ordered by origins" pattern.
+    "q_array_agg_ordered" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(concat_ws(",",
+          reverse(transform(
+            sort_array(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+            x => x.getField("event_type")))).as("types_desc"))
+    }),
+
+    // Per-page aggregate_stats analog (A1/W3): within-group distinct count
+    // + max-over-subgroup-counts (the reference's numDomains /
+    // maxDomainReqs over one page's entries).
+    "q_domain_stats" -> ((s, dir) => {
+      val perDomain = t(s, dir, "events")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n_type"))
+      perDomain.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_domains"),
+          max(col("n_type")).as("max_domain_reqs"),
+          sum(col("n_type")).as("total_reqs"))
+    }),
+
     // expAge cache-lifetime chain (F12) over synthesized Cache-Control.
     "q_expage" -> ((s, dir) => {
       val e = t(s, dir, "events")
@@ -331,6 +355,20 @@ object CoreQueries {
         |                  ELSE cast(floor((value - 100.0) * 1000.0) AS BIGINT) END AS clamped
         |      FROM events)
         |GROUP BY 1""".stripMargin,
+
+    "q_array_agg_ordered" ->
+      """SELECT user_id,
+        |       string_agg(event_type, ',' ORDER BY ts DESC, event_id DESC) AS types_desc
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q_domain_stats" ->
+      """WITH d AS (
+        |  SELECT user_id, event_type, count(*) AS n_type
+        |  FROM events GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_domains,
+        |       cast(max(n_type) AS BIGINT) AS max_domain_reqs,
+        |       cast(sum(n_type) AS BIGINT) AS total_reqs
+        |FROM d GROUP BY 1""".stripMargin,
 
     "q_expage" ->
       """WITH e AS (

@@ -101,5 +101,15 @@ class CdcStreamSpec extends SparkSpec {
     q2.awaitTermination()
 
     assert(tableState(table) == oracleState())
+
+    // lineage must be COMPLETE despite the kill: a crash between data
+    // commit and metrics commit is healed from the redelivered batch
+    val m = metrics.read().where($"query_id" === "restart-test")
+      .orderBy("epoch_id").collect()
+    val epochs = m.map(_.getAs[Long]("epoch_id")).toSeq
+    assert(epochs == (0L to table.fence("restart-test")),
+      s"lineage epochs not contiguous: $epochs")
+    assert(m.map(_.getAs[Long]("batch_rows")).sum == N,
+      "lineage row counts must account for every event exactly once")
   }
 }
