@@ -195,6 +195,47 @@ object CoreQueries {
           sum(col("clamped")).as("sum_clamped"))
     }),
 
+    // Canonical JSON through the custom Catalyst Expression (F11): compact
+    // re-serialization of the props payload, cross-checked by DuckDB
+    // reconstructing the canonical form from the extracted field.
+    "q_canonical_json" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_id"),
+          graft.exprs.CanonicalJson.canonicalJson(col("props")).as("canon"))
+    }),
+
+    // Request-scalar chain (F3/F13/F14/F15): hostname regex keeps the port,
+    // urlShort truncation, composite requestid, image-format chain.
+    "q_request_scalars" -> ((s, dir) => {
+      val exts = array(lit("jpg"), lit("png"), lit("webp"), lit("gif"), lit("bmp"))
+      val e = t(s, dir, "events")
+        .withColumn("ext", element_at(exts, (col("event_id") % 5 + 1).cast("int")))
+        .withColumn("url",
+          concat(lit("https://host"), (col("user_id") % 20).cast("string"),
+            lit(".example.com:"), (lit(8000) + col("user_id") % 3).cast("string"),
+            lit("/"), repeat(lit("p/"), (col("event_id") % 140).cast("int")),
+            lit("img."), col("ext")))
+      e.select(
+        col("event_id"),
+        RefFunctions.hostname(col("url")).as("host"),
+        length(RefFunctions.urlShort(col("url"))).as("short_len"),
+        RefFunctions.requestId(col("user_id"), col("event_id") % 100).as("request_id"),
+        RefFunctions.getFormat(lit("image"), lit(""), col("ext")).as("format"))
+    }),
+
+    // Size guards (P10): rows over a byte threshold dropped pre-shuffle,
+    // drops counted to the metrics side (the reference's 2MB/20MB guards).
+    "q_size_guard" -> ((s, dir) => {
+      val e = t(s, dir, "documents")
+        .withColumn("oversize", octet_length(col("text")) > 300)
+      e.groupBy(col("lang"))
+        .agg(
+          sum(when(col("oversize"), 1L).otherwise(0L)).as("dropped"),
+          sum(when(!col("oversize"), 1L).otherwise(0L)).as("kept"),
+          sum(when(!col("oversize"), octet_length(col("text")).cast("long"))
+            .otherwise(0L)).as("kept_bytes"))
+    }),
+
     // Ordered ARRAY_AGG (A5): event types per user ordered by recency —
     // the reference's "technologies ordered by origins" pattern.
     "q_array_agg_ordered" -> ((s, dir) => {
@@ -354,6 +395,39 @@ object CoreQueries {
         |             CASE WHEN cast(floor((value - 100.0) * 1000.0) AS BIGINT) < 0 THEN NULL
         |                  ELSE cast(floor((value - 100.0) * 1000.0) AS BIGINT) END AS clamped
         |      FROM events)
+        |GROUP BY 1""".stripMargin,
+
+    "q_canonical_json" ->
+      """SELECT event_id,
+        |       concat('{"k":', cast(json_extract(props, '$.k') AS VARCHAR), '}') AS canon
+        |FROM events""".stripMargin,
+
+    "q_request_scalars" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id,
+        |         (['jpg','png','webp','gif','bmp'])[cast(event_id % 5 AS INT) + 1] AS ext
+        |  FROM events),
+        |u AS (
+        |  SELECT event_id, user_id, ext,
+        |         concat('https://host', cast(user_id % 20 AS VARCHAR), '.example.com:',
+        |                cast(8000 + user_id % 3 AS VARCHAR), '/',
+        |                repeat('p/', cast(event_id % 140 AS INT)), 'img.', ext) AS url
+        |  FROM e)
+        |SELECT event_id,
+        |       regexp_extract(url, '(?:http|ws)s?://([^/]*)', 1) AS host,
+        |       length(substr(url, 1, 255)) AS short_len,
+        |       cast(user_id * 4294967296 + (event_id % 100) AS BIGINT) AS request_id,
+        |       CASE WHEN ext = 'jpg' THEN 'jpg' WHEN ext = 'png' THEN 'png'
+        |            WHEN ext = 'gif' THEN 'gif' WHEN ext = 'webp' THEN 'webp'
+        |            ELSE '' END AS format
+        |FROM u""".stripMargin,
+
+    "q_size_guard" ->
+      """SELECT lang,
+        |       cast(sum(CASE WHEN oversize THEN 1 ELSE 0 END) AS BIGINT) AS dropped,
+        |       cast(sum(CASE WHEN NOT oversize THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+        |       cast(sum(CASE WHEN NOT oversize THEN strlen(text) ELSE 0 END) AS BIGINT) AS kept_bytes
+        |FROM (SELECT lang, text, strlen(text) > 300 AS oversize FROM documents)
         |GROUP BY 1""".stripMargin,
 
     "q_array_agg_ordered" ->

@@ -79,6 +79,44 @@ class CdcStreamSpec extends SparkSpec {
     assert(tableState(table) == state1)
   }
 
+  test("incremental ingest: segments landing after a drain are applied by the next run") {
+    val dir = tmpDir("cdcincr")
+    val binlog = s"$dir/binlog"
+    val total = 6000L
+    // phase 1: first half of the stream lands, drain it
+    EventGen.writeBinlog(spark, binlog, total / 2, segments = 3, nRepos = 60, pathsPerRepo = 8)
+    val table = LakeTable.create(spark, s"$dir/table", CdcStream.binlogSchema, numBuckets = 4)
+    val metrics = CdcStream.metricsTable(spark, s"$dir/metrics")
+    val q1 = CdcStream.start(spark, table, metrics, binlog, s"$dir/ckpt",
+      queryId = "incr", maxFilesPerTrigger = 2)
+    q1.awaitTermination()
+    val fence1 = table.fence("incr")
+    val half = tableState(table)
+
+    // phase 2: the binlog grows (same deterministic stream, later lsn range)
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val more = tmpDir("cdcincr-more")
+    EventGen.writeBinlog(spark, more, total, segments = 6, nRepos = 60, pathsPerRepo = 8)
+    // move only the later-half segment files into the tailed dir
+    Files.list(Paths.get(more)).iterator().asScala.toList.sortBy(_.toString)
+      .drop(3).foreach(p => Files.move(p, Paths.get(binlog, p.getFileName.toString)))
+
+    val q2 = CdcStream.start(spark, table, metrics, binlog, s"$dir/ckpt",
+      queryId = "incr", maxFilesPerTrigger = 2)
+    q2.awaitTermination()
+
+    assert(table.fence("incr") > fence1, "new segments must advance the fence")
+    val full = {
+      val events = EventGen.events(spark, total, nRepos = 60, pathsPerRepo = 8)
+        .orderBy("lsn").as[ChangeEvent].collect().toSeq
+      MergeEngine.foldOracle(events).map { case (k, e) =>
+        k -> org.apache.commons.codec.digest.DigestUtils.sha256Hex(e.content) }
+    }
+    assert(tableState(table) == full)
+    assert(tableState(table) != half, "second drain must have applied new data")
+  }
+
   test("kill/restart mid-stream from checkpoint reconverges byte-identically") {
     val dir = tmpDir("cdcrestart")
     val binlog = s"$dir/binlog"
