@@ -9,6 +9,8 @@ import graft.lake.LakeTable
 
 /** Structured-Streaming binlog tail → exactly-once lake MERGE (SURVEY.md
   * §7.2): a file source tails parquet binlog segments; every micro-batch is
+  * validated (bad records → dead-letter table, the reference's
+  * error-partition analog, `modules/non_summary_pipeline.py:93-111`), then
   * applied via [[LakeMerge.mergeBatch]] under an epoch fence keyed by the
   * streaming queryId, then a lineage/metrics row is committed to a sidecar
   * lake table (§7.7). Restart from checkpoint replays the last unacked
@@ -39,6 +41,7 @@ object CdcStream {
     StructField("batch_rows", LongType),
     StructField("distinct_keys", LongType),
     StructField("deletes", LongType),
+    StructField("bad_records", LongType),
     StructField("touched_buckets", LongType),
     StructField("min_lsn", LongType),
     StructField("max_lsn", LongType),
@@ -46,16 +49,49 @@ object CdcStream {
     StructField("wall_ms", LongType)
   ))
 
+  /** Dead-letter row: the rejected record (as JSON) + why. */
+  val deadLetterSchema: StructType = StructType(Seq(
+    StructField("query_id", StringType),
+    StructField("epoch_id", LongType),
+    StructField("reason", StringType),
+    StructField("record_json", StringType)
+  ))
+
+  /** Validation predicate: a record the merge can apply. Anything else is
+    * routed to the dead-letter table instead of failing the stream — the
+    * reference tolerates bad rows with maxBadRecords/ignoreUnknownValues
+    * (`modules/transformation.py:87-91`) and a logged error partition. */
+  private def isValid: org.apache.spark.sql.Column =
+    col("repo").isNotNull && col("path").isNotNull &&
+      col("commit").isNotNull && col("lsn").isNotNull &&
+      col("op").isin("I", "U", "D") &&
+      (col("op") === "D" || col("content").isNotNull)
+
+  private def invalidReason: org.apache.spark.sql.Column =
+    when(col("repo").isNull || col("path").isNull, "null-key")
+      .when(col("commit").isNull || col("lsn").isNull, "null-ordering")
+      .when(!col("op").isin("I", "U", "D"), "bad-op")
+      .otherwise("null-content")
+
   /** Open (or create) the lineage sidecar table. */
   def metricsTable(spark: SparkSession, root: String): LakeTable =
     if (LakeTable.exists(root)) LakeTable.load(spark, root)
     else LakeTable.create(spark, root, metricsSchema, numBuckets = 1)
 
+  /** Open (or create) the dead-letter table. */
+  def deadLetterTable(spark: SparkSession, root: String): LakeTable =
+    if (LakeTable.exists(root)) LakeTable.load(spark, root)
+    else LakeTable.create(spark, root, deadLetterSchema, numBuckets = 1)
+
   /** Start the replay: tail `binlogDir`, merge every micro-batch into
-    * `table`, record lineage into `metrics`.
+    * `table`, record lineage into `metrics`, route invalid records into
+    * `deadLetters` (when provided — otherwise they are counted and dropped).
     *
     * @param queryId      stable logical id — the fencing key across restarts
     * @param availableNow drain-and-stop (replay semantics) vs continuous tail
+    * @param ignoreCorruptFiles tolerate undecodable segment files (the
+    *        reference's is_valid_gzip pre-read probe, S3): the corrupt file
+    *        is skipped with a warning instead of failing the stream
     */
   def start(
       spark: SparkSession,
@@ -66,27 +102,58 @@ object CdcStream {
       queryId: String,
       maxFilesPerTrigger: Int = 8,
       saltPartitions: Int = 4,
-      availableNow: Boolean = true
+      availableNow: Boolean = true,
+      deadLetters: Option[LakeTable] = None,
+      ignoreCorruptFiles: Boolean = false
   ): StreamingQuery = {
     val src = spark.readStream
       .schema(binlogSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .option("ignoreCorruptFiles", ignoreCorruptFiles.toString)
       .parquet(binlogDir)
 
     val writer = src.writeStream
       .queryName(queryId)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatch(table, metrics, batch, queryId, batchId, saltPartitions)
+        applyBatch(table, metrics, batch, queryId, batchId, saltPartitions,
+          deadLetters = deadLetters)
         ()
       }
 
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
   }
 
-  /** One fenced micro-batch: lineage stats → merge → data commit → metrics
-    * commit. The batch is persisted once and feeds both the stats
-    * aggregation and the merge (the reference's compute-once fan-out,
+  /** Replay from a MANIFEST file listing segment paths (one per line) —
+    * the reference's second source shape (`modules/transformation.py:53-57`).
+    * Batch-only (a manifest is a closed set): applies the listed segments
+    * in `batchesOf`-file groups under sequential epochs continuing from the
+    * current fence. */
+  def replayManifest(
+      spark: SparkSession,
+      table: LakeTable,
+      metrics: LakeTable,
+      manifestPath: String,
+      queryId: String,
+      batchesOf: Int = 8,
+      saltPartitions: Int = 4,
+      deadLetters: Option[LakeTable] = None
+  ): Seq[CommitStats] = {
+    val paths = spark.read.textFile(manifestPath)
+      .collect().map(_.trim).filter(_.nonEmpty).toSeq.sorted
+    var epoch = math.max(table.fence(queryId), metrics.fence(queryId)) + 1
+    paths.grouped(batchesOf).map { group =>
+      val batch = spark.read.schema(binlogSchema).parquet(group: _*)
+      val stats = applyBatch(table, metrics, batch, queryId, epoch,
+        saltPartitions, deadLetters = deadLetters)
+      epoch += 1
+      stats
+    }.toSeq
+  }
+
+  /** One fenced micro-batch: validate/route → merge → data commit →
+    * lineage commit. The batch is persisted once and feeds validation,
+    * stats and the merge (the reference's compute-once fan-out,
     * `modules/transformation.py:100-114`). */
   def applyBatch(
       table: LakeTable,
@@ -95,7 +162,8 @@ object CdcStream {
       queryId: String,
       batchId: Long,
       saltPartitions: Int = 4,
-      compactAtDeltas: Int = 8
+      compactAtDeltas: Int = 8,
+      deadLetters: Option[LakeTable] = None
   ): CommitStats = {
     if (table.fence(queryId) >= batchId) {
       // Redelivered epoch — exactly-once no-op for the DATA. But a crash in
@@ -103,7 +171,8 @@ object CdcStream {
       // the lineage row missing; the redelivered batch carries identical
       // content, so heal the sidecar from it before returning.
       if (metrics.fence(queryId) < batchId)
-        recordLineage(table, metrics, batch, queryId, batchId,
+        recordLineage(table, metrics, batch.where(isValid),
+          countBad(batch), queryId, batchId,
           CommitStats(applied = true, batchId, table.snapshot.snapshotId, 0, 0, 0),
           System.nanoTime())
       return CommitStats(applied = false, batchId, table.snapshot.snapshotId, 0, 0, 0)
@@ -111,14 +180,35 @@ object CdcStream {
     val t0 = System.nanoTime()
     batch.persist()
     try {
-      val stats = LakeMerge.mergeBatch(table, batch, Some((queryId, batchId)), saltPartitions)
+      val good = batch.where(isValid)
+      val nBad = countBad(batch)
+      if (nBad > 0) deadLetters.foreach { dl =>
+        // dead-letter routing is fenced on its own table, so redelivery
+        // cannot double-append
+        if (dl.fence(queryId) < batchId) {
+          val rows = batch.where(!isValid)
+            .select(
+              lit(queryId).as("query_id"),
+              lit(batchId).as("epoch_id"),
+              invalidReason.as("reason"),
+              to_json(struct(col("*"))).as("record_json"))
+            .withColumn("bucket", lit(0))
+          val staged = dl.stage(rows, 0)
+          dl.commit(s => s.copy(files = s.files ++ staged,
+            fences = s.fences.updated(queryId, batchId),
+            summary = Map("operation" -> "dead-letter")))
+        }
+      }
+
+      val stats = LakeMerge.mergeBatch(table, good, Some((queryId, batchId)), saltPartitions)
       // bounded read amplification: fold deltas into base once a bucket
       // accumulates compactAtDeltas delta files (single-writer: runs inside
       // the same foreachBatch serial loop as the merge commits)
       if (stats.applied && compactAtDeltas > 0)
         LakeMerge.compact(table, ifDeltasAtLeast = compactAtDeltas)
 
-      if (stats.applied) recordLineage(table, metrics, batch, queryId, batchId, stats, t0)
+      if (stats.applied)
+        recordLineage(table, metrics, good, nBad, queryId, batchId, stats, t0)
       stats
     } finally {
       batch.unpersist()
@@ -126,20 +216,24 @@ object CdcStream {
     }
   }
 
+  private def countBad(batch: DataFrame): Long =
+    batch.where(!isValid).count()
+
   /** Compute and commit the lineage/metrics row for one epoch (§7.7):
-    * per-partition offset ranges, row counts, snapshot id — keyed by
-    * sha256(queryId-epochId) and fenced on the metrics table itself so the
-    * sidecar is exactly-once too. */
+    * per-partition offset ranges, row counts, bad-record count, snapshot id
+    * — keyed by sha256(queryId-epochId) and fenced on the metrics table
+    * itself so the sidecar is exactly-once too. */
   private def recordLineage(
       table: LakeTable,
       metrics: LakeTable,
-      batch: DataFrame,
+      good: DataFrame,
+      badRecords: Long,
       queryId: String,
       batchId: Long,
       stats: CommitStats,
       t0: Long
   ): Unit = {
-    val offs = batch
+    val offs = good
       .groupBy(spark_partition_id().as("part"))
       .agg(min("lsn").as("minLsn"), max("lsn").as("maxLsn"), count(lit(1)).as("rows"))
       .orderBy("part")
@@ -147,20 +241,21 @@ object CdcStream {
     val offsetsJson = offs.map { r =>
       s"""{"part":${r.getInt(0)},"minLsn":${r.getLong(1)},"maxLsn":${r.getLong(2)},"rows":${r.getLong(3)}}"""
     }.mkString("[", ",", "]")
-    val agg = batch.agg(
+    val agg = good.agg(
       count(lit(1)).as("n"),
       count_distinct(col("repo"), col("path")).as("keys"),
-      sum(when(col("op") === "D", 1L).otherwise(0L)).as("dels"),
-      min("lsn").as("mn"), max("lsn").as("mx")
+      coalesce(sum(when(col("op") === "D", 1L).otherwise(0L)), lit(0L)).as("dels"),
+      coalesce(min("lsn"), lit(-1L)).as("mn"),
+      coalesce(max("lsn"), lit(-1L)).as("mx")
     ).collect()(0)
     val (n, keys, dels) = (agg.getLong(0), agg.getLong(1), agg.getLong(2))
     val (mn, mx) = if (n == 0) (-1L, -1L) else (agg.getLong(3), agg.getLong(4))
 
-    val spark = batch.sparkSession
+    val spark = good.sparkSession
     import spark.implicits._
     val key = org.apache.commons.codec.digest.DigestUtils.sha256Hex(s"$queryId-$batchId")
     val row = Seq((key, queryId, batchId, stats.snapshotId, n, keys, dels,
-      stats.touchedBuckets.toLong, mn, mx, offsetsJson,
+      badRecords, stats.touchedBuckets.toLong, mn, mx, offsetsJson,
       (System.nanoTime() - t0) / 1000000L))
       .toDF(metricsSchema.fieldNames.toSeq: _*)
       .withColumn("bucket", lit(0))

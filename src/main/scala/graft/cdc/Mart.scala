@@ -1,0 +1,79 @@
+package graft.cdc
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.lake.LakeTable
+
+/** Reporting mart: run relational queries over committed lake state and
+  * upsert the results into an idempotent, content-key'd mart table — the
+  * engine's analog of the reference's tech-report pipeline
+  * (BigQuery SQL → Firestore docs keyed by `technology_hash_id`,
+  * `modules/tech_report_pipeline.py:16-26,55-81`).
+  *
+  * Each result row becomes a document: key = sha256 of its key columns
+  * joined with '-' (exactly the reference's hash-id recipe), body = the row
+  * as canonical JSON. Documents are stored through the SAME LWW lake merge
+  * (key → `repo`, publish epoch → `(commit, lsn)`), so re-publishing is
+  * idempotent and a newer publish wins per document — the Firestore
+  * `doc_ref.set` upsert semantics, with the lake's atomicity and fencing
+  * replacing the reference's retry loop.
+  */
+object Mart {
+
+  /** Open (or create) a mart table (document-shaped: same envelope as the
+    * data table so the merge engine applies unchanged). */
+  def martTable(spark: SparkSession, root: String): LakeTable =
+    if (LakeTable.exists(root)) LakeTable.load(spark, root)
+    else LakeTable.create(spark, root, CdcStream.binlogSchema, numBuckets = 4)
+
+  /** Publish a query result into the mart.
+    *
+    * @param result  any DataFrame (typically an aggregation over
+    *                `LakeMerge.readState(table)`)
+    * @param keyCols the document-identity columns (reference: the per-query
+    *                key sets in `modules/constants.py:108-115`)
+    * @param epoch   publish epoch — the fencing + LWW ordering key
+    */
+  def publish(
+      mart: LakeTable,
+      result: DataFrame,
+      keyCols: Seq[String],
+      queryId: String,
+      epoch: Long
+  ): CommitStats = {
+    require(keyCols.nonEmpty, "mart documents need at least one key column")
+    val docs = result.select(
+      sha2(concat_ws("-", keyCols.map(c => col(c).cast("string")): _*), 256).as("repo"),
+      lit(queryId).as("path"),
+      format_string("e%012d", lit(epoch)).as("commit"),
+      lit(epoch).as("lsn"),
+      lit("U").as("op"),
+      lit(null).cast("string").as("lang"),
+      to_json(struct(result.columns.map(col).toSeq: _*)).as("content")
+    )
+    LakeMerge.mergeBatch(mart, docs, Some((queryId, epoch)))
+  }
+
+  /** Read the current documents of a mart query: (doc_key, json). */
+  def readDocs(mart: LakeTable, queryId: String): DataFrame =
+    LakeMerge.readState(mart)
+      .where(col("path") === queryId)
+      .select(col("repo").as("doc_key"), col("content").as("doc_json"),
+        col("lsn").as("publish_epoch"))
+
+  /** Delete all documents of a query (the reference's companion deletion
+    * pipeline, `modules/tech_report_deletion.py`): tombstone each current
+    * doc at the given epoch. */
+  def deleteDocs(mart: LakeTable, queryId: String, epoch: Long): CommitStats = {
+    val dels = readDocs(mart, queryId).select(
+      col("doc_key").as("repo"),
+      lit(queryId).as("path"),
+      format_string("e%012d", lit(epoch)).as("commit"),
+      lit(epoch).as("lsn"),
+      lit("D").as("op"),
+      lit(null).cast("string").as("lang"),
+      lit(null).cast("string").as("content"))
+    LakeMerge.mergeBatch(mart, dels, Some((s"$queryId-delete", epoch)))
+  }
+}
