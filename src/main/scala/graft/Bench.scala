@@ -117,7 +117,7 @@ object Bench {
         langFromLsn = scaleEvents / 2)
       s.stop()
     }
-    val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "2").toInt
     def timedReplay(cores: Int): Double = {
       pinCpus(cores)
       val s = session(cores)

@@ -20,16 +20,25 @@ object DedupQueries {
 
   private def tokens(c: Column): Column = split(lower(c), " ")
 
-  /** Word 3-gram shingles of a text column (distinct). */
-  private def shingles(text: Column): Column = {
-    val toks = tokens(text)
+  /** Word 3-gram shingles over a MATERIALIZED token-array column
+    * (distinct). The tokens must be a column reference, not the split
+    * expression inline: Catalyst does not hoist common subexpressions out
+    * of lambda bodies, so an inline split would re-tokenize the whole text
+    * for every element_at — quadratic per document. */
+  private def shinglesFromTokens(toks: Column): Column =
     array_distinct(
       when(size(toks) >= 3,
         transform(sequence(lit(1), size(toks) - 2),
           i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
             element_at(toks, i + 2))))
         .otherwise(array(concat_ws(" ", toks))))
-  }
+
+  /** documents + a `sh` shingle-array column (tokens materialized first). */
+  private def docsWithShingles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("_toks", tokens(col("text")))
+      .withColumn("sh", shinglesFromTokens(col("_toks")))
+      .drop("_toks")
 
   private val NumHashes = 8
   private val BandSize = 2 // 4 bands × 2 hashes
@@ -43,28 +52,38 @@ object DedupQueries {
     }),
 
     // MinHash signatures: per (doc, band) the concatenated min-hashes.
+    // Pure per-row HOF pipeline — ONE md5 per shingle, the 8 hash families
+    // are 4-hex-char slices of it, each minhash an array_min over the
+    // shingle array. Zero shuffles, no 10M-row explode: the formulation
+    // that survives a 100× scale-up (an explode×seeds + double-groupBy
+    // variant measured ~6× slower at sf0.1).
     "q_minhash_sig" -> ((s, dir) => {
-      val withShingles = t(s, dir, "documents")
-        .select(col("doc_id"), shingles(col("text")).as("sh"))
-      val exploded = withShingles
-        .select(col("doc_id"), explode(col("sh")).as("shingle"))
-        .select(col("doc_id"), col("shingle"),
-          explode(sequence(lit(0), lit(NumHashes - 1))).as("seed"))
-        .withColumn("h", substring(md5(concat(col("seed").cast("string"), lit(":"), col("shingle"))), 1, 8))
-      exploded
-        .groupBy(col("doc_id"), (col("seed") / BandSize).cast("int").as("band"),
-          col("seed"))
-        .agg(min(col("h")).as("mh"))
-        .groupBy(col("doc_id"), col("band"))
-        .agg(concat_ws("", sort_array(collect_list(struct(col("seed"), col("mh"))))
-          .getField("mh")).as("sig"))
+      // two md5s per shingle → 8 independent 32-bit hash families (8-hex
+      // slices). 16-bit slices measured pathological: min over ~250
+      // shingles clusters near zero, so band signatures collide massively
+      // and the candidate join explodes with false positives.
+      val withH = docsWithShingles(s, dir)
+        .select(col("doc_id"),
+          transform(col("sh"), x => md5(x)).as("h1"),
+          transform(col("sh"), x => md5(concat(x, lit("~")))).as("h2"))
+      val mh = (seed: Int) => {
+        val (src, off) = if (seed < 4) (col("h1"), seed * 8) else (col("h2"), (seed - 4) * 8)
+        array_min(transform(src, h => substring(h, off + 1, 8)))
+      }
+      val bands = (0 until NumHashes / BandSize).map { b =>
+        struct(lit(b).as("band"),
+          concat((0 until BandSize).map(k => mh(b * BandSize + k)): _*).as("sig"))
+      }
+      withH.select(col("doc_id"), explode(array(bands: _*)).as("bs"))
+        .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
     }),
 
     // LSH candidate pairs: docs sharing any (band, signature) bucket.
-    // The signature subplan is persisted: a self-join otherwise computes
-    // the (shingle → minhash → band) pipeline twice.
+    // Self-join of an identical subplan: Catalyst's ReuseExchange computes
+    // the (shingle → minhash → band) pipeline once (verified in the plan);
+    // an explicit persist() measured slower (stats lost → worse join plan).
     "q_minhash_pairs" -> ((s, dir) => {
-      val sig = queries("q_minhash_sig")(s, dir).persist()
+      val sig = queries("q_minhash_sig")(s, dir)
       val a = sig.as("a")
       val b = sig.as("b")
       a.join(b, col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
@@ -91,10 +110,8 @@ object DedupQueries {
     // pairs bounded by the shared-gram equi-join (same-lang restriction
     // keeps the sf-test pair count sane; at scale this is the LSH prefilter).
     "q_ngram_jaccard" -> ((s, dir) => {
-      // persisted: reused by the gram self-join (2x) and the size lookup
-      val docs = t(s, dir, "documents")
-        .select(col("doc_id"), col("lang"), shingles(col("text")).as("sh"))
-        .persist()
+      val docs = docsWithShingles(s, dir)
+        .select(col("doc_id"), col("lang"), col("sh"))
       val grams = docs.select(col("doc_id"), col("lang"), explode(col("sh")).as("g"))
       val sizes = docs.select(col("doc_id"), size(col("sh")).as("n"))
       val inter = grams.as("x").join(grams.as("y"),
@@ -142,28 +159,34 @@ object DedupQueries {
 
     "q_minhash_sig" ->
       s"""WITH sh AS (${shinglesSqlFor("documents")}),
-         |ex AS (
-         |  SELECT doc_id, unnest(sh) AS shingle FROM sh),
-         |hs AS (
-         |  SELECT doc_id, seed, min(substr(md5(concat(cast(seed AS VARCHAR), ':', shingle)), 1, 8)) AS mh
-         |  FROM ex, (SELECT unnest(range(0, $NumHashes)) AS seed)
-         |  GROUP BY 1, 2)
-         |SELECT doc_id, cast(seed // $BandSize AS INT) AS band,
-         |       string_agg(mh, '' ORDER BY seed) AS sig
-         |FROM hs GROUP BY 1, 2""".stripMargin,
+         |h AS (
+         |  SELECT doc_id, list_transform(sh, s -> md5(s)) AS h1,
+         |         list_transform(sh, s -> md5(concat(s, '~'))) AS h2 FROM sh),
+         |sig AS (
+         |  SELECT doc_id, seed.b AS band,
+         |         CASE seed.b
+         |           WHEN 0 THEN list_aggregate(list_transform(h1, x -> substr(x, 1, 8)), 'min') || list_aggregate(list_transform(h1, x -> substr(x, 9, 8)), 'min')
+         |           WHEN 1 THEN list_aggregate(list_transform(h1, x -> substr(x, 17, 8)), 'min') || list_aggregate(list_transform(h1, x -> substr(x, 25, 8)), 'min')
+         |           WHEN 2 THEN list_aggregate(list_transform(h2, x -> substr(x, 1, 8)), 'min') || list_aggregate(list_transform(h2, x -> substr(x, 9, 8)), 'min')
+         |           ELSE list_aggregate(list_transform(h2, x -> substr(x, 17, 8)), 'min') || list_aggregate(list_transform(h2, x -> substr(x, 25, 8)), 'min')
+         |         END AS sig
+         |  FROM h, (SELECT unnest(range(0, 4)) AS b) seed)
+         |SELECT doc_id, cast(band AS INT) AS band, sig FROM sig""".stripMargin,
 
     "q_minhash_pairs" ->
       s"""WITH sh AS (${shinglesSqlFor("documents")}),
-         |ex AS (
-         |  SELECT doc_id, unnest(sh) AS shingle FROM sh),
-         |hs AS (
-         |  SELECT doc_id, seed, min(substr(md5(concat(cast(seed AS VARCHAR), ':', shingle)), 1, 8)) AS mh
-         |  FROM ex, (SELECT unnest(range(0, $NumHashes)) AS seed)
-         |  GROUP BY 1, 2),
+         |h AS (
+         |  SELECT doc_id, list_transform(sh, s -> md5(s)) AS h1,
+         |         list_transform(sh, s -> md5(concat(s, '~'))) AS h2 FROM sh),
          |sig AS (
-         |  SELECT doc_id, cast(seed // $BandSize AS INT) AS band,
-         |         string_agg(mh, '' ORDER BY seed) AS sig
-         |  FROM hs GROUP BY 1, 2)
+         |  SELECT doc_id, seed.b AS band,
+         |         CASE seed.b
+         |           WHEN 0 THEN list_aggregate(list_transform(h1, x -> substr(x, 1, 8)), 'min') || list_aggregate(list_transform(h1, x -> substr(x, 9, 8)), 'min')
+         |           WHEN 1 THEN list_aggregate(list_transform(h1, x -> substr(x, 17, 8)), 'min') || list_aggregate(list_transform(h1, x -> substr(x, 25, 8)), 'min')
+         |           WHEN 2 THEN list_aggregate(list_transform(h2, x -> substr(x, 1, 8)), 'min') || list_aggregate(list_transform(h2, x -> substr(x, 9, 8)), 'min')
+         |           ELSE list_aggregate(list_transform(h2, x -> substr(x, 17, 8)), 'min') || list_aggregate(list_transform(h2, x -> substr(x, 25, 8)), 'min')
+         |         END AS sig
+         |  FROM h, (SELECT unnest(range(0, 4)) AS b) seed)
          |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
          |FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id""".stripMargin,
 
