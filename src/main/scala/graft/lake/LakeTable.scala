@@ -114,6 +114,26 @@ final class LakeTable private (val root: String, val spark: SparkSession) {
   def readBuckets(buckets: Set[Int]): DataFrame =
     readFiles(snapshot, snapshot.files.filter(f => buckets.contains(f.bucket)))
 
+  /** Time travel: read the table as of an older committed version. Data
+    * files are immutable and referenced by each snapshot, so any version
+    * that has not been GC'd reads back exactly. */
+  def readVersion(version: Int): DataFrame = {
+    val snap = snapshotAt(version)
+    readFiles(snap, snap.files)
+  }
+
+  /** Roll back: commit a NEW snapshot restoring the file list, schema and
+    * fences of `toVersion` (history is append-only — the rollback itself is
+    * an auditable commit, like Iceberg's rollback). */
+  def rollback(toVersion: Int): Snapshot = {
+    val target = snapshotAt(toVersion)
+    commit { _ =>
+      target.copy(summary = Map(
+        "operation" -> "rollback",
+        "to-version" -> toVersion.toString))
+    }
+  }
+
   private def readFiles(snap: Snapshot, files: Seq[DataFileMeta]): DataFrame = {
     val target = snap.schema
     if (files.isEmpty) {
@@ -226,10 +246,15 @@ final class LakeTable private (val root: String, val spark: SparkSession) {
     }
   }
 
-  /** Delete staged/orphaned data directories not referenced by the current
-    * snapshot (never files the snapshot references). */
+  /** Delete staged/orphaned data directories referenced by NO retained
+    * snapshot version (time travel over committed history stays intact;
+    * only never-committed staging debris is collected — the reference's
+    * beam_bq_job_LOAD temp-table cleanup, `README.md:361-376`). */
   def gcOrphans(): Int = {
-    val referenced = snapshot.files.map(f => Paths.get(f.path).getParent.getParent.getFileName.toString).toSet
+    val referenced = (1 to currentVersion).flatMap { v =>
+      snapshotAt(v).files.map(f =>
+        Paths.get(f.path).getParent.getParent.getFileName.toString)
+    }.toSet
     val dataDir = Paths.get(root, "data")
     if (!Files.exists(dataDir)) return 0
     var n = 0

@@ -122,6 +122,29 @@ class LakeTableSpec extends SparkSpec {
     assert(snap.version == 9) // 1 create + 8 commits
   }
 
+  test("time travel reads an older version exactly; rollback restores it as a new commit") {
+    val root = tmpDir("lake")
+    val t = LakeTable.create(spark, root, baseSchema, numBuckets = 2)
+    def write(tag: String, b: Int): Unit = {
+      val df = Seq((s"r$tag", "p", "c1", 1L, null: String, tag))
+        .toDF(baseSchema.fieldNames.toSeq: _*).withColumn("bucket", lit(b))
+      t.commit(s => s.copy(files = s.files ++ t.stage(df, 0)))
+    }
+    write("v2", 0) // version 2
+    write("v3", 1) // version 3
+    val v2 = t.currentVersion - 1
+    assert(t.readVersion(v2).count() == 1)
+    assert(t.read().count() == 2)
+    assert(t.readVersion(v2).select("content").collect()(0).getString(0) == "v2")
+
+    val snap = t.rollback(v2)
+    assert(snap.version == t.currentVersion) // rollback is a NEW commit
+    assert(t.read().count() == 1, "state restored to v2 content")
+    assert(t.snapshot.summary("operation") == "rollback")
+    // the rolled-past version still readable (history append-only)
+    assert(t.readVersion(v2 + 1).count() == 2)
+  }
+
   test("gcOrphans removes unreferenced staging dirs, keeps referenced files") {
     val root = tmpDir("lake")
     val t = LakeTable.create(spark, root, baseSchema, numBuckets = 2)
