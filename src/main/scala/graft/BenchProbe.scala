@@ -42,6 +42,8 @@ object BenchProbe {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4000000")
+      .config("spark.memory.offHeap.enabled", sys.env.getOrElse("GRAFT_OFFHEAP", "false"))
+      .config("spark.memory.offHeap.size", "8g")
       .config("spark.sql.parquet.compression.codec",
         sys.env.getOrElse("GRAFT_CODEC", "snappy"))
       .getOrCreate()
