@@ -31,8 +31,23 @@ object BenchProbe {
     }
 
     SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    // GRAFT_MASTER=local-cluster[W,C,MB] runs REAL executor JVMs (the
+    // honest multi-executor story); executors need our classpath + the
+    // JDK17 add-opens flags
+    val master = sys.env.getOrElse("GRAFT_MASTER", s"local[$cores]")
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io", "java.base/java.net",
+      "java.base/java.nio", "java.base/java.util",
+      "java.base/java.util.concurrent", "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar"
+    ).map(p => s"--add-opens=$p=ALL-UNNAMED").mkString(" ")
     val spark = SparkSession.builder()
-      .master(s"local[$cores]")
+      .master(master)
+      .config("spark.executor.extraClassPath", System.getProperty("java.class.path"))
+      .config("spark.executor.extraJavaOptions", addOpens)
+      .config("spark.executor.memory", sys.env.getOrElse("GRAFT_EXEC_MEM", "3g"))
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("GRAFT_SHUF_MULT", "2").toInt.*(cores).toString)
       .config("spark.sql.files.maxPartitionBytes", sys.env.getOrElse("GRAFT_MAX_PART", "134217728"))
