@@ -1,0 +1,73 @@
+package graft.cdc
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import graft.SparkSpec
+
+/** Property-based checks of the LWW merge algebra (SURVEY.md §5): for
+  * ARBITRARY event sets and ARBITRARY batch partitionings, the distributed
+  * merge must equal the sequential fold oracle, and replay must be
+  * idempotent and order-insensitive. Small cases by design — each property
+  * evaluation runs Spark jobs. */
+class MergePropertiesSpec extends SparkSpec {
+
+  private def checkProp(prop: Prop, n: Int): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(n), prop)
+    assert(res.passed, s"property failed: ${res.status}")
+  }
+
+  import spark.implicits._
+
+  private val genEvent: Gen[ChangeEvent] = for {
+    repo <- Gen.oneOf("r1", "r2", "r3")
+    path <- Gen.oneOf("a", "b", "c", "d")
+    commit <- Gen.chooseNum(0, 5).map(n => f"c$n%03d")
+    lsn <- Gen.chooseNum(0L, 1000000L)
+    op <- Gen.frequency(6 -> "U", 2 -> "I", 2 -> "D")
+    content <- Gen.alphaStr.map(s => if (op == "D") null else s.take(12))
+  } yield ChangeEvent(repo, path, commit, lsn, op, null, content)
+
+  /** Unique (commit, lsn) per key — the generator contract (FIXTURES.md §2). */
+  private val genEvents: Gen[List[ChangeEvent]] =
+    Gen.chooseNum(1, 40).flatMap(n => Gen.listOfN(n, genEvent))
+      .map(_.groupBy(e => (e.repo, e.path, e.commit, e.lsn)).values.map(_.head).toList)
+
+  private def distributedState(batches: Seq[Seq[ChangeEvent]]): Map[(String, String), String] = {
+    var state = spark.emptyDataset[ChangeEvent].toDF()
+    batches.filter(_.nonEmpty).foreach { b =>
+      state = MergeEngine.apply(state, b.toDF())
+    }
+    MergeEngine.liveView(state)
+      .select($"repo", $"path", coalesce(sha2($"content", 256), lit("∅")))
+      .as[(String, String, String)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+  }
+
+  private def oracle(events: Seq[ChangeEvent]): Map[(String, String), String] =
+    MergeEngine.foldOracle(events.sortBy(e => (e.commit, e.lsn)).toList).map {
+      case (k, e) =>
+        k -> (if (e.content == null) "∅"
+        else org.apache.commons.codec.digest.DigestUtils.sha256Hex(e.content))
+    }
+
+  test("property: any batch split of any event set converges to the fold oracle") {
+    checkProp(Prop.forAll(genEvents, Gen.chooseNum(1, 4)) { (events, nBatches) =>
+      val batches = events.grouped(math.max(1, events.size / nBatches)).toSeq
+      distributedState(batches) == oracle(events)
+    }, 15)
+  }
+
+  test("property: replay order across batches does not matter (permutation invariance)") {
+    checkProp(Prop.forAll(genEvents) { events =>
+      val batches = events.grouped(math.max(1, events.size / 3)).toSeq
+      distributedState(batches) == distributedState(batches.reverse)
+    }, 10)
+  }
+
+  test("property: re-applying any batch is idempotent") {
+    checkProp(Prop.forAll(genEvents) { events =>
+      val batches = events.grouped(math.max(1, events.size / 2)).toSeq
+      distributedState(batches) == distributedState(batches ++ batches.lastOption.toSeq)
+    }, 10)
+  }
+}
