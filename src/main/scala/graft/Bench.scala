@@ -127,16 +127,19 @@ object Bench {
           pathsPerRepo = 50)
         replayJob(s, warm, 100000L, 2, buckets)
         rmTree(warm)
-        // best-of-K: the sandbox is a shared VM with noisy neighbors; the
-        // minimum wall time is the least contaminated estimate
-        (0 until repeats).map(_ => replayJob(s, binlog, scaleEvents, batches, buckets)).min
+        replayJob(s, binlog, scaleEvents, batches, buckets)
       } finally {
         s.stop()
         pinCpus(Runtime.getRuntime.availableProcessors())
       }
     }
-    val tN = timedReplay(coresN)
-    val t4N = timedReplay(cores4N)
+    // best-of-K with INTERLEAVED repeats: the sandbox is a shared VM with
+    // time-varying neighbor load; alternating N/4N runs keeps a busy window
+    // from penalizing only one side, and the minimum wall per side is the
+    // least contaminated estimate
+    val runs = (0 until repeats).map(_ => (timedReplay(coresN), timedReplay(cores4N)))
+    val tN = runs.map(_._1).min
+    val t4N = runs.map(_._2).min
     rmTree(binlog)
     val epsN = scaleEvents / tN
     val eps4N = scaleEvents / t4N
