@@ -145,6 +145,37 @@ class LakeTableSpec extends SparkSpec {
     assert(t.readVersion(v2 + 1).count() == 2)
   }
 
+  test("stray tmp metadata (crash mid-commit) does not break loading or future commits") {
+    val root = tmpDir("lake")
+    val t = LakeTable.create(spark, root, baseSchema, numBuckets = 2)
+    // simulate a crash after writing the temp metadata but before the swap
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(root, "metadata", ".tmp-deadbeef.json"), "{garbage")
+    assert(t.currentVersion == 1)
+    t.commit(s => s.copy(fences = s.fences.updated("q", 1L)))
+    assert(t.currentVersion == 2)
+    assert(t.fence("q") == 1L)
+  }
+
+  test("a reader's snapshot stays consistent across a concurrent commit (files immutable)") {
+    val root = tmpDir("lake")
+    val t = LakeTable.create(spark, root, baseSchema, numBuckets = 2)
+    val df1 = Seq(("r1", "a", "c1", 1L, null: String, "one"))
+      .toDF(baseSchema.fieldNames.toSeq: _*).withColumn("bucket", lit(0))
+    t.commit(s => s.copy(files = s.files ++ t.stage(df1, 0)))
+
+    val readerView = t.read() // plan pinned to the v2 file list
+    // writer replaces everything (compaction-style swap)
+    val df2 = Seq(("r2", "b", "c2", 2L, null: String, "two"))
+      .toDF(baseSchema.fieldNames.toSeq: _*).withColumn("bucket", lit(1))
+    val staged = t.stage(df2, 0)
+    t.commit(s => s.copy(files = staged))
+
+    assert(readerView.collect().map(_.getAs[String]("content")).toSeq == Seq("one"),
+      "pinned reader must still see its snapshot")
+    assert(t.read().collect().map(_.getAs[String]("content")).toSeq == Seq("two"))
+  }
+
   test("gcOrphans removes unreferenced staging dirs, keeps referenced files") {
     val root = tmpDir("lake")
     val t = LakeTable.create(spark, root, baseSchema, numBuckets = 2)
