@@ -104,13 +104,22 @@ object CdcStream {
       saltPartitions: Int = 4,
       availableNow: Boolean = true,
       deadLetters: Option[LakeTable] = None,
-      ignoreCorruptFiles: Boolean = false
+      ignoreCorruptFiles: Boolean = false,
+      format: String = "parquet"
   ): StreamingQuery = {
-    val src = spark.readStream
+    val reader = spark.readStream
       .schema(binlogSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .option("ignoreCorruptFiles", ignoreCorruptFiles.toString)
-      .parquet(binlogDir)
+    // binlog segment encodings: parquet (default) or JSON-lines (the common
+    // wire format of real CDC feeds, e.g. Debezium envelopes). JSON rows
+    // that fail to parse come back all-null (PERMISSIVE) and land in the
+    // dead-letter channel via the validity filter.
+    val src = format match {
+      case "parquet" => reader.parquet(binlogDir)
+      case "json" => reader.option("mode", "PERMISSIVE").json(binlogDir)
+      case other => throw new IllegalArgumentException(s"unsupported binlog format: $other")
+    }
 
     val writer = src.writeStream
       .queryName(queryId)

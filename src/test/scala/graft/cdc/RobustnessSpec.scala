@@ -69,6 +69,40 @@ class RobustnessSpec extends SparkSpec {
     assert(LakeMerge.readState(table).count() == oracle.size)
   }
 
+  test("JSON-lines binlog format: replay converges; malformed lines dead-letter") {
+    val dir = tmpDir("jsonlog")
+    val binlog = s"$dir/binlog"
+    Files.createDirectories(Paths.get(binlog))
+    // write events as JSON lines + one garbage line
+    val events = EventGen.events(spark, 1500L, nRepos = 20, pathsPerRepo = 5)
+    events.coalesce(1).write.json(s"$dir/tmpjson")
+    val part = Files.list(Paths.get(s"$dir/tmpjson")).iterator()
+    var moved = 0
+    part.forEachRemaining { p =>
+      if (p.toString.endsWith(".json")) { Files.move(p, Paths.get(binlog, s"seg-$moved.json")); moved += 1 }
+    }
+    Files.write(Paths.get(binlog, "seg-bad.json"),
+      "this is { not valid json\n".getBytes)
+
+    val table = LakeTable.create(spark, s"$dir/table", CdcStream.binlogSchema, numBuckets = 4)
+    val metrics = CdcStream.metricsTable(spark, s"$dir/metrics")
+    val dlq = CdcStream.deadLetterTable(spark, s"$dir/dlq")
+    val q = CdcStream.start(spark, table, metrics, binlog, s"$dir/ckpt",
+      queryId = "json-test", maxFilesPerTrigger = 4, format = "json",
+      deadLetters = Some(dlq))
+    q.awaitTermination()
+
+    val oracle = MergeEngine.foldOracle(
+      events.orderBy("lsn").as[ChangeEvent].collect().toSeq)
+      .map { case (k, e) => k -> org.apache.commons.codec.digest.DigestUtils.sha256Hex(e.content) }
+    val got = LakeMerge.readState(table)
+      .select($"repo", $"path", sha2($"content", 256))
+      .as[(String, String, String)].collect().map(x => (x._1, x._2) -> x._3).toMap
+    assert(got == oracle)
+    assert(dlq.read().count() == 1, "the malformed JSON line must dead-letter")
+    assert(metrics.read().agg(sum($"bad_records")).collect()(0).getLong(0) == 1L)
+  }
+
   test("manifest-driven replay (S2): listed segments applied under sequential fenced epochs") {
     val dir = tmpDir("manifest")
     val binlog = s"$dir/binlog"
