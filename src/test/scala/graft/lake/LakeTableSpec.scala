@@ -79,6 +79,27 @@ class LakeTableSpec extends SparkSpec {
     assert(out(0).getAs[Long]("lsn") == 1L)      // widened read
   }
 
+  test("schema evolution: float→double widening reads old files as double") {
+    val root = tmpDir("lake")
+    val narrow = StructType(Seq(
+      StructField("repo", StringType), StructField("path", StringType),
+      StructField("score", FloatType)))
+    val t = LakeTable.create(spark, root, narrow, numBuckets = 2)
+    val df1 = Seq(("r1", "a", 1.5f)).toDF(narrow.fieldNames.toSeq: _*)
+      .withColumn("bucket", lit(0))
+    t.commit(s => s.copy(files = s.files ++ t.stage(df1, 0)))
+
+    val wide = StructType(Seq(StructField("score", DoubleType)))
+    val sid = t.evolveSchema(wide)
+    assert(t.schema("score").dataType == DoubleType)
+    val df2 = Seq(("r2", "b", 2.25d)).toDF("repo", "path", "score")
+      .withColumn("bucket", lit(1))
+    t.commit(s => s.copy(files = s.files ++ t.stage(df2, sid)))
+    val out = t.read().orderBy("repo").collect()
+    assert(out(0).getAs[Double]("score") == 1.5d)
+    assert(out(1).getAs[Double]("score") == 2.25d)
+  }
+
   test("evolveSchema is a no-op for an identical or narrower schema") {
     val root = tmpDir("lake")
     val t = LakeTable.create(spark, root, baseSchema, numBuckets = 2)
