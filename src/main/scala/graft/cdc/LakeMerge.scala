@@ -47,6 +47,24 @@ object LakeMerge {
   def readState(table: LakeTable): DataFrame =
     MergeEngine.liveView(resolvedState(table))
 
+  /** Point lookup: the current live state of ONE repo. Metadata pruning
+    * reads only that repo's hash bucket (1/numBuckets of the table), then
+    * filters and resolves — at 100 TB this touches a handful of files, not
+    * the table. The residual repo filter is pushed into the parquet scan. */
+  def readRepo(table: LakeTable, repo: String): DataFrame = {
+    val bucket = spark_bucket(table, repo)
+    MergeEngine.liveView(
+      MergeEngine.dedupBatch(
+        table.readBuckets(Set(bucket)).where(col("repo") === repo)))
+  }
+
+  private def spark_bucket(table: LakeTable, repo: String): Int = {
+    // evaluate the bucket expression the same way the writer does
+    table.spark.range(1)
+      .select(bucketOf(lit(repo), table.snapshot.numBuckets))
+      .collect()(0).getInt(0)
+  }
+
   /** Apply one batch of change events: LWW-dedup the batch and append it as
     * per-bucket delta files.
     *

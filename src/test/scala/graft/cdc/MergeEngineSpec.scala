@@ -103,6 +103,20 @@ class MergeEngineSpec extends SparkSpec {
     all.unpersist()
   }
 
+  test("readRepo point lookup prunes to one bucket and matches the full state") {
+    val dir = java.nio.file.Files.createTempDirectory("readrepo").toString
+    val table = graft.lake.LakeTable.create(spark, s"$dir/table",
+      CdcStream.binlogSchema, numBuckets = 16)
+    LakeMerge.mergeBatch(table,
+      EventGen.events(spark, 5000L, nRepos = 40, pathsPerRepo = 6), Some(("pl", 0L)))
+    val full = LakeMerge.readState(table).where($"repo" === "repo_00003")
+      .select($"path", sha2($"content", 256)).as[(String, String)].collect().toSet
+    val point = LakeMerge.readRepo(table, "repo_00003")
+      .select($"path", sha2($"content", 256)).as[(String, String)].collect().toSet
+    assert(point == full)
+    assert(point.nonEmpty)
+  }
+
   implicit class TupleMap(xs: Array[(String, String, String)]) {
     def toMap2: Map[(String, String), String] = xs.map(t => (t._1, t._2) -> t._3).toMap
   }
