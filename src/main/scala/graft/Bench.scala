@@ -1,31 +1,45 @@
 package graft
 
 import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
-import graft.cdc.{CdcStream, EventGen, LakeMerge}
-import graft.lake.LakeTable
+import graft.cdc.EventGen
 
 /** Benchmark driver (BASELINE.md): headline operator queries at full local
   * parallelism, plus the authoritative north-rule evidence — the same
-  * merge-apply replay job at two parallelism levels (the sandbox stand-in
-  * for N vs 4N executors) on identical input, reporting events/sec at both
-  * and scaling efficiency eff = T(N) / (4 × T(4N)).
+  * merge-apply replay job at two cluster sizes on identical input,
+  * reporting events/sec at both and scaling efficiency
+  * eff = eps(4N) / (4 × eps(N)).
   *
-  * Methodology (see BASELINE.md for the analysis):
-  *  - the whole JVM is pinned (taskset) to N CPUs for the small-"cluster"
-  *    run — local[N] alone still lets shuffle/GC threads use every core
-  *  - each configuration is warmed (codegen/JIT) with a small replay first
-  *  - generation of the binlog is excluded from the timed window; the
-  *    timed job = fenced delta-merge batches + final compaction (the full
-  *    merge-apply of every event onto the resolved table)
+  * Scaling methodology (round 2 — real executor processes):
+  *  - each measurement is a CHILD JVM running [[ScaleRun]] under a
+  *    `local-cluster[W,C,MB]` master: a standalone master/worker launches W
+  *    REAL executor JVMs with private heaps and GC — the honest stand-in
+  *    for W executors, replacing round 1's threads-on-one-heap local[N]
+  *  - N = 2 executors × 4 cores, 4N = 8 executors × 4 cores: "N executors
+  *    → 4N executors" with the executor shape held fixed. N must be ≥2
+  *    executors so BOTH sides pay cross-process shuffle (a 1-executor
+  *    baseline fetches every shuffle block process-locally, which
+  *    overstates its throughput and understates efficiency — measured as
+  *    0.28 "efficiency" that was really a baseline artifact)
+  *  - the N child is confined with `taskset -c 0-7` at spawn, so every JVM
+  *    in its process tree (driver, worker, executor) inherits the 8-CPU
+  *    affinity mask — local[8] alone would let shuffle/GC threads borrow
+  *    all 32 cores
+  *  - N and 4N runs are INTERLEAVED across repeats (shared-VM neighbor
+  *    noise hits both sides) and the per-side minimum wall is used
+  *  - a pure-CPU job (ScaleRun mode `cpu`: sha256 chains, no shuffle/IO)
+  *    measures the hardware scaling ceiling of this box under the SAME
+  *    harness; the engine's efficiency is reported raw and normalized by it
   *
   * Prints ONE JSON line:
-  * {"metric":"total","value":S,"unit":"sec","queries":{...},"sf":...,
-  *  "scaling":{"events":N,"t_n":s,"t_4n":s,"eps_n":e,"eps_4n":e,
-  *             "cores_n":8,"cores_4n":32,"efficiency":x}}
+  * {"metric":"total","value":S,"unit":"sec","queries":{...},"failed":[...],
+  *  "sf":...,"scaling":{"events":N,"mode":"local-cluster",
+  *  "executors_n":1,"executors_4n":4,"cores_per_executor":8,
+  *  "t_n":s,"t_4n":s,"eps_n":e,"eps_4n":e,"efficiency":x,
+  *  "cpu_ceiling":c,"efficiency_normalized":x/c}}
   */
 object Bench {
 
@@ -33,7 +47,7 @@ object Bench {
     "q_lww_latest", "q_cdc_merge", "q1_agg", "q_join_dims", "q_topk_window",
     "q_dedup_exact", "q_minhash_pairs", "q_simhash", "q_ngram_jaccard",
     "q_ann_topk", "q_ann_lsh", "q_token_count", "q_fingerprint",
-    "q_content_hash", "q_cdc_replay")
+    "q_content_hash", "q_cdc_replay", "q_report_adoption")
 
   private val benchTmp = sys.env.getOrElse("GRAFT_BENCH_TMP",
     if (Files.isWritable(Paths.get("/dev/shm"))) "/dev/shm" else
@@ -57,45 +71,48 @@ object Bench {
     s
   }
 
-  /** Pin every thread of this JVM to the first `cores` CPUs. */
-  private def pinCpus(cores: Int): Unit = {
-    try {
-      val pid = ProcessHandle.current().pid()
-      new ProcessBuilder("taskset", "-a", "-pc", s"0-${cores - 1}", pid.toString)
-        .redirectErrorStream(true).start().waitFor()
-      ()
-    } catch { case _: Exception => () } // taskset unavailable → unpinned
-  }
+  private val addOpensList = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io", "java.base/java.net",
+    "java.base/java.nio", "java.base/java.util",
+    "java.base/java.util.concurrent", "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar"
+  ).map(p => s"--add-opens=$p=ALL-UNNAMED")
 
-  /** The north-rule job: replay `n` pre-generated change events onto a
-    * fresh lake table via fenced delta-merge batches + final compaction.
-    * Returns wall seconds of the merge-apply phase only. */
-  private def replayJob(spark: SparkSession, binlogDir: String, n: Long,
-      batches: Int, buckets: Int): Double = {
-    val dir = Files.createTempDirectory(Paths.get(benchTmp), "graft-bench-table").toString
-    val table = LakeTable.create(spark, s"$dir/table", CdcStream.binlogSchema,
-      numBuckets = buckets)
-    val per = n / batches
-    val t0 = System.nanoTime()
-    (0 until batches).foreach { b =>
-      val lo = b * per
-      val hi = if (b == batches - 1) n else (b + 1) * per
-      val batch = spark.read
-        .schema(CdcStream.binlogSchema)
-        .parquet(binlogDir)
-        .where(col("lsn") >= lo && col("lsn") < hi)
-      LakeMerge.mergeBatch(table, batch, Some(("bench", b.toLong)),
-        saltPartitions = 2)
-    }
-    LakeMerge.compact(table)
-    val secs = (System.nanoTime() - t0) / 1e9
-    rmTree(dir)
-    secs
+  /** Spawn one [[ScaleRun]] child JVM and return its reported wall seconds.
+    * `cpus` confines the whole child process tree via taskset (inherited by
+    * the executor JVMs the in-child worker forks). */
+  private def runChild(mode: String, binlog: String, events: Long,
+      batches: Int, executors: Int, coresPerExec: Int, memMb: Int,
+      buckets: Int, cpus: Option[String]): Double = {
+    val classesDir = Paths.get("target", "scala-2.13", "classes").toAbsolutePath
+    val sparkJars = Files.list(Paths.get("/opt/spark/jars")).iterator().asScala
+      .map(_.toString).toSeq.sorted
+    val cp = (classesDir.toString +: sparkJars).mkString(":")
+    val javaBin = Paths.get(System.getProperty("java.home"), "bin", "java").toString
+    val base = Seq(javaBin) ++ addOpensList ++ Seq("-Xmx4g", "-cp", cp,
+      "graft.ScaleRun", mode, binlog, events.toString, batches.toString,
+      executors.toString, coresPerExec.toString, memMb.toString, buckets.toString)
+    val cmd = cpus.map(c => Seq("taskset", "-c", c)).getOrElse(Seq.empty) ++ base
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.environment().put("SPARK_HOME", "/opt/spark")
+    pb.environment().put("SPARK_SCALA_VERSION", "2.13")
+    pb.environment().put("GRAFT_BENCH_TMP", benchTmp)
+    pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+    val p = pb.start()
+    val out = new String(p.getInputStream.readAllBytes())
+    val rc = p.waitFor()
+    val wall = out.linesIterator
+      .find(_.startsWith("{\"wall\":"))
+      .map(_.stripPrefix("{\"wall\":").stripSuffix("}").toDouble)
+    require(rc == 0 && wall.isDefined,
+      s"ScaleRun child failed (rc=$rc, mode=$mode, executors=$executors): $out")
+    wall.get
   }
 
   private def rmTree(dir: String): Unit =
     try {
-      import scala.jdk.CollectionConverters._
       Files.walk(Paths.get(dir)).iterator().asScala.toList
         .reverse.foreach(Files.deleteIfExists(_))
     } catch { case _: Throwable => () }
@@ -103,67 +120,70 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val scaleEvents = sys.env.getOrElse("SPARK_GRAFT_BENCH_EVENTS", "8000000").toLong
-    val coresN = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "8").toInt
-    val cores4N = coresN * 4
+    val coresPerExec = sys.env.getOrElse("SPARK_GRAFT_BENCH_EXEC_CORES", "4").toInt
+    val execN = sys.env.getOrElse("SPARK_GRAFT_BENCH_EXECS_N", "2").toInt
+    val exec4N = execN * 4
     val buckets = 64
     val batches = 4
+    val memMb = sys.env.getOrElse("SPARK_GRAFT_BENCH_EXEC_MB", "5120").toInt
 
-    // ---- phase 1: scaling evidence (N vs 4N cores, same input) ----
+    // ---- phase 1: scaling evidence (N vs 4N executor JVMs, same input) ----
     val binlog = Files.createTempDirectory(Paths.get(benchTmp), "graft-bench-binlog").toString
     locally {
-      val s = session(cores4N)
+      val s = session(Runtime.getRuntime.availableProcessors())
       EventGen.writeBinlog(s, binlog, scaleEvents, segments = 64,
         nRepos = 20000, pathsPerRepo = 200, skew = 2.0,
         langFromLsn = scaleEvents / 2)
       s.stop()
     }
     val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "2").toInt
-    def timedReplay(cores: Int): Double = {
-      pinCpus(cores)
-      val s = session(cores)
-      try {
-        val warm = Files.createTempDirectory(Paths.get(benchTmp), "graft-bench-warm").toString
-        EventGen.writeBinlog(s, warm, 100000L, segments = 8, nRepos = 1000,
-          pathsPerRepo = 50)
-        replayJob(s, warm, 100000L, 2, buckets)
-        rmTree(warm)
-        replayJob(s, binlog, scaleEvents, batches, buckets)
-      } finally {
-        s.stop()
-        pinCpus(Runtime.getRuntime.availableProcessors())
-      }
+    val cpusN = s"0-${execN * coresPerExec - 1}"
+    def merge(execs: Int, pin: Option[String]): Double =
+      runChild("merge", binlog, scaleEvents, batches, execs, coresPerExec,
+        memMb, buckets, pin)
+    // interleaved N/4N repeats; per-side minimum (see scaladoc)
+    val runs = (0 until repeats).map { _ =>
+      (merge(execN, Some(cpusN)), merge(exec4N, None))
     }
-    // best-of-K with INTERLEAVED repeats: the sandbox is a shared VM with
-    // time-varying neighbor load; alternating N/4N runs keeps a busy window
-    // from penalizing only one side, and the minimum wall per side is the
-    // least contaminated estimate
-    val runs = (0 until repeats).map(_ => (timedReplay(coresN), timedReplay(cores4N)))
     val tN = runs.map(_._1).min
     val t4N = runs.map(_._2).min
+    // hardware ceiling under the same harness (1 repeat each: the job is
+    // deterministic CPU work, far less noise-sensitive than the merge)
+    val cpuN = runChild("cpu", binlog, scaleEvents, batches, execN,
+      coresPerExec, 2048, buckets, Some(cpusN))
+    val cpu4N = runChild("cpu", binlog, scaleEvents, batches, exec4N,
+      coresPerExec, 2048, buckets, None)
     rmTree(binlog)
     val epsN = scaleEvents / tN
     val eps4N = scaleEvents / t4N
     val eff = eps4N / (4.0 * epsN)
+    val cpuCeiling = cpuN / (4.0 * cpu4N) // same formula: speedup/4
+    val effNorm = eff / cpuCeiling
 
     // ---- phase 2: headline operator queries at full parallelism ----
-    val spark = session(cores4N)
+    val spark = session(Runtime.getRuntime.availableProcessors())
     val qmap = SparkEntry.queries
     val results = HeadlineQueries.flatMap { name =>
       qmap.get(name).map { fn =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
-        catch { case _: Throwable => () }
-        name -> (System.nanoTime() - t0) / 1e9
+        // failures are recorded, not swallowed: a broken query must be
+        // distinguishable from a fast one in the emitted JSON
+        val ok =
+          try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
+        (name, (System.nanoTime() - t0) / 1e9, ok)
       }
     }
     spark.stop()
 
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+    val qs = results.map { case (k, v, _) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
+    val failed = results.filterNot(_._3).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val scaling =
-      f"""{"events":$scaleEvents,"cores_n":$coresN,"cores_4n":$cores4N,"t_n":$tN%.2f,"t_4n":$t4N%.2f,"eps_n":$epsN%.0f,"eps_4n":$eps4N%.0f,"efficiency":$eff%.3f}"""
+      f"""{"events":$scaleEvents,"mode":"local-cluster","executors_n":$execN,"executors_4n":$exec4N,"cores_per_executor":$coresPerExec,"t_n":$tN%.2f,"t_4n":$t4N%.2f,"eps_n":$epsN%.0f,"eps_4n":$eps4N%.0f,"efficiency":$eff%.3f,"cpu_ceiling":$cpuCeiling%.3f,"efficiency_normalized":$effNorm%.3f}"""
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":$scaling}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","scaling":$scaling}""")
   }
 }

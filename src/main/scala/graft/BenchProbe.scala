@@ -97,11 +97,11 @@ object BenchProbe {
         .where(col("lsn") >= lo && col("lsn") < hi)
       val st = LakeMerge.mergeBatch(table, batch, Some(("probe", b.toLong)), salt)
       System.err.println(f"[probe] batch $b: ${(System.nanoTime() - t0) / 1e9}%.2f s " +
-        s"(buckets=${st.touchedBuckets}, files=${table.snapshot.files.size})")
+        s"(buckets=${st.touchedBuckets}, files=${table.files.size})")
     }
     t0 = System.nanoTime()
     LakeMerge.compact(table)
-    System.err.println(f"[probe] compact: ${(System.nanoTime() - t0) / 1e9}%.2f s (files=${table.snapshot.files.size})")
+    System.err.println(f"[probe] compact: ${(System.nanoTime() - t0) / 1e9}%.2f s (files=${table.files.size})")
     t0 = System.nanoTime()
     // north-rule verification pass: per-row sha256(content) + order-free checksum
     val chk = LakeMerge.readState(spark_table(table))

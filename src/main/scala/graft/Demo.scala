@@ -49,7 +49,7 @@ object Demo {
       queryId = "demo", maxFilesPerTrigger = 4)
     q2.awaitTermination()
     log(s"drained: fence=${table.fence("demo")}, snapshot v${table.currentVersion}, " +
-      s"files=${table.snapshot.files.size} (${table.snapshot.files.count(_.kind == "delta")} deltas)")
+      s"files=${table.files.size} (${table.files.count(_.kind == "delta")} deltas)")
 
     // 4. verify against the independent fold oracle (sha256 per key)
     val oracle = MergeEngine.foldOracle(
@@ -85,12 +85,15 @@ object Demo {
     // 7. compact + GC
     LakeMerge.compact(table)
     val orphans = table.gcOrphans()
-    log(s"compacted → ${table.snapshot.files.size} base files; GC removed $orphans orphan dirs")
+    log(s"compacted → ${table.files.size} base files; GC removed $orphans orphan dirs")
     val after = LakeMerge.readState(table)
       .select($"repo", $"path", sha2($"content", 256))
       .as[(String, String, String)].collect()
       .map(x => (x._1, x._2) -> x._3).toMap
-    assert(after.view.filterKeys(oracle.contains).toMap != null)
+    // every pre-evolve oracle key must read back byte-identically after
+    // compaction + GC (the evolve batch only ADDED keys/columns)
+    assert(oracle.forall { case (k, v) => after.get(k).contains(v) },
+      "post-compaction state diverged from oracle on pre-evolve keys")
     log(s"post-compaction state: ${after.size} keys (includes evolve-batch upserts)")
 
     // 8. lineage sidecar

@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.cdc.{CdcStream, EventGen, LakeMerge}
+import graft.lake.LakeTable
+
+/** Child-process entry for the north-rule scaling bench: replays a
+  * pre-generated binlog onto a fresh lake table under a `local-cluster`
+  * master — REAL executor JVMs with private heaps/GC launched by an
+  * in-process standalone master/worker pair, the honest single-machine
+  * stand-in for "N executors vs 4N executors" (the ≥0.8 scaling-efficiency
+  * target presumes executor processes, not threads sharing one heap).
+  *
+  * Run as a separate JVM (Bench spawns it via ProcessBuilder so taskset can
+  * confine the WHOLE process tree — driver, worker threads, executor
+  * children — to the small-cluster CPU set; children inherit the affinity
+  * mask at fork).
+  *
+  * Requires env: SPARK_HOME=/opt/spark, SPARK_SCALA_VERSION=2.13 (the
+  * executor launcher resolves its classpath through them).
+  *
+  * Modes (arg 0):
+  *  - `merge`: the north-rule job — fenced LWW delta-merge batches + final
+  *    compaction of `events` change events (the timed window excludes
+  *    generation and executor launch; a small warmup replay forces executor
+  *    start + codegen before timing).
+  *  - `cpu`: pure-CPU ceiling job of the SAME harness — iterated sha256
+  *    over synthesized rows, zero shuffle, zero I/O. Its N→4N efficiency is
+  *    the hardware ceiling of this box (frequency scaling + shared LLC);
+  *    engine efficiency is reported alongside raw and normalized by it.
+  *
+  * args: mode binlogDir events batches executors coresPerExec memMbPerExec buckets
+  * Prints ONE line: {"wall":<sec>}
+  */
+object ScaleRun {
+
+  private val addOpens = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io", "java.base/java.net",
+    "java.base/java.nio", "java.base/java.util",
+    "java.base/java.util.concurrent", "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar"
+  ).map(p => s"--add-opens=$p=ALL-UNNAMED").mkString(" ")
+
+  def main(args: Array[String]): Unit = {
+    val mode = args(0)
+    val binlog = args(1)
+    val n = args(2).toLong
+    val batches = args(3).toInt
+    val executors = args(4).toInt
+    val coresPerExec = args(5).toInt
+    val memMb = args(6).toInt
+    val buckets = args(7).toInt
+    val totalCores = executors * coresPerExec
+
+    val tmp = sys.env.getOrElse("GRAFT_BENCH_TMP", "/dev/shm")
+    val spark = SparkSession.builder()
+      .master(s"local-cluster[$executors,$coresPerExec,$memMb]")
+      .appName(s"graft-scale-$executors x$coresPerExec")
+      .config("spark.executor.memory", s"${memMb - 384}m")
+      .config("spark.executor.extraClassPath", System.getProperty("java.class.path"))
+      .config("spark.executor.extraJavaOptions", addOpens)
+      .config("spark.sql.shuffle.partitions", (totalCores * 2).toString)
+      .config("spark.sql.files.maxPartitionBytes", (32 * 1024 * 1024).toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.local.dir", s"$tmp/graft-spark-local")
+      .config("spark.ui.enabled", "false")
+      .config("spark.worker.cleanup.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val wall = mode match {
+      case "merge" => mergeJob(spark, binlog, n, batches, buckets)
+      case "cpu" => cpuJob(spark, n, totalCores)
+      case other => throw new IllegalArgumentException(s"unknown mode: $other")
+    }
+    println(f"""{"wall":$wall%.3f}""")
+    spark.stop()
+  }
+
+  /** North-rule merge-apply replay. Warmup replay (separate table, first
+    * ~1.5% of events) forces executor launch + codegen warm; the timed
+    * window is the fenced batch merges + final compaction only. */
+  private def mergeJob(spark: SparkSession, binlog: String, n: Long,
+      batches: Int, buckets: Int): Double = {
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(sys.env.getOrElse("GRAFT_BENCH_TMP", "/dev/shm")),
+      "graft-scale-table").toString
+    def read(lo: Long, hi: Long) = spark.read
+      .schema(CdcStream.binlogSchema).parquet(binlog)
+      .where(col("lsn") >= lo && col("lsn") < hi)
+
+    val warm = LakeTable.create(spark, s"$dir/warm", CdcStream.binlogSchema, buckets)
+    LakeMerge.mergeBatch(warm, read(0, math.max(n / 64, 10000L)), Some(("warm", 0L)), 2)
+    LakeMerge.compact(warm)
+
+    val table = LakeTable.create(spark, s"$dir/table", CdcStream.binlogSchema, buckets)
+    val per = n / batches
+    val t0 = System.nanoTime()
+    (0 until batches).foreach { b =>
+      val hi = if (b == batches - 1) n else (b + 1) * per
+      LakeMerge.mergeBatch(table, read(b * per, hi), Some(("bench", b.toLong)), 2)
+    }
+    LakeMerge.compact(table)
+    val secs = (System.nanoTime() - t0) / 1e9
+    rmTree(dir)
+    secs
+  }
+
+  /** Pure-CPU ceiling: per-row iterated sha256 chains over ranged rows —
+    * embarrassingly parallel, no shuffle, no disk, negligible memory
+    * traffic. Measures what N→4N scaling THIS box permits for CPU-bound
+    * Spark tasks (frequency + scheduler ceiling), same session/timing
+    * harness as the merge job. */
+  private def cpuJob(spark: SparkSession, n: Long, totalCores: Int): Double = {
+    // sized so the timed window is ~10s on the small cluster — long enough
+    // that scheduling/launch noise can't dominate the ratio
+    val rows = math.max(n / 8, 400000L)
+    def run(m: Long): Long = {
+      var h = col("id").cast("string")
+      (0 until 48).foreach(_ => h = sha2(h, 256))
+      spark.range(0, m, 1, totalCores * 2).select(h.as("h"))
+        .agg(count(when(substring(col("h"), 1, 1) === "0", 1))).collect()(0).getLong(0)
+    }
+    run(rows / 20) // warm executors + codegen
+    val t0 = System.nanoTime()
+    run(rows)
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  private def rmTree(dir: String): Unit =
+    try {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
+        .toList.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    } catch { case _: Throwable => () }
+}

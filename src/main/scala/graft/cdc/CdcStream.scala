@@ -171,7 +171,7 @@ object CdcStream {
       queryId: String,
       batchId: Long,
       saltPartitions: Int = 4,
-      compactAtDeltas: Int = 8,
+      compactAtDeltas: Int = 16,
       deadLetters: Option[LakeTable] = None
   ): CommitStats = {
     if (table.fence(queryId) >= batchId) {
@@ -203,18 +203,21 @@ object CdcStream {
               to_json(struct(col("*"))).as("record_json"))
             .withColumn("bucket", lit(0))
           val staged = dl.stage(rows, 0)
-          dl.commit(s => s.copy(files = s.files ++ staged,
-            fences = s.fences.updated(queryId, batchId),
-            summary = Map("operation" -> "dead-letter")))
+          dl.appendCommit(staged, fence = Some((queryId, batchId)),
+            summary = Map("operation" -> "dead-letter"))
         }
       }
 
       val stats = LakeMerge.mergeBatch(table, good, Some((queryId, batchId)), saltPartitions)
-      // bounded read amplification: fold deltas into base once a bucket
-      // accumulates compactAtDeltas delta files (single-writer: runs inside
-      // the same foreachBatch serial loop as the merge commits)
+      // bounded read amplification via SIZE-TIERED compaction: a bucket is
+      // folded when its delta bytes reach its base bytes (each rewrite at
+      // least doubles the base → O(log) rewrites per key over the table's
+      // lifetime, vs O(batches/k) under a flat every-k-deltas trigger), or
+      // at compactAtDeltas delta files as the read-amplification cap
+      // (single-writer: runs inside the same foreachBatch serial loop as
+      // the merge commits)
       if (stats.applied && compactAtDeltas > 0)
-        LakeMerge.compact(table, ifDeltasAtLeast = compactAtDeltas)
+        LakeMerge.compactTiered(table, sizeRatio = 1.0, maxDeltaFiles = compactAtDeltas)
 
       if (stats.applied)
         recordLineage(table, metrics, good, nBad, queryId, batchId, stats, t0)
@@ -269,11 +272,8 @@ object CdcStream {
       .toDF(metricsSchema.fieldNames.toSeq: _*)
       .withColumn("bucket", lit(0))
     val staged = metrics.stage(row, 0)
-    metrics.commit { s =>
-      s.copy(files = s.files ++ staged,
-        fences = s.fences.updated(queryId, batchId),
-        summary = Map("operation" -> "append-metrics"))
-    }
+    metrics.appendCommit(staged, fence = Some((queryId, batchId)),
+      summary = Map("operation" -> "append-metrics"))
     ()
   }
 }

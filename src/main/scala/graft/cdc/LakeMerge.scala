@@ -3,14 +3,14 @@ package graft.cdc
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.lake.{DataFileMeta, LakeTable}
+import graft.lake.{DataFileMeta, LakeTable, Snapshot}
 
 /** Result of applying one batch onto the lake table. */
 final case class CommitStats(
     applied: Boolean,
     epochId: Long,
     snapshotId: Long,
-    batchRows: Long,
+    batchBytes: Long,
     touchedBuckets: Int,
     wallMs: Long
 )
@@ -125,26 +125,47 @@ object LakeMerge {
           payload.map(c => col(s"_w.$c").as(c)).toSeq: _*)
 
     val staged = table.stage(deltas, schemaId, kind = "delta")
-    val committed = table.commit { s =>
-      s.copy(
-        files = s.files ++ staged,
-        schemaId = math.max(s.schemaId, schemaId),
-        fences = if (fence.isDefined) s.fences.updated(queryId, epochId) else s.fences,
-        summary = Map(
-          "operation" -> "merge-append",
-          "added-files" -> staged.size.toString
-        )
+    // append commit: metadata written = one manifest for THIS batch's files
+    // (O(batch)); every prior manifest is reused by reference
+    val committed = table.appendCommit(
+      staged,
+      fence = fence,
+      schemaId = Some(schemaId),
+      summary = Map(
+        "operation" -> "merge-append",
+        "added-files" -> staged.size.toString
       )
-    }
+    )
     CommitStats(
       applied = true,
       epochId = epochId,
       snapshotId = committed.snapshotId,
-      batchRows = staged.map(_.bytes).sum,
+      batchBytes = staged.map(_.bytes).sum,
       touchedBuckets = staged.map(_.bucket).distinct.size,
       wallMs = (System.nanoTime() - t0) / 1000000L
     )
   }
+
+  /** Advance the replay low-watermark: the CALLER's guarantee that no event
+    * ordered at or below `(commit, lsn)` — the full LWW ordering key — will
+    * ever be (re)delivered to this table (e.g. the binlog retention
+    * horizon, or the oldest restartable checkpoint). From the next
+    * [[compact]] on, tombstones at or below it are physically purged — they
+    * can no longer be needed to suppress an out-of-order resurrection, so
+    * tombstone retention stops being unbounded. Monotone: an ordering key
+    * at or below the current watermark is a no-op. */
+  def setWatermark(table: LakeTable, commit: String, lsn: Long): Snapshot =
+    table.commit { s =>
+      val advance = s.watermarkCommit == null ||
+        (commit > s.watermarkCommit) ||
+        (commit == s.watermarkCommit && lsn > s.watermarkLsn)
+      if (!advance) s
+      else s.copy(
+        watermarkCommit = commit,
+        watermarkLsn = lsn,
+        summary = Map("operation" -> "advance-watermark",
+          "watermark" -> s"$commit/$lsn"))
+    }
 
   /** Fold deltas into base files for the buckets whose delta count exceeds
     * `ifDeltasAtLeast` (0 = always compact everything). Bounded read
@@ -152,16 +173,64 @@ object LakeMerge {
     * set again. Atomic: the new snapshot swaps in rewritten buckets only. */
   def compact(table: LakeTable, ifDeltasAtLeast: Int = 0): Boolean = {
     val snap = table.snapshot
-    val deltasPerBucket = snap.files.filter(_.kind == "delta")
+    val allFiles = table.filesOf(snap)
+    val deltasPerBucket = allFiles.filter(_.kind == "delta")
       .groupBy(_.bucket).view.mapValues(_.size).toMap
     if (deltasPerBucket.isEmpty) return false
     val buckets =
       if (ifDeltasAtLeast <= 0) deltasPerBucket.keySet
       else deltasPerBucket.filter(_._2 >= ifDeltasAtLeast).keySet
     if (buckets.isEmpty) return false
+    compactBuckets(table, snap, allFiles, buckets).compacted
+  }
+
+  /** Size-tiered compaction policy: a bucket is due when its accumulated
+    * delta BYTES reach `sizeRatio` × its base bytes (so each rewrite at
+    * least doubles the base at ratio 1.0 — a key's bytes are rewritten
+    * O(log table) times over its lifetime, never O(batches)), or when its
+    * delta FILE count reaches `maxDeltaFiles` (read-amplification cap for
+    * buckets whose base dwarfs the incoming trickle). Replaces a flat
+    * "every k deltas" trigger, under which a hot bucket's base is rewritten
+    * every k batches — O(n²/k) total bytes over n batches. */
+  def compactTiered(
+      table: LakeTable,
+      sizeRatio: Double = 1.0,
+      maxDeltaFiles: Int = 16
+  ): CompactionStats = {
+    val snap = table.snapshot
+    val allFiles = table.filesOf(snap)
+    val due = allFiles.groupBy(_.bucket).collect {
+      case (b, fs)
+          if fs.exists(_.kind == "delta") && {
+            val deltaBytes = fs.filter(_.kind == "delta").map(_.bytes).sum
+            val baseBytes = fs.filter(_.kind == "base").map(_.bytes).sum
+            deltaBytes >= (sizeRatio * baseBytes).toLong ||
+              fs.count(_.kind == "delta") >= maxDeltaFiles
+          } => b
+    }.toSet
+    if (due.isEmpty) CompactionStats(compacted = false, 0, 0L)
+    else compactBuckets(table, snap, allFiles, due)
+  }
+
+  private def compactBuckets(
+      table: LakeTable,
+      snap: Snapshot,
+      allFiles: Seq[DataFileMeta],
+      buckets: Set[Int]
+  ): CompactionStats = {
+    // capture exactly which files this compaction resolves: the commit
+    // carries forward any file a concurrent writer adds to these buckets
+    // between this read and the commit (no silent loss under the
+    // optimistic-retry model — see LakeTable.rewriteCommit)
+    val readSet = allFiles.filter(f => buckets.contains(f.bucket)).map(_.path).toSet
 
     // same one-shuffle write-aligned trick as mergeBatch (salt by path so a
-    // hot bucket still compacts across several tasks)
+    // hot bucket still compacts across several tasks).
+    // Tombstone purge: a tombstone whose (commit, lsn) is at or below the
+    // table's replay low-watermark can never be needed again (no event
+    // ordered at or below the watermark will ever arrive), so compaction
+    // drops it — the only point tombstones may be physically removed
+    // without risking resurrection.
     val nBuckets = snap.numBuckets
     val schema = snap.schema
     val payload = schema.fieldNames.filterNot(MergeEngine.keyCols.contains)
@@ -174,16 +243,22 @@ object LakeMerge {
         struct(col("commit"), col("lsn"))).as("_w"))
       .select(col("bucket") +: col("repo") +: col("path") +:
         payload.map(c => col(s"_w.$c").as(c)).toSeq: _*)
-    val staged = table.stage(resolved, snap.schemaId, kind = "base")
-    table.commit { s =>
-      val kept = s.files.filterNot(f => buckets.contains(f.bucket))
-      s.copy(
-        files = kept ++ staged,
-        summary = Map(
-          "operation" -> "compact",
-          "buckets" -> buckets.size.toString,
-          "added-files" -> staged.size.toString))
-    }
-    true
+    val purged =
+      if (snap.watermarkCommit == null) resolved
+      else resolved.where(!(col("op") === "D" &&
+        (col("commit") < lit(snap.watermarkCommit) ||
+          (col("commit") === lit(snap.watermarkCommit) &&
+            col("lsn") <= lit(snap.watermarkLsn)))))
+    val staged = table.stage(purged, snap.schemaId, kind = "base")
+    table.rewriteCommit(buckets, staged, readSet,
+      summary = Map(
+        "operation" -> "compact",
+        "buckets" -> buckets.size.toString,
+        "added-files" -> staged.size.toString))
+    CompactionStats(compacted = true, buckets.size, staged.map(_.bytes).sum)
   }
 }
+
+/** What one compaction pass did — `bytesWritten` is the rewrite volume the
+  * tiered policy exists to bound. */
+final case class CompactionStats(compacted: Boolean, buckets: Int, bytesWritten: Long)

@@ -43,11 +43,14 @@ object Mart {
       epoch: Long
   ): CommitStats = {
     require(keyCols.nonEmpty, "mart documents need at least one key column")
+    // lsn = 2*epoch (publish) / 2*epoch+1 (delete): a delete issued at the
+    // same epoch as the last publish orders STRICTLY after it, so LWW
+    // survival is deterministic — (commit, lsn) stays unique per doc
     val docs = result.select(
       sha2(concat_ws("-", keyCols.map(c => col(c).cast("string")): _*), 256).as("repo"),
       lit(queryId).as("path"),
-      format_string("e%012d", lit(epoch)).as("commit"),
-      lit(epoch).as("lsn"),
+      format_string("e%012d", lit(2 * epoch)).as("commit"),
+      lit(2 * epoch).as("lsn"),
       lit("U").as("op"),
       lit(null).cast("string").as("lang"),
       to_json(struct(result.columns.map(col).toSeq: _*)).as("content")
@@ -60,7 +63,7 @@ object Mart {
     LakeMerge.readState(mart)
       .where(col("path") === queryId)
       .select(col("repo").as("doc_key"), col("content").as("doc_json"),
-        col("lsn").as("publish_epoch"))
+        floor(col("lsn") / 2).cast("long").as("publish_epoch"))
 
   /** Delete all documents of a query (the reference's companion deletion
     * pipeline, `modules/tech_report_deletion.py`): tombstone each current
@@ -69,8 +72,8 @@ object Mart {
     val dels = readDocs(mart, queryId).select(
       col("doc_key").as("repo"),
       lit(queryId).as("path"),
-      format_string("e%012d", lit(epoch)).as("commit"),
-      lit(epoch).as("lsn"),
+      format_string("e%012d", lit(2 * epoch + 1)).as("commit"),
+      lit(2 * epoch + 1).as("lsn"),
       lit("D").as("op"),
       lit(null).cast("string").as("lang"),
       lit(null).cast("string").as("content"))

@@ -11,7 +11,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** One data file tracked by a snapshot. `bucket` = hash-bucket of `repo`
+/** One data file tracked by a manifest. `bucket` = hash-bucket of `repo`
   * (the table's partition spec); parsed back from the written directory
   * layout `.../bucket=<b>/part-*.parquet`. `kind` is "base" (compacted) or
   * "delta" (merge-on-read append, resolved by LWW dedup at read time). */
@@ -26,16 +26,47 @@ final case class DataFileMeta(
 /** A pinned, versioned schema (Spark DDL string). */
 final case class SchemaInfo(id: Int, ddl: String)
 
+/** Pointer to one immutable manifest file (a JSON list of [[DataFileMeta]])
+  * plus the stats the planner prunes on without opening it. `group` is the
+  * bucket-group the manifest covers (bucket % manifestGroups): compaction
+  * of a bucket rewrites only its group's manifests, never the whole
+  * metadata tree. */
+final case class ManifestMeta(
+    path: String,
+    group: Int,
+    fileCount: Int,
+    bytes: Long,
+    deltaCount: Int,
+    buckets: Seq[Int]
+)
+
 /** An immutable table snapshot. The table state IS the latest committed
-  * snapshot file; data files not referenced by it are invisible (staged or
-  * orphaned), which is what makes the commit atomic — the same philosophy as
-  * the reference's FILE_LOADS batch loads, where staged files become visible
-  * only when the load job commits (reference `modules/transformation.py:84-97`,
-  * `README.md:361-376` on orphaned temp tables after failures).
+  * snapshot file; data files not referenced by it (through its manifests)
+  * are invisible (staged or orphaned), which is what makes the commit
+  * atomic — the same philosophy as the reference's FILE_LOADS batch loads,
+  * where staged files become visible only when the load job commits
+  * (reference `modules/transformation.py:84-97`, `README.md:361-376` on
+  * orphaned temp tables after failures).
+  *
+  * The snapshot does NOT inline the file list: it references manifest
+  * files, and an append commit writes only manifests for the ADDED files —
+  * unchanged manifests are reused by reference across snapshots. Commit
+  * metadata cost is therefore O(changed files), not O(table files); the
+  * Iceberg manifest-list design, required for continuous CDC ingest where a
+  * table accumulates 10^5+ files.
   *
   * `fences` maps a streaming queryId to the last committed epoch (batchId):
   * the engine's generalization of the reference's skip-if-populated rerun
   * fence (`data-pipeline.workflows.yaml:269-294`).
+  *
+  * `(watermarkCommit, watermarkLsn)`: replay low-watermark on the FULL LWW
+  * ordering key — the caller's guarantee that no event ordered at or below
+  * it will ever be (re)delivered. Compaction may purge tombstones at or
+  * below it (they can no longer be needed to suppress an out-of-order
+  * resurrection). Inactive while `watermarkCommit` is null. The watermark
+  * must be on `(commit, lsn)`, not lsn alone: a tombstone with a high
+  * commit but low lsn can still be the LWW winner against a future event
+  * with a higher lsn.
   */
 final case class Snapshot(
     formatVersion: Int,
@@ -45,23 +76,39 @@ final case class Snapshot(
     schemaId: Int,
     schemas: Seq[SchemaInfo],
     numBuckets: Int,
-    files: Seq[DataFileMeta],
+    manifestGroups: Int,
+    manifests: Seq[ManifestMeta],
     fences: Map[String, Long],
+    watermarkCommit: String,
+    watermarkLsn: Long,
     summary: Map[String, String]
 ) {
   def schema: StructType = StructType.fromDDL(schemas.find(_.id == schemaId).get.ddl)
   def schemaById(id: Int): StructType = StructType.fromDDL(schemas.find(_.id == id).get.ddl)
+  def fileCount: Int = manifests.map(_.fileCount).sum
+  def deltaCount: Int = manifests.map(_.deltaCount).sum
 }
 
+/** Result of [[LakeTable.expireSnapshots]]. */
+final case class ExpireResult(
+    expiredVersions: Int,
+    manifestsDeleted: Int,
+    dataFilesDeleted: Int,
+    bytesReclaimed: Long
+)
+
 /** From-scratch Iceberg-style snapshot table ("IceLake", SURVEY.md §7.0):
-  * parquet data files + versioned JSON metadata, atomic commit by
-  * hard-link-based check-and-swap, schema-id-versioned evolution with
-  * widening reads, bucket partition pruning, epoch fencing.
+  * parquet data files + versioned JSON snapshot metadata referencing
+  * immutable manifest files, atomic commit by hard-link-based
+  * check-and-swap, schema-id-versioned evolution with widening reads,
+  * bucket partition pruning at both manifest and file granularity, epoch
+  * fencing, snapshot expiration with physical reclamation.
   *
   * Layout:
   * {{{
   *   <root>/data/<commit-uuid>/bucket=<b>/part-*.parquet
-  *   <root>/metadata/v<N>.metadata.json
+  *   <root>/metadata/v<N>.metadata.json          (snapshot, no file list)
+  *   <root>/metadata/manifest-<uuid>.json        (immutable file list)
   *   <root>/metadata/version-hint.text
   * }}}
   */
@@ -69,6 +116,11 @@ final class LakeTable private (val root: String, val spark: SparkSession) {
   import LakeTable._
 
   private val metaDir = Paths.get(root, "metadata")
+
+  /** Manifests are immutable once written, so their parsed contents are
+    * cached for the lifetime of this table handle. */
+  private val manifestCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[DataFileMeta]]()
 
   // ---------------------------------------------------------------- reads
 
@@ -90,6 +142,9 @@ final class LakeTable private (val root: String, val spark: SparkSession) {
 
   def snapshotAt(version: Int): Snapshot = {
     val p = metaDir.resolve(s"v$version.metadata.json")
+    if (!Files.exists(p))
+      throw new IllegalStateException(
+        s"snapshot v$version is not available (expired or never committed)")
     val raw = mapper.readValue(Files.readString(p), classOf[Snapshot])
     // Jackson erases Map[String, Long] values to Integer for small numbers;
     // normalize so downstream Long-typed access doesn't hit unbox CCEs.
@@ -104,25 +159,51 @@ final class LakeTable private (val root: String, val spark: SparkSession) {
   /** Last committed epoch for a streaming query, or -1. */
   def fence(queryId: String): Long = snapshot.fences.getOrElse(queryId, -1L)
 
+  /** All data files of the current snapshot (loads + caches manifests). */
+  def files: Seq[DataFileMeta] = filesOf(snapshot)
+
+  /** All data files referenced by a snapshot. */
+  def filesOf(snap: Snapshot): Seq[DataFileMeta] =
+    snap.manifests.flatMap(m => loadManifest(m.path))
+
+  /** Data files of a snapshot restricted to `buckets` — manifests whose
+    * bucket stats don't intersect are never opened (manifest-level
+    * pruning), then file-level pruning inside the loaded ones. */
+  def filesOf(snap: Snapshot, buckets: Set[Int]): Seq[DataFileMeta] =
+    snap.manifests
+      .filter(_.buckets.exists(buckets.contains))
+      .flatMap(m => loadManifest(m.path))
+      .filter(f => buckets.contains(f.bucket))
+
+  private def loadManifest(path: String): Seq[DataFileMeta] =
+    manifestCache.computeIfAbsent(path, p =>
+      mapper.readValue(Files.readString(Paths.get(p)),
+        classOf[Array[DataFileMeta]]).toSeq)
+
   /** Read the full current state, reconciling every file group's pinned
     * schema to the current schema (missing columns → null, widening casts
     * int→long / float→double — SURVEY.md §7.5). */
-  def read(): DataFrame = readFiles(snapshot, snapshot.files)
+  def read(): DataFrame = {
+    val snap = snapshot
+    readFiles(snap, filesOf(snap))
+  }
 
   /** Read only the given buckets (partition pruning via metadata — the scan
-    * never touches files of unaffected buckets). */
-  def readBuckets(buckets: Set[Int]): DataFrame =
-    readFiles(snapshot, snapshot.files.filter(f => buckets.contains(f.bucket)))
+    * never touches files, or manifests, of unaffected buckets). */
+  def readBuckets(buckets: Set[Int]): DataFrame = {
+    val snap = snapshot
+    readFiles(snap, filesOf(snap, buckets))
+  }
 
   /** Time travel: read the table as of an older committed version. Data
     * files are immutable and referenced by each snapshot, so any version
-    * that has not been GC'd reads back exactly. */
+    * that has not been expired reads back exactly. */
   def readVersion(version: Int): DataFrame = {
     val snap = snapshotAt(version)
-    readFiles(snap, snap.files)
+    readFiles(snap, filesOf(snap))
   }
 
-  /** Roll back: commit a NEW snapshot restoring the file list, schema and
+  /** Roll back: commit a NEW snapshot restoring the manifests, schema and
     * fences of `toVersion` (history is append-only — the rollback itself is
     * an auditable commit, like Iceberg's rollback). */
   def rollback(toVersion: Int): Snapshot = {
@@ -158,7 +239,7 @@ final class LakeTable private (val root: String, val spark: SparkSession) {
   /** Stage a DataFrame as new data files partitioned by `bucket` (the column
     * must exist and is not persisted into the files themselves — it becomes
     * the directory). Returns the staged files; they are INVISIBLE until a
-    * subsequent [[commit]] references them. */
+    * subsequent commit references them through a manifest. */
   def stage(df: DataFrame, schemaId: Int, kind: String = "base"): Seq[DataFileMeta] = {
     val commitUuid = UUID.randomUUID().toString
     val dir = Paths.get(root, "data", commitUuid)
@@ -180,9 +261,22 @@ final class LakeTable private (val root: String, val spark: SparkSession) {
     out.result()
   }
 
+  /** Write `files` as one manifest per bucket-group and return the metas.
+    * Metadata bytes written = O(files), regardless of table size. */
+  private def writeManifests(files: Seq[DataFileMeta], groups: Int): Seq[ManifestMeta] =
+    files.groupBy(f => f.bucket % groups).toSeq.sortBy(_._1).map { case (g, fs) =>
+      val p = metaDir.resolve(s"manifest-${UUID.randomUUID()}.json")
+      Files.writeString(p, mapper.writeValueAsString(fs))
+      manifestCache.put(p.toString, fs)
+      ManifestMeta(p.toString, g, fs.size, fs.map(_.bytes).sum,
+        fs.count(_.kind == "delta"), fs.map(_.bucket).distinct.sorted)
+    }
+
   /** Optimistic, atomic commit: builds the next snapshot from the current
     * one and publishes it via hard-link creation (fails atomically if the
-    * target version already exists → reload and retry). */
+    * target version already exists → reload and retry). Prefer
+    * [[appendCommit]] / [[rewriteCommit]]; use this directly only for
+    * metadata-only changes (fences, schema, rollback). */
   def commit(build: Snapshot => Snapshot, maxRetries: Int = 10): Snapshot = {
     var attempt = 0
     while (true) {
@@ -211,6 +305,84 @@ final class LakeTable private (val root: String, val spark: SparkSession) {
       }
     }
     throw new IllegalStateException("unreachable")
+  }
+
+  /** Append staged files: writes manifests for THEM ONLY (O(batch) metadata
+    * bytes) and commits a snapshot referencing prior manifests unchanged.
+    * Optionally advances an epoch fence and/or the table schemaId in the
+    * same atomic commit. */
+  def appendCommit(
+      staged: Seq[DataFileMeta],
+      fence: Option[(String, Long)] = None,
+      schemaId: Option[Int] = None,
+      summary: Map[String, String] = Map("operation" -> "append")
+  ): Snapshot = {
+    // manifest content doesn't depend on the current snapshot → write once,
+    // reuse across optimistic-commit retries (no leaked manifests on retry)
+    val groups = snapshot.manifestGroups
+    val ms = writeManifests(staged, groups)
+    commit { s =>
+      s.copy(
+        manifests = mergeSmallManifests(s.manifests ++ ms, s.manifestGroups),
+        schemaId = math.max(s.schemaId, schemaId.getOrElse(s.schemaId)),
+        fences = fence.fold(s.fences) { case (q, e) => s.fences.updated(q, e) },
+        summary = summary
+      )
+    }
+  }
+
+  /** Size-tiered manifest-list maintenance: when a bucket-group accumulates
+    * more than `maxPerGroup` manifests, merge its smallest ones into one.
+    * Merged manifests tier geometrically, so a file's manifest entry is
+    * rewritten O(log appends) times over the table's lifetime and the
+    * manifest list (hence the snapshot JSON) stays O(log files) per group —
+    * the Iceberg manifest-merge-on-append behavior. Data compaction
+    * ([[rewriteCommit]]) consolidates harder, so under normal CDC operation
+    * this is a backstop for append-only stretches. */
+  private def mergeSmallManifests(
+      all: Seq[ManifestMeta], groups: Int, maxPerGroup: Int = 8): Seq[ManifestMeta] =
+    all.groupBy(_.group).toSeq.sortBy(_._1).flatMap { case (_, ms) =>
+      if (ms.size <= maxPerGroup) ms
+      else {
+        val sorted = ms.sortBy(_.fileCount)
+        val (small, big) = sorted.splitAt(ms.size - maxPerGroup / 2)
+        val mergedFiles = small.flatMap(m => loadManifest(m.path))
+        // all of one group → writeManifests emits exactly one manifest
+        big ++ writeManifests(mergedFiles, groups)
+      }
+    }
+
+  /** Replace the contents of `buckets` with `staged` (compaction / rewrite).
+    *
+    * `readPaths` must be the paths of the files the rewrite actually
+    * resolved (captured when the caller read them). Files in the target
+    * buckets that appear in the snapshot at commit time but NOT in
+    * `readPaths` were committed by a concurrent writer AFTER the rewrite's
+    * read — dropping them would silently lose committed data, so they are
+    * carried forward on top of the new base (LWW resolution makes the
+    * carried deltas converge identically at the next read/compaction).
+    *
+    * Only manifests whose bucket stats intersect `buckets` are rewritten;
+    * unaffected manifests are reused by reference. */
+  def rewriteCommit(
+      buckets: Set[Int],
+      staged: Seq[DataFileMeta],
+      readPaths: Set[String],
+      summary: Map[String, String] = Map("operation" -> "rewrite")
+  ): Snapshot = {
+    commit { s =>
+      val (affected, untouched) = s.manifests.partition(_.buckets.exists(buckets.contains))
+      val affectedFiles = affected.flatMap(m => loadManifest(m.path))
+      val (inBuckets, outBuckets) = affectedFiles.partition(f => buckets.contains(f.bucket))
+      val carried = inBuckets.filterNot(f => readPaths.contains(f.path))
+      val kept = outBuckets ++ carried ++ staged
+      val ms = writeManifests(kept, s.manifestGroups)
+      s.copy(
+        manifests = untouched ++ ms,
+        summary = summary ++ (if (carried.nonEmpty)
+          Map("carried-concurrent-files" -> carried.size.toString) else Map.empty)
+      )
+    }
   }
 
   private def writeHint(v: Int): Unit = {
@@ -246,20 +418,117 @@ final class LakeTable private (val root: String, val spark: SparkSession) {
     }
   }
 
-  /** Delete staged/orphaned data directories referenced by NO retained
-    * snapshot version (time travel over committed history stays intact;
-    * only never-committed staging debris is collected — the reference's
-    * beam_bq_job_LOAD temp-table cleanup, `README.md:361-376`). */
-  def gcOrphans(): Int = {
-    val referenced = (1 to currentVersion).flatMap { v =>
-      snapshotAt(v).files.map(f =>
+  // ------------------------------------------------- expiration & cleanup
+
+  /** Oldest snapshot version whose metadata file still exists. */
+  def minVersionAvailable: Int = {
+    var v = 1
+    val cur = currentVersion
+    while (v < cur && !Files.exists(metaDir.resolve(s"v$v.metadata.json"))) v += 1
+    v
+  }
+
+  /** Expire history older than the last `retainLast` snapshots and
+    * physically reclaim everything only they referenced: expired
+    * `v*.metadata.json` files, manifests unreferenced by any retained
+    * snapshot, and data files unreferenced by any retained manifest.
+    * Retained versions still time-travel; expired ones fail cleanly.
+    *
+    * This is the Iceberg `expireSnapshots` contract — without it,
+    * merge-on-read compaction never frees storage (every replaced delta
+    * stays referenced by some historical snapshot forever), which is
+    * unbounded disk growth under continuous ingest.
+    *
+    * Single-maintenance-writer: must not run concurrently with another
+    * expire/GC (data writers are safe — their staged files are invisible
+    * to the reference scan and untouched by it). */
+  def expireSnapshots(retainLast: Int): ExpireResult = {
+    require(retainLast >= 1, "must retain at least the current snapshot")
+    val cur = currentVersion
+    val minRetained = math.max(minVersionAvailable, cur - retainLast + 1)
+    val retained = (minRetained to cur).map(snapshotAt)
+    val keepManifests = retained.flatMap(_.manifests.map(_.path)).toSet
+    val keepFiles = keepManifests.flatMap(p => loadManifest(p).map(_.path))
+
+    // 1. drop expired snapshot metadata (makes their versions unreadable
+    //    BEFORE their files disappear — never a half-readable version)
+    var expired = 0
+    (minVersionAvailable until minRetained).foreach { v =>
+      if (Files.deleteIfExists(metaDir.resolve(s"v$v.metadata.json"))) expired += 1
+    }
+
+    // 2. drop manifests referenced by no retained snapshot (includes
+    //    leaked manifests from contended rewrite retries)
+    var mDeleted = 0
+    Files.list(metaDir).iterator().asScala.toList.foreach { p =>
+      val name = p.getFileName.toString
+      if (name.startsWith("manifest-") && !keepManifests.contains(p.toString)) {
+        if (Files.deleteIfExists(p)) { mDeleted += 1; manifestCache.remove(p.toString) }
+      }
+    }
+
+    // 3. drop data files referenced by no retained manifest, then any
+    //    directories left empty
+    val dataDir = Paths.get(root, "data")
+    var fDeleted = 0
+    var bytes = 0L
+    if (Files.exists(dataDir)) {
+      Files.walk(dataDir).iterator().asScala.toList.foreach { p =>
+        val name = p.getFileName.toString
+        if (name.endsWith(".parquet") && !keepFiles.contains(p.toString)) {
+          bytes += (try Files.size(p) catch { case NonFatal(_) => 0L })
+          if (Files.deleteIfExists(p)) fDeleted += 1
+        }
+      }
+      // sweep now-empty dirs bottom-up (also removes parquet _SUCCESS/.crc
+      // sidecars in dirs whose data files are all gone)
+      Files.walk(dataDir).iterator().asScala.toList.reverse.foreach { p =>
+        if (p != dataDir) {
+          if (Files.isDirectory(p)) {
+            if (!Files.list(p).iterator().hasNext) Files.deleteIfExists(p)
+          } else if (!p.getFileName.toString.endsWith(".parquet")) {
+            // sidecar in a dir with no surviving parquet?
+            val siblings = Files.list(p.getParent).iterator().asScala
+            if (!siblings.exists(_.getFileName.toString.endsWith(".parquet")))
+              Files.deleteIfExists(p)
+          }
+        }
+        ()
+      }
+      // second bottom-up pass: dirs emptied by sidecar removal
+      Files.walk(dataDir).iterator().asScala.toList.reverse.foreach { p =>
+        if (p != dataDir && Files.isDirectory(p) && !Files.list(p).iterator().hasNext)
+          Files.deleteIfExists(p)
+        ()
+      }
+    }
+    ExpireResult(expired, mDeleted, fDeleted, bytes)
+  }
+
+  /** Delete staged/orphaned data directories referenced by NO available
+    * snapshot version — never-committed staging debris (the reference's
+    * beam_bq_job_LOAD temp-table cleanup, `README.md:361-376`).
+    *
+    * `minAgeMs` guards against the single race this sweep has: a
+    * concurrent writer's staged-but-not-yet-committed directory looks like
+    * debris. With concurrent writers, pass an age comfortably above the
+    * longest stage→commit window; the default 0 is for single-writer
+    * maintenance (the engine's normal deployment: one streaming query owns
+    * the table). */
+  def gcOrphans(minAgeMs: Long = 0L): Int = {
+    val referenced = (minVersionAvailable to currentVersion).flatMap { v =>
+      filesOf(snapshotAt(v)).map(f =>
         Paths.get(f.path).getParent.getParent.getFileName.toString)
     }.toSet
     val dataDir = Paths.get(root, "data")
     if (!Files.exists(dataDir)) return 0
+    val cutoff = System.currentTimeMillis() - minAgeMs
     var n = 0
     Files.list(dataDir).iterator().asScala.toList.foreach { d =>
-      if (!referenced.contains(d.getFileName.toString)) {
+      val oldEnough = minAgeMs == 0L ||
+        (try Files.getLastModifiedTime(d).toMillis <= cutoff
+        catch { case NonFatal(_) => false })
+      if (!referenced.contains(d.getFileName.toString) && oldEnough) {
         Files.walk(d).iterator().asScala.toList.reverse.foreach(Files.deleteIfExists(_))
         n += 1
       }
@@ -304,15 +573,18 @@ object LakeTable {
     val metaDir = Paths.get(root, "metadata")
     Files.createDirectories(metaDir)
     val snap = Snapshot(
-      formatVersion = 1,
+      formatVersion = 2,
       version = 1,
       snapshotId = 1L,
       parentSnapshotId = -1L,
       schemaId = 0,
       schemas = Seq(SchemaInfo(0, schema.toDDL)),
       numBuckets = numBuckets,
-      files = Nil,
+      manifestGroups = math.min(8, numBuckets),
+      manifests = Nil,
       fences = Map.empty,
+      watermarkCommit = null,
+      watermarkLsn = Long.MinValue,
       summary = Map("operation" -> "create")
     )
     val p = metaDir.resolve("v1.metadata.json")
@@ -323,11 +595,18 @@ object LakeTable {
   }
 
   def load(spark: SparkSession, root: String): LakeTable = {
-    require(Files.exists(Paths.get(root, "metadata", "v1.metadata.json")),
-      s"not a lake table: $root")
+    require(exists(root), s"not a lake table: $root")
     new LakeTable(root, spark)
   }
 
-  def exists(root: String): Boolean =
-    Files.exists(Paths.get(root, "metadata", "v1.metadata.json"))
+  /** A table exists if its metadata dir holds a version hint or any
+    * snapshot file (v1 may have been expired). */
+  def exists(root: String): Boolean = {
+    val md = Paths.get(root, "metadata")
+    Files.exists(md.resolve("version-hint.text")) || {
+      Files.isDirectory(md) &&
+        Files.list(md).iterator().asScala.exists(
+          _.getFileName.toString.matches("v\\d+\\.metadata\\.json"))
+    }
+  }
 }

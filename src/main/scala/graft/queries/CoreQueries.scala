@@ -195,13 +195,23 @@ object CoreQueries {
           sum(col("clamped")).as("sum_clamped"))
     }),
 
-    // Canonical JSON through the custom Catalyst Expression (F11): compact
-    // re-serialization of the props payload, cross-checked by DuckDB
-    // reconstructing the canonical form from the extracted field.
+    // Canonical JSON through the custom Catalyst Expression (F11): a MESSY
+    // multi-key nested document (spurious whitespace, nested object, array,
+    // UTF-8, an invalid-JSON residue class) is canonicalized by the engine;
+    // DuckDB independently constructs the expected canonical string from
+    // the same columns — exercising key-order preservation, nesting, UTF-8
+    // passthrough, number formatting, whitespace stripping and the
+    // invalid→null contract (the pinned behaviors of the expression).
     "q_canonical_json" -> ((s, dir) => {
+      val messy = concat(
+        lit("{ \"z\" : "), (col("event_id") % 7).cast("string"),
+        lit(" , \"a\" : { \"n\" : "), (col("user_id") % 100).cast("string"),
+        lit(" , \"t\" : \"café ☃\" } , \"arr\" : [ 1 , "),
+        (col("event_id") % 3).cast("string"), lit(" , \"x\" ] }"))
+      val input = when(col("event_id") % 11 === 0, lit("{not json")).otherwise(messy)
       t(s, dir, "events")
         .select(col("event_id"),
-          graft.exprs.CanonicalJson.canonicalJson(col("props")).as("canon"))
+          graft.exprs.CanonicalJson.canonicalJson(input).as("canon"))
     }),
 
     // Request-scalar chain (F3/F13/F14/F15): hostname regex keeps the port,
@@ -399,7 +409,12 @@ object CoreQueries {
 
     "q_canonical_json" ->
       """SELECT event_id,
-        |       concat('{"k":', cast(json_extract(props, '$.k') AS VARCHAR), '}') AS canon
+        |       CASE WHEN event_id % 11 = 0 THEN NULL
+        |            ELSE concat('{"z":', cast(event_id % 7 AS VARCHAR),
+        |                        ',"a":{"n":', cast(user_id % 100 AS VARCHAR),
+        |                        ',"t":"café ☃"},"arr":[1,',
+        |                        cast(event_id % 3 AS VARCHAR), ',"x"]}')
+        |       END AS canon
         |FROM events""".stripMargin,
 
     "q_request_scalars" ->

@@ -94,37 +94,44 @@ object DedupQueries {
 
     // SimHash (16-bit) per document from md5-derived 16-bit token hashes —
     // pure per-row HOF pipeline, zero shuffles before the projection.
+    // ONE traversal of the token-hash array: all 16 bit-votes fold into an
+    // array-of-counters accumulator (round 1 ran 16 separate aggregate()
+    // passes — linear either way, but 16× the per-row constant on the hot
+    // path). Bit b of h is extracted arithmetically (floor(h / 2^b) & 1 —
+    // exact in double for 16-bit h) because shiftright needs a literal
+    // shift, and the lambda's bit index is a column.
     "q_simhash" -> ((s, dir) => {
       val toks = array_distinct(tokens(col("text")))
       val hashes = transform(toks, t => conv(substring(md5(t), 1, 4), 16, 10).cast("long"))
+      val votes = aggregate(hashes, array_repeat(lit(0L), 16),
+        (acc, h) => transform(acc, (v, b) =>
+          v + when(floor(h.cast("double") / pow(lit(2.0), b.cast("double")))
+            .cast("long").bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)))
       val bits = (0 until 16).map { b =>
-        val vote = aggregate(hashes, lit(0L),
-          (acc, h) => acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
-        when(vote > 0, lit(1L << b)).otherwise(lit(0L))
+        when(element_at(col("_votes"), b + 1) > 0, lit(1L << b)).otherwise(lit(0L))
       }
       t(s, dir, "documents")
+        .withColumn("_votes", votes)
         .select(col("doc_id"), bits.reduce(_ + _).as("simhash"))
     }),
 
-    // n-gram Jaccard near-dup pairs above a similarity threshold, candidate
-    // pairs bounded by the shared-gram equi-join (same-lang restriction
-    // keeps the sf-test pair count sane; at scale this is the LSH prefilter).
+    // n-gram Jaccard near-dup pairs, candidates bounded by the MinHash+LSH
+    // prefilter: exact Jaccard is computed ONLY on pairs sharing an LSH
+    // band signature, via array_intersect on the two shingle sets. Round 1
+    // used a raw gram self-join (a shingle shared by k docs emits k² join
+    // rows — one viral boilerplate line at corpus scale is a job-killer,
+    // 11 s at sf0.1); this shape is O(candidates) end-to-end and is the
+    // standard near-dup pipeline for web-scale corpora.
     "q_ngram_jaccard" -> ((s, dir) => {
-      val docs = docsWithShingles(s, dir)
-        .select(col("doc_id"), col("lang"), col("sh"))
-      val grams = docs.select(col("doc_id"), col("lang"), explode(col("sh")).as("g"))
-      val sizes = docs.select(col("doc_id"), size(col("sh")).as("n"))
-      val inter = grams.as("x").join(grams.as("y"),
-          col("x.g") === col("y.g") && col("x.lang") === col("y.lang") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
-        .agg(count(lit(1)).as("inter"))
-      inter
-        .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
-        .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
+      val docs = docsWithShingles(s, dir).select(col("doc_id"), col("sh"))
+      val cands = queries("q_minhash_pairs")(s, dir)
+      cands
+        .join(docs.as("da"), col("d1") === col("da.doc_id"))
+        .join(docs.as("db"), col("d2") === col("db.doc_id"))
+        .withColumn("inter", size(array_intersect(col("da.sh"), col("db.sh"))))
         .withColumn("jaccard",
           round(col("inter").cast("double") /
-            (col("s1.n") + col("s2.n") - col("inter")).cast("double"), 4))
+            (size(col("da.sh")) + size(col("db.sh")) - col("inter")).cast("double"), 4))
         .where(col("jaccard") >= 0.5)
         .select(col("d1"), col("d2"), col("jaccard"))
     }),
@@ -152,41 +159,34 @@ object DedupQueries {
        |  ELSE [array_to_string(string_split(lower(text), ' '), ' ')] END) AS sh
        |FROM $table""".stripMargin
 
+  /** Shared CTE chain: shingles → per-band minhash signatures (mirrors the
+    * engine's q_minhash_sig exactly; reused by sig/pairs/jaccard oracles). */
+  private val sigCtes =
+    s"""sh AS (${shinglesSqlFor("documents")}),
+       |h AS (
+       |  SELECT doc_id, list_transform(sh, s -> md5(s)) AS h1,
+       |         list_transform(sh, s -> md5(concat(s, '~'))) AS h2 FROM sh),
+       |sig AS (
+       |  SELECT doc_id, seed.b AS band,
+       |         CASE seed.b
+       |           WHEN 0 THEN list_aggregate(list_transform(h1, x -> substr(x, 1, 8)), 'min') || list_aggregate(list_transform(h1, x -> substr(x, 9, 8)), 'min')
+       |           WHEN 1 THEN list_aggregate(list_transform(h1, x -> substr(x, 17, 8)), 'min') || list_aggregate(list_transform(h1, x -> substr(x, 25, 8)), 'min')
+       |           WHEN 2 THEN list_aggregate(list_transform(h2, x -> substr(x, 1, 8)), 'min') || list_aggregate(list_transform(h2, x -> substr(x, 9, 8)), 'min')
+       |           ELSE list_aggregate(list_transform(h2, x -> substr(x, 17, 8)), 'min') || list_aggregate(list_transform(h2, x -> substr(x, 25, 8)), 'min')
+       |         END AS sig
+       |  FROM h, (SELECT unnest(range(0, 4)) AS b) seed)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q_dedup_exact" ->
       """SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM documents GROUP BY 1""".stripMargin,
 
     "q_minhash_sig" ->
-      s"""WITH sh AS (${shinglesSqlFor("documents")}),
-         |h AS (
-         |  SELECT doc_id, list_transform(sh, s -> md5(s)) AS h1,
-         |         list_transform(sh, s -> md5(concat(s, '~'))) AS h2 FROM sh),
-         |sig AS (
-         |  SELECT doc_id, seed.b AS band,
-         |         CASE seed.b
-         |           WHEN 0 THEN list_aggregate(list_transform(h1, x -> substr(x, 1, 8)), 'min') || list_aggregate(list_transform(h1, x -> substr(x, 9, 8)), 'min')
-         |           WHEN 1 THEN list_aggregate(list_transform(h1, x -> substr(x, 17, 8)), 'min') || list_aggregate(list_transform(h1, x -> substr(x, 25, 8)), 'min')
-         |           WHEN 2 THEN list_aggregate(list_transform(h2, x -> substr(x, 1, 8)), 'min') || list_aggregate(list_transform(h2, x -> substr(x, 9, 8)), 'min')
-         |           ELSE list_aggregate(list_transform(h2, x -> substr(x, 17, 8)), 'min') || list_aggregate(list_transform(h2, x -> substr(x, 25, 8)), 'min')
-         |         END AS sig
-         |  FROM h, (SELECT unnest(range(0, 4)) AS b) seed)
+      s"""WITH $sigCtes
          |SELECT doc_id, cast(band AS INT) AS band, sig FROM sig""".stripMargin,
 
     "q_minhash_pairs" ->
-      s"""WITH sh AS (${shinglesSqlFor("documents")}),
-         |h AS (
-         |  SELECT doc_id, list_transform(sh, s -> md5(s)) AS h1,
-         |         list_transform(sh, s -> md5(concat(s, '~'))) AS h2 FROM sh),
-         |sig AS (
-         |  SELECT doc_id, seed.b AS band,
-         |         CASE seed.b
-         |           WHEN 0 THEN list_aggregate(list_transform(h1, x -> substr(x, 1, 8)), 'min') || list_aggregate(list_transform(h1, x -> substr(x, 9, 8)), 'min')
-         |           WHEN 1 THEN list_aggregate(list_transform(h1, x -> substr(x, 17, 8)), 'min') || list_aggregate(list_transform(h1, x -> substr(x, 25, 8)), 'min')
-         |           WHEN 2 THEN list_aggregate(list_transform(h2, x -> substr(x, 1, 8)), 'min') || list_aggregate(list_transform(h2, x -> substr(x, 9, 8)), 'min')
-         |           ELSE list_aggregate(list_transform(h2, x -> substr(x, 17, 8)), 'min') || list_aggregate(list_transform(h2, x -> substr(x, 25, 8)), 'min')
-         |         END AS sig
-         |  FROM h, (SELECT unnest(range(0, 4)) AS b) seed)
+      s"""WITH $sigCtes
          |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
          |FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id""".stripMargin,
 
@@ -218,16 +218,18 @@ object DedupQueries {
         |FROM h""".stripMargin,
 
     "q_ngram_jaccard" ->
-      s"""WITH sh AS (${shinglesSqlFor("documents")}),
-         |grams AS (SELECT doc_id, lang, unnest(sh) AS g FROM sh),
-         |sizes AS (SELECT doc_id, len(sh) AS n FROM sh),
-         |inter AS (
-         |  SELECT x.doc_id AS d1, y.doc_id AS d2, count(*) AS inter
-         |  FROM grams x JOIN grams y ON x.g = y.g AND x.lang = y.lang AND x.doc_id < y.doc_id
-         |  GROUP BY 1, 2)
-         |SELECT d1, d2, round(cast(inter AS DOUBLE) / cast(s1.n + s2.n - inter AS DOUBLE), 4) AS jaccard
-         |FROM inter JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
-         |WHERE round(cast(inter AS DOUBLE) / cast(s1.n + s2.n - inter AS DOUBLE), 4) >= 0.5""".stripMargin,
+      s"""WITH $sigCtes,
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         |j AS (
+         |  SELECT d1, d2,
+         |         len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS inter,
+         |         len(sa.sh) AS na, len(sb.sh) AS nb
+         |  FROM cand JOIN sh sa ON d1 = sa.doc_id JOIN sh sb ON d2 = sb.doc_id)
+         |SELECT d1, d2, round(cast(inter AS DOUBLE) / cast(na + nb - inter AS DOUBLE), 4) AS jaccard
+         |FROM j
+         |WHERE round(cast(inter AS DOUBLE) / cast(na + nb - inter AS DOUBLE), 4) >= 0.5""".stripMargin,
 
     "q_embed_dups" ->
       """SELECT a.vec_id AS v1, b.vec_id AS v2,

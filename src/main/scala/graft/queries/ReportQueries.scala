@@ -1,0 +1,139 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.cdc.Mart
+import graft.exprs.{HeaderOps, PivotSumAggregator, RefFunctions}
+
+/** Reporting-surface queries (reference tech-report path) + the remaining
+  * scalar-function parity oracles the round-1 verdict flagged as unit-only:
+  *
+  *  - q_report_adoption: the reference's adoption reporting query shape
+  *    (`modules/constants.py:119-148`) composed END-TO-END: per-client
+  *    COUNT(DISTINCT) → map-pivot via the typed [[PivotSumAggregator]] (the
+  *    JS-UDF pivot replacement) → published through [[Mart.publish]]
+  *    (idempotent content-keyed documents, the Firestore sink analog) →
+  *    the stored documents are the verified output.
+  *  - q_headers: parse_header multimap semantics (F4,
+  *    `modules/utils.py:125-152`): case-insensitive names, 255-char value
+  *    truncation, repeats appended, cookie sized-not-stored, "other
+  *    headers" concat — DuckDB rebuilds each expected value independently.
+  *  - q_datetime_epoch: lenient multi-format datetime parsing (F7,
+  *    `modules/utils.py:182-189`): ISO / RFC-1123 / date-only / garbage→null.
+  */
+object ReportQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Reference adoption shape: GROUP BY app, per-client distinct origins,
+    // client pivot into {desktop, mobile}, published as idempotent keyed
+    // documents. Scale: two hash aggregations + one tiny merge commit —
+    // reporting inputs are pre-aggregated, never O(events) at the sink.
+    "q_report_adoption" -> ((s, dir) => {
+      PivotSumAggregator.register(s)
+      val perClient = t(s, dir, "events")
+        .withColumn("client",
+          when(col("user_id") % 2 === 0, "desktop").otherwise("mobile"))
+        .groupBy(col("event_type").as("app"), col("client"))
+        .agg(count_distinct(col("user_id")).as("origins"))
+      val adoption = perClient.groupBy(col("app"))
+        .agg(expr("pivot_sum(client, origins)").as("m"))
+        .select(col("app"),
+          coalesce(element_at(col("m"), "desktop"), lit(0L)).as("desktop"),
+          coalesce(element_at(col("m"), "mobile"), lit(0L)).as("mobile"))
+      val root = java.nio.file.Files.createTempDirectory("graft-mart-adoption").toString
+      val mart = Mart.martTable(s, root)
+      Mart.publish(mart, adoption, keyCols = Seq("app"), "adoption", epoch = 1L)
+      Mart.readDocs(mart, "adoption")
+    }),
+
+    // parse_header over a header array synthesized from events columns
+    // (both engines build the identical array, then the engine applies the
+    // HOF multimap pipeline while DuckDB reconstructs expected outputs).
+    "q_headers" -> ((s, dir) => {
+      val serverLen = (col("event_id") % 300 + 1).cast("int")
+      val cookieLen = (col("event_id") % 50 + 1).cast("int")
+      val headers = array(
+        struct(lit("Content-Type").as("name"),
+          concat(lit("text/"),
+            when(col("event_id") % 2 === 0, "html").otherwise("css")).as("value")),
+        struct(lit("COOKIE").as("name"), repeat(lit("c"), cookieLen).as("value")),
+        struct(lit("X-Custom").as("name"),
+          concat(lit("v"), (col("user_id") % 10).cast("string")).as("value")),
+        struct(lit("Server").as("name"), repeat(lit("s"), serverLen).as("value")),
+        struct(lit("server").as("name"), lit("dup").as("value")),
+        struct(lit("Cookie").as("name"), lit("k=v").as("value"))
+      )
+      val e = t(s, dir, "events").withColumn("h", headers)
+      val mm = HeaderOps.standardMultimap(col("h"), HeaderOps.respHeaders)
+      e.select(
+        col("event_id"),
+        HeaderOps.joinedHeader(mm, "resp_content_type").as("content_type"),
+        HeaderOps.joinedHeader(mm, "resp_server").as("server"),
+        HeaderOps.cookieSize(col("h"), "cookie").as("cookie_size"),
+        HeaderOps.otherHeaders(col("h"), HeaderOps.respHeaders, "cookie").as("other_headers"))
+    }),
+
+    // Lenient datetime parsing: one format family per residue class; the
+    // RFC-1123 weekday prefix is stripped by the engine (Spark 3+ cannot
+    // parse EEE) and skipped by the oracle's format string.
+    "q_datetime_epoch" -> ((s, dir) => {
+      val dd = lpad((col("event_id") % 18 + 10).cast("string"), 2, "0")
+      val hh = lpad((col("event_id") % 24).cast("string"), 2, "0")
+      val mi = lpad((col("user_id") % 60).cast("string"), 2, "0")
+      val iso = concat(lit("2023-05-"), dd, lit("T"), hh, lit(":"), mi, lit(":07"))
+      val rfc = concat(lit("Tue, "), dd, lit(" May 2023 "), hh, lit(":"), mi, lit(":07 GMT"))
+      val dateOnly = concat(lit("2024-03-"), dd)
+      val dt = when(col("event_id") % 4 === 0, iso)
+        .when(col("event_id") % 4 === 1, rfc)
+        .when(col("event_id") % 4 === 2, dateOnly)
+        .otherwise(lit("not a date"))
+      t(s, dir, "events")
+        .select(col("event_id"), RefFunctions.datetimeToEpoch(dt).as("epoch"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_report_adoption" ->
+      """WITH pc AS (
+        |  SELECT event_type AS app,
+        |         CASE WHEN user_id % 2 = 0 THEN 'desktop' ELSE 'mobile' END AS client,
+        |         count(DISTINCT user_id) AS origins
+        |  FROM events GROUP BY 1, 2),
+        |ad AS (
+        |  SELECT app,
+        |         cast(coalesce(sum(CASE WHEN client = 'desktop' THEN origins END), 0) AS BIGINT) AS desktop,
+        |         cast(coalesce(sum(CASE WHEN client = 'mobile' THEN origins END), 0) AS BIGINT) AS mobile
+        |  FROM pc GROUP BY 1)
+        |SELECT sha256(app) AS doc_key,
+        |       concat('{"app":"', app, '","desktop":', desktop, ',"mobile":', mobile, '}') AS doc_json,
+        |       cast(1 AS BIGINT) AS publish_epoch
+        |FROM ad""".stripMargin,
+
+    "q_headers" ->
+      """SELECT event_id,
+        |       'text/' || CASE WHEN event_id % 2 = 0 THEN 'html' ELSE 'css' END AS content_type,
+        |       substr(repeat('s', cast(event_id % 300 + 1 AS INT)), 1, 255) || ', dup' AS server,
+        |       cast((event_id % 50 + 1) + 3 AS BIGINT) AS cookie_size,
+        |       'X-Custom = v' || cast(user_id % 10 AS VARCHAR) AS other_headers
+        |FROM events""".stripMargin,
+
+    "q_datetime_epoch" ->
+      """WITH x AS (
+        |  SELECT event_id,
+        |         lpad(cast(event_id % 18 + 10 AS VARCHAR), 2, '0') AS dd,
+        |         lpad(cast(event_id % 24 AS VARCHAR), 2, '0') AS hh,
+        |         lpad(cast(user_id % 60 AS VARCHAR), 2, '0') AS mi
+        |  FROM events)
+        |SELECT event_id,
+        |       CASE cast(event_id % 4 AS INT)
+        |         WHEN 0 THEN cast(epoch(strptime('2023-05-' || dd || ' ' || hh || ':' || mi || ':07', '%Y-%m-%d %H:%M:%S')) AS BIGINT)
+        |         WHEN 1 THEN cast(epoch(strptime(dd || ' May 2023 ' || hh || ':' || mi || ':07 GMT', '%d %b %Y %H:%M:%S GMT')) AS BIGINT)
+        |         WHEN 2 THEN cast(epoch(strptime('2024-03-' || dd, '%Y-%m-%d')) AS BIGINT)
+        |         ELSE NULL END AS epoch
+        |FROM x""".stripMargin
+  )
+}

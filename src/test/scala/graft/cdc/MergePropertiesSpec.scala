@@ -70,4 +70,33 @@ class MergePropertiesSpec extends SparkSpec {
       distributedState(batches) == distributedState(batches ++ batches.lastOption.toSeq)
     }, 10)
   }
+
+  test("property: tombstone purge below the replay watermark never changes the live view") {
+    // split any event set at an arbitrary watermark on the FULL ordering
+    // key (commit, lsn): apply history → advance watermark → compact (which
+    // purges tombstones ≤ watermark) → apply the future events. The final
+    // live view must still equal the fold oracle of ALL events — i.e. the
+    // purge is invisible to every replay that respects the watermark
+    // contract (no event ordered ≤ watermark arrives after it is set).
+    checkProp(Prop.forAll(genEvents, Gen.chooseNum(0, 5), Gen.chooseNum(0L, 1000000L)) {
+      (events, wCommitN, wLsn) =>
+        val wCommit = f"c$wCommitN%03d"
+        val (history, future) = events.partition(e =>
+          e.commit < wCommit || (e.commit == wCommit && e.lsn <= wLsn))
+        val root = tmpDir("wm")
+        val table = graft.lake.LakeTable.create(spark, root,
+          CdcStream.binlogSchema, numBuckets = 2)
+        if (history.nonEmpty)
+          LakeMerge.mergeBatch(table, history.toDF(), Some(("wm", 0L)))
+        LakeMerge.setWatermark(table, wCommit, wLsn)
+        LakeMerge.compact(table) // purges tombstones ≤ watermark
+        if (future.nonEmpty)
+          LakeMerge.mergeBatch(table, future.toDF(), Some(("wm", 1L)))
+        val got = MergeEngine.liveView(LakeMerge.resolvedState(table))
+          .select($"repo", $"path", coalesce(sha2($"content", 256), lit("∅")))
+          .as[(String, String, String)].collect()
+          .map(t => (t._1, t._2) -> t._3).toMap
+        got == oracle(events)
+    }, 8)
+  }
 }

@@ -32,7 +32,7 @@ class SkewSpec extends SparkSpec {
 
     val hotBucket = spark.range(1)
       .select(LakeMerge.bucketOf(lit("repo_hot"), 8)).collect()(0).getInt(0)
-    val files = table.snapshot.files.filter(_.bucket == hotBucket)
+    val files = table.files.filter(_.bucket == hotBucket)
     assert(files.length >= 4,
       s"hot bucket should be salted across several files, got ${files.length}")
     // salting spreads bytes, not just file count: no single file dominates

@@ -28,7 +28,7 @@ class LakeTableSpec extends SparkSpec {
     assert(staged.nonEmpty)
     assert(t.read().count() == 0, "staged files must be invisible pre-commit")
 
-    t.commit(s => s.copy(files = s.files ++ staged))
+    t.appendCommit(staged)
     assert(t.read().count() == 2)
     assert(t.read().schema.fieldNames.toSeq == baseSchema.fieldNames.toSeq)
   }
@@ -40,13 +40,12 @@ class LakeTableSpec extends SparkSpec {
       .toDF(baseSchema.fieldNames.toSeq: _*)
       .withColumn("bucket", graft.cdc.LakeMerge.bucketOf(col("repo"), 4))
     val staged = t.stage(df, 0)
-    t.commit(s => s.copy(files = s.files ++ staged))
+    t.appendCommit(staged)
     val perBucket = (0 until 4).map(b => t.readBuckets(Set(b)).count())
     assert(perBucket.sum == 100)
     assert(t.readBuckets(Set(0, 1, 2, 3)).count() == 100)
     // pruned read must not reference files of other buckets
-    val snap = t.snapshot
-    assert(snap.files.map(_.bucket).toSet.size > 1)
+    assert(t.files.map(_.bucket).toSet.size > 1)
   }
 
   test("schema evolution: additive column + long widening, old files read as null/cast") {
@@ -58,7 +57,7 @@ class LakeTableSpec extends SparkSpec {
     val t = LakeTable.create(spark, root, narrow, numBuckets = 2)
     val df1 = Seq(("r1", "a", "c1", 1, "x")).toDF(narrow.fieldNames.toSeq: _*)
       .withColumn("bucket", lit(0))
-    t.commit(s => s.copy(files = s.files ++ t.stage(df1, 0)))
+    t.appendCommit(t.stage(df1, 0))
 
     // evolve: lsn Int→Long (widening) + new nullable lang column
     val wide = StructType(Seq(
@@ -69,7 +68,7 @@ class LakeTableSpec extends SparkSpec {
     assert(sid == 1)
     val df2 = Seq(("r2", "b", "c2", 2L, "scala", "y")).toDF(wide.fieldNames.toSeq: _*)
       .withColumn("bucket", lit(1))
-    t.commit(s => s.copy(files = s.files ++ t.stage(df2, sid)))
+    t.appendCommit(t.stage(df2, sid), schemaId = Some(sid))
 
     val out = t.read().orderBy("repo").collect()
     assert(t.schema("lsn").dataType == LongType)
@@ -87,14 +86,14 @@ class LakeTableSpec extends SparkSpec {
     val t = LakeTable.create(spark, root, narrow, numBuckets = 2)
     val df1 = Seq(("r1", "a", 1.5f)).toDF(narrow.fieldNames.toSeq: _*)
       .withColumn("bucket", lit(0))
-    t.commit(s => s.copy(files = s.files ++ t.stage(df1, 0)))
+    t.appendCommit(t.stage(df1, 0))
 
     val wide = StructType(Seq(StructField("score", DoubleType)))
     val sid = t.evolveSchema(wide)
     assert(t.schema("score").dataType == DoubleType)
     val df2 = Seq(("r2", "b", 2.25d)).toDF("repo", "path", "score")
       .withColumn("bucket", lit(1))
-    t.commit(s => s.copy(files = s.files ++ t.stage(df2, sid)))
+    t.appendCommit(t.stage(df2, sid), schemaId = Some(sid))
     val out = t.read().orderBy("repo").collect()
     assert(out(0).getAs[Double]("score") == 1.5d)
     assert(out(1).getAs[Double]("score") == 2.25d)
@@ -149,7 +148,7 @@ class LakeTableSpec extends SparkSpec {
     def write(tag: String, b: Int): Unit = {
       val df = Seq((s"r$tag", "p", "c1", 1L, null: String, tag))
         .toDF(baseSchema.fieldNames.toSeq: _*).withColumn("bucket", lit(b))
-      t.commit(s => s.copy(files = s.files ++ t.stage(df, 0)))
+      t.appendCommit(t.stage(df, 0))
     }
     write("v2", 0) // version 2
     write("v3", 1) // version 3
@@ -183,18 +182,115 @@ class LakeTableSpec extends SparkSpec {
     val t = LakeTable.create(spark, root, baseSchema, numBuckets = 2)
     val df1 = Seq(("r1", "a", "c1", 1L, null: String, "one"))
       .toDF(baseSchema.fieldNames.toSeq: _*).withColumn("bucket", lit(0))
-    t.commit(s => s.copy(files = s.files ++ t.stage(df1, 0)))
+    t.appendCommit(t.stage(df1, 0))
 
     val readerView = t.read() // plan pinned to the v2 file list
     // writer replaces everything (compaction-style swap)
     val df2 = Seq(("r2", "b", "c2", 2L, null: String, "two"))
       .toDF(baseSchema.fieldNames.toSeq: _*).withColumn("bucket", lit(1))
     val staged = t.stage(df2, 0)
-    t.commit(s => s.copy(files = staged))
+    t.rewriteCommit(Set(0, 1), staged, readPaths = t.files.map(_.path).toSet)
 
     assert(readerView.collect().map(_.getAs[String]("content")).toSeq == Seq("one"),
       "pinned reader must still see its snapshot")
     assert(t.read().collect().map(_.getAs[String]("content")).toSeq == Seq("two"))
+  }
+
+  test("snapshot metadata stays bounded as the table's file count grows (manifest layer)") {
+    // the manifest layer's contract: the snapshot JSON references manifests
+    // (size-tiered, O(log files) per group), never the inlined file list —
+    // so per-commit snapshot writes don't grow with table size, which is
+    // what keeps 10^5-file CDC tables committable
+    val root = tmpDir("lake")
+    val t = LakeTable.create(spark, root, baseSchema, numBuckets = 8)
+    val metaDir = java.nio.file.Paths.get(root, "metadata")
+    def snapJsonBytes(v: Int): Long =
+      java.nio.file.Files.size(metaDir.resolve(s"v$v.metadata.json"))
+    def oneCommit(): Unit = {
+      val df = (0 until 16).map(i => (s"r$i", "p", "c1", i.toLong, null: String, "x"))
+        .toDF(baseSchema.fieldNames.toSeq: _*)
+        .withColumn("bucket", graft.cdc.LakeMerge.bucketOf(col("repo"), 8))
+      t.appendCommit(t.stage(df, 0, kind = "delta"))
+      ()
+    }
+    (0 until 40).foreach(_ => oneCommit())
+    val mid = snapJsonBytes(t.currentVersion)
+    val midFiles = t.files.size
+    (0 until 40).foreach(_ => oneCommit())
+    val snap = t.snapshot
+    assert(t.files.size >= midFiles * 2 - 8, "file count kept growing")
+    // manifest list bounded per group → snapshot JSON PLATEAUS while the
+    // file count doubles (inlined file lists would double it)
+    assert(snap.manifests.groupBy(_.group).values.forall(_.size <= 8),
+      s"manifest list unbounded: ${snap.manifests.size} manifests")
+    val late = snapJsonBytes(t.currentVersion)
+    assert(late <= (mid * 1.5).toLong,
+      s"snapshot JSON still growing with table size: mid=$mid late=$late " +
+        s"(files=${t.files.size})")
+    // nothing lost through manifest merging: every appended row still read
+    assert(t.read().count() == 80L * 16)
+  }
+
+  test("expireSnapshots reclaims files of expired versions; retained history still time-travels") {
+    val root = tmpDir("lake")
+    val t = LakeTable.create(spark, root, baseSchema, numBuckets = 2)
+    def write(tag: String): Unit = {
+      val df = Seq((s"r$tag", "p", "c1", 1L, null: String, tag))
+        .toDF(baseSchema.fieldNames.toSeq: _*).withColumn("bucket", lit(0))
+      t.appendCommit(t.stage(df, 0, kind = "delta"))
+    }
+    (1 to 6).foreach(i => write(s"v$i")) // versions 2..7
+    // compaction-style rewrite: replaces everything in bucket 0
+    val resolved = t.read().withColumn("bucket", lit(0))
+    val readSet = t.files.map(_.path).toSet
+    t.rewriteCommit(Set(0), t.stage(resolved, 0), readSet,
+      summary = Map("operation" -> "compact"))
+    write("v7") // one commit past the rewrite, so retainLast=2 keeps only
+                // post-compaction snapshots (pre-compaction history expires)
+
+    def diskBytes(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(root, "data")).iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_)).map(java.nio.file.Files.size(_)).sum
+    }
+    val before = diskBytes()
+    val cur = t.currentVersion
+    val res = t.expireSnapshots(retainLast = 2)
+    assert(res.expiredVersions > 0)
+    assert(res.dataFilesDeleted > 0, "replaced delta files must be physically reclaimed")
+    assert(diskBytes() < before, "disk must shrink after expiration")
+    // retained versions still read; expired ones fail cleanly
+    assert(t.readVersion(cur).count() == 7)
+    assert(t.readVersion(cur - 1).count() == 6)
+    intercept[IllegalStateException](t.readVersion(2))
+    // current state intact after reclamation
+    assert(t.read().count() == 7)
+  }
+
+  test("rewriteCommit carries forward files committed concurrently to rewritten buckets") {
+    // the compact() race from the optimistic-retry model: a delta committed
+    // to a compacted bucket between the compaction's read and its commit
+    // must survive the rewrite (it was committed data)
+    val root = tmpDir("lake")
+    val t = LakeTable.create(spark, root, baseSchema, numBuckets = 2)
+    def row(tag: String, lsn: Long) =
+      Seq((s"r", "p", f"c$lsn%03d", lsn, null: String, tag))
+        .toDF(baseSchema.fieldNames.toSeq: _*).withColumn("bucket", lit(0))
+    t.appendCommit(t.stage(row("old", 1L), 0, kind = "delta"))
+
+    // compaction reads now...
+    val readSet = t.files.map(_.path).toSet
+    val resolvedThen = t.read().withColumn("bucket", lit(0))
+    val staged = t.stage(resolvedThen, 0)
+    // ...a concurrent writer lands a newer delta in the same bucket...
+    t.appendCommit(t.stage(row("concurrent", 2L), 0, kind = "delta"))
+    // ...and the compaction commits against the moved snapshot
+    val snap = t.rewriteCommit(Set(0), staged, readSet,
+      summary = Map("operation" -> "compact"))
+    assert(snap.summary.contains("carried-concurrent-files"))
+    val contents = t.read().collect().map(_.getAs[String]("content")).toSet
+    assert(contents == Set("old", "concurrent"),
+      s"concurrently committed delta was lost: $contents")
   }
 
   test("gcOrphans removes unreferenced staging dirs, keeps referenced files") {
@@ -203,7 +299,7 @@ class LakeTableSpec extends SparkSpec {
     val df = Seq(("r1", "a", "c1", 1L, null: String, "x"))
       .toDF(baseSchema.fieldNames.toSeq: _*).withColumn("bucket", lit(0))
     val keep = t.stage(df, 0)
-    t.commit(s => s.copy(files = s.files ++ keep))
+    t.appendCommit(keep)
     t.stage(df, 0) // orphan: staged but never committed
     assert(t.gcOrphans() == 1)
     assert(t.read().count() == 1)
