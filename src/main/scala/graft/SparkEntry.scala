@@ -28,11 +28,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ DedupQueries.queries ++ TextQueries.queries ++
-      SimilarityQueries.queries ++ CdcQueries.queries ++ ReportQueries.queries
+      SimilarityQueries.queries ++ CdcQueries.queries ++ ReportQueries.queries ++
+      TransformQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     CoreQueries.oracleSql ++ DedupQueries.oracleSql ++ TextQueries.oracleSql ++
-      SimilarityQueries.oracleSql ++ CdcQueries.oracleSql ++ ReportQueries.oracleSql
+      SimilarityQueries.oracleSql ++ CdcQueries.oracleSql ++ ReportQueries.oracleSql ++
+      TransformQueries.oracleSql
 }

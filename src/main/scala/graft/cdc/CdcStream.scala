@@ -105,7 +105,10 @@ object CdcStream {
       availableNow: Boolean = true,
       deadLetters: Option[LakeTable] = None,
       ignoreCorruptFiles: Boolean = false,
-      format: String = "parquet"
+      format: String = "parquet",
+      compactAtDeltas: Int = 16,
+      expireEvery: Int = 0,
+      expireRetain: Int = 10
   ): StreamingQuery = {
     val reader = spark.readStream
       .schema(binlogSchema)
@@ -126,7 +129,8 @@ object CdcStream {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyBatch(table, metrics, batch, queryId, batchId, saltPartitions,
-          deadLetters = deadLetters)
+          compactAtDeltas = compactAtDeltas, deadLetters = deadLetters,
+          expireEvery = expireEvery, expireRetain = expireRetain)
         ()
       }
 
@@ -172,7 +176,9 @@ object CdcStream {
       batchId: Long,
       saltPartitions: Int = 4,
       compactAtDeltas: Int = 16,
-      deadLetters: Option[LakeTable] = None
+      deadLetters: Option[LakeTable] = None,
+      expireEvery: Int = 0,
+      expireRetain: Int = 10
   ): CommitStats = {
     if (table.fence(queryId) >= batchId) {
       // Redelivered epoch — exactly-once no-op for the DATA. But a crash in
@@ -218,6 +224,14 @@ object CdcStream {
       // the merge commits)
       if (stats.applied && compactAtDeltas > 0)
         LakeMerge.compactTiered(table, sizeRatio = 1.0, maxDeltaFiles = compactAtDeltas)
+      // retention: periodically expire history and physically reclaim files
+      // replaced by compaction — without this, continuous ingest grows disk
+      // without bound (every delta stays referenced by some old snapshot
+      // forever). Safe here because this foreachBatch loop is the table's
+      // single writer; `expireRetain` keeps enough history for time travel
+      // and for readers pinned to recent versions.
+      if (stats.applied && expireEvery > 0 && batchId % expireEvery == 0)
+        table.expireSnapshots(retainLast = expireRetain)
 
       if (stats.applied)
         recordLineage(table, metrics, good, nBad, queryId, batchId, stats, t0)

@@ -192,6 +192,55 @@ object LakeMerge {
     * buckets whose base dwarfs the incoming trickle). Replaces a flat
     * "every k deltas" trigger, under which a hot bucket's base is rewritten
     * every k batches — O(n²/k) total bytes over n batches. */
+  /** Per-bucket compaction decision. [[Major]] folds base ∪ deltas into a
+    * new base (the only point watermarked tombstones may be purged).
+    * [[Minor]] merges the listed similar-sized delta FILES into one
+    * consolidated delta without touching the base — tombstones are retained
+    * unconditionally there (a delta tombstone may be shadowing a live base
+    * row; dropping it would resurrect the row). LWW associativity makes the
+    * pre-merge sound: LWW(base ∪ LWW(deltas)) = LWW(base ∪ deltas). */
+  sealed trait CompactAction
+  final case class Major() extends CompactAction
+  final case class Minor(files: Seq[DataFileMeta]) extends CompactAction
+
+  /** The pure policy of [[compactTiered]] — separated so its
+    * rewrite-amplification bound can be property-tested by simulation over
+    * 10^4 batches without running Spark jobs (CompactionPolicySpec).
+    *
+    * Major when delta bytes reach `sizeRatio` × base bytes (each major at
+    * ratio 1.0 at least doubles the base → a byte is major-rewritten
+    * O(log table/batch) times). Otherwise, when the bucket holds
+    * `maxDeltaFiles` delta files (read-amplification trigger), a Minor
+    * merge of the most-populated SIZE TIER (files within 2× of each other,
+    * log2-bucketed): same-size merging is what makes consolidated deltas
+    * grow geometrically, so a byte is minor-rewritten O(log) times between
+    * majors — merging mixed sizes instead re-rewrites the biggest file
+    * every cycle (measured 3× worse amplification at 10^4 batches even
+    * with a smallest-half heuristic), and a flat every-k full rewrite is
+    * O(batches) rewrites per byte, quadratic total. Pending delta files can
+    * transiently exceed the trigger by the number of occupied tiers
+    * (O(log), the standard LSM read-amplification tradeoff). */
+  def tieredPlan(
+      files: Seq[DataFileMeta],
+      sizeRatio: Double = 1.0,
+      maxDeltaFiles: Int = 16
+  ): Map[Int, CompactAction] =
+    files.groupBy(_.bucket).flatMap { case (b, fs) =>
+      val deltas = fs.filter(_.kind == "delta")
+      if (deltas.isEmpty) None
+      else {
+        val deltaBytes = deltas.map(_.bytes).sum
+        val baseBytes = fs.filter(_.kind == "base").map(_.bytes).sum
+        if (deltaBytes >= (sizeRatio * baseBytes).toLong) Some(b -> Major())
+        else if (deltas.size >= maxDeltaFiles) {
+          val byTier = deltas.groupBy(f =>
+            63 - java.lang.Long.numberOfLeadingZeros(math.max(1L, f.bytes)))
+          val (_, tierFiles) = byTier.maxBy { case (t, fs2) => (fs2.size, -t) }
+          if (tierFiles.size >= 2) Some(b -> Minor(tierFiles)) else None
+        } else None
+      }
+    }
+
   def compactTiered(
       table: LakeTable,
       sizeRatio: Double = 1.0,
@@ -199,17 +248,49 @@ object LakeMerge {
   ): CompactionStats = {
     val snap = table.snapshot
     val allFiles = table.filesOf(snap)
-    val due = allFiles.groupBy(_.bucket).collect {
-      case (b, fs)
-          if fs.exists(_.kind == "delta") && {
-            val deltaBytes = fs.filter(_.kind == "delta").map(_.bytes).sum
-            val baseBytes = fs.filter(_.kind == "base").map(_.bytes).sum
-            deltaBytes >= (sizeRatio * baseBytes).toLong ||
-              fs.count(_.kind == "delta") >= maxDeltaFiles
-          } => b
-    }.toSet
-    if (due.isEmpty) CompactionStats(compacted = false, 0, 0L)
-    else compactBuckets(table, snap, allFiles, due)
+    val plan = tieredPlan(allFiles, sizeRatio, maxDeltaFiles)
+    if (plan.isEmpty) return CompactionStats(compacted = false, 0, 0L)
+
+    val majors = plan.collect { case (b, Major()) => b }.toSet
+    val majorStats =
+      if (majors.isEmpty) CompactionStats(compacted = false, 0, 0L)
+      else compactBuckets(table, snap, allFiles, majors)
+
+    val minorFiles = plan.values.collect { case Minor(fs) => fs }.flatten.toSeq
+    val minorStats =
+      if (minorFiles.isEmpty) CompactionStats(compacted = false, 0, 0L)
+      else {
+        // one job merges every minor bucket's selected deltas: LWW-dedup
+        // within the selected files only, written back as ONE consolidated
+        // delta per (bucket, salt) — same write-aligned single exchange
+        val schema = snap.schema
+        val payload = schema.fieldNames.filterNot(MergeEngine.keyCols.contains)
+        val merged = table.readSubset(minorFiles)
+          .withColumn("bucket", bucketOf(col("repo"), snap.numBuckets))
+          .withColumn("_salt", pmod(xxhash64(col("path")), lit(4L)))
+          .repartition(col("bucket"), col("_salt"))
+          .groupBy(col("bucket"), col("_salt"), col("repo"), col("path"))
+          .agg(max_by(struct(payload.map(col).toSeq: _*),
+            struct(col("commit"), col("lsn"))).as("_w"))
+          .select(col("bucket") +: col("repo") +: col("path") +:
+            payload.map(c => col(s"_w.$c").as(c)).toSeq: _*)
+        val staged = table.stage(merged, snap.schemaId, kind = "delta")
+        table.rewriteCommit(
+          minorFiles.map(_.bucket).toSet,
+          minorFiles.map(_.path).toSet,
+          staged,
+          summary = Map(
+            "operation" -> "compact-minor",
+            "buckets" -> minorFiles.map(_.bucket).distinct.size.toString,
+            "merged-files" -> minorFiles.size.toString))
+        CompactionStats(compacted = true,
+          minorFiles.map(_.bucket).distinct.size, staged.map(_.bytes).sum)
+      }
+
+    CompactionStats(
+      compacted = majorStats.compacted || minorStats.compacted,
+      buckets = majorStats.buckets + minorStats.buckets,
+      bytesWritten = majorStats.bytesWritten + minorStats.bytesWritten)
   }
 
   private def compactBuckets(
@@ -250,7 +331,7 @@ object LakeMerge {
           (col("commit") === lit(snap.watermarkCommit) &&
             col("lsn") <= lit(snap.watermarkLsn)))))
     val staged = table.stage(purged, snap.schemaId, kind = "base")
-    table.rewriteCommit(buckets, staged, readSet,
+    table.rewriteCommit(buckets, readSet, staged,
       summary = Map(
         "operation" -> "compact",
         "buckets" -> buckets.size.toString,

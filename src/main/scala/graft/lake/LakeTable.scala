@@ -352,38 +352,42 @@ final class LakeTable private (val root: String, val spark: SparkSession) {
       }
     }
 
-  /** Replace the contents of `buckets` with `staged` (compaction / rewrite).
+  /** Replace exactly the files in `replacePaths` with `staged` (compaction
+    * / rewrite at file granularity — a major compaction replaces every file
+    * it resolved; a minor compaction replaces only the delta files it
+    * merged).
     *
-    * `readPaths` must be the paths of the files the rewrite actually
-    * resolved (captured when the caller read them). Files in the target
-    * buckets that appear in the snapshot at commit time but NOT in
-    * `readPaths` were committed by a concurrent writer AFTER the rewrite's
-    * read — dropping them would silently lose committed data, so they are
-    * carried forward on top of the new base (LWW resolution makes the
-    * carried deltas converge identically at the next read/compaction).
+    * Concurrent-writer safety is inherent: a file committed to these
+    * buckets AFTER the rewrite's read is not in `replacePaths`, so it is
+    * kept — committed data can never be silently dropped under the
+    * optimistic-retry model, it just stays a delta on top of the rewrite
+    * (LWW resolution converges identically at the next read/compaction).
     *
-    * Only manifests whose bucket stats intersect `buckets` are rewritten;
-    * unaffected manifests are reused by reference. */
+    * `buckets` prunes which manifests are even opened; only manifests whose
+    * bucket stats intersect are rewritten, the rest are reused by
+    * reference. */
   def rewriteCommit(
       buckets: Set[Int],
+      replacePaths: Set[String],
       staged: Seq[DataFileMeta],
-      readPaths: Set[String],
       summary: Map[String, String] = Map("operation" -> "rewrite")
   ): Snapshot = {
     commit { s =>
       val (affected, untouched) = s.manifests.partition(_.buckets.exists(buckets.contains))
       val affectedFiles = affected.flatMap(m => loadManifest(m.path))
-      val (inBuckets, outBuckets) = affectedFiles.partition(f => buckets.contains(f.bucket))
-      val carried = inBuckets.filterNot(f => readPaths.contains(f.path))
-      val kept = outBuckets ++ carried ++ staged
-      val ms = writeManifests(kept, s.manifestGroups)
+      val (replaced, kept) = affectedFiles.partition(f => replacePaths.contains(f.path))
+      val ms = writeManifests(kept ++ staged, s.manifestGroups)
       s.copy(
         manifests = untouched ++ ms,
-        summary = summary ++ (if (carried.nonEmpty)
-          Map("carried-concurrent-files" -> carried.size.toString) else Map.empty)
+        summary = summary + ("replaced-files" -> replaced.size.toString)
       )
     }
   }
+
+  /** Read a specific set of this table's files (schema-reconciled like
+    * [[read]]) — the minor-compaction input path. */
+  def readSubset(files: Seq[DataFileMeta]): DataFrame =
+    readFiles(snapshot, files)
 
   private def writeHint(v: Int): Unit = {
     val tmp = metaDir.resolve(s".hint-${UUID.randomUUID()}")

@@ -77,6 +77,50 @@ object ReportQueries {
         HeaderOps.otherHeaders(col("h"), HeaderOps.respHeaders, "cookie").as("other_headers"))
     }),
 
+    // Reference page_weight shape (`modules/constants.py:344-358`):
+    // GROUP BY app, ARRAY_AGG(STRUCT(client, metrics)) collected and
+    // pivoted into per-client columns via map_from_entries — the second
+    // JS-pivot replacement form (A3), built-in HOFs instead of the typed
+    // aggregator. Money/weight sums use exact integer cents so the DuckDB
+    // cross-check is FP-divergence-free.
+    "q_report_pageweight" -> ((s, dir) => {
+      val perClient = t(s, dir, "events")
+        .withColumn("client",
+          when(col("user_id") % 2 === 0, "desktop").otherwise("mobile"))
+        .groupBy(col("event_type").as("app"), col("client"))
+        .agg(sum(floor(col("value") * 100).cast("long")).as("cents"),
+          count(lit(1)).as("n"))
+      perClient.groupBy(col("app"))
+        .agg(map_from_entries(collect_list(
+          struct(col("client"), struct(col("cents"), col("n"))))).as("m"))
+        .select(col("app"),
+          col("m.desktop.cents").as("desktop_cents"),
+          col("m.desktop.n").as("desktop_n"),
+          col("m.mobile.cents").as("mobile_cents"),
+          col("m.mobile.n").as("mobile_n"))
+    }),
+
+    // Reference technologies report shape (`modules/constants.py:360-403`):
+    // broadcast dim join (J1) → exact COUNT(DISTINCT) per (category,
+    // technology) (A4) → categories CTE joined back USING(category) (J2) →
+    // ARRAY_AGG(technology ORDER BY origins DESC) (A5). End-to-end over
+    // lineitem ⋈ part: category=brand, technology=type, origin=order.
+    "q_report_technologies" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val part = t(s, dir, "part")
+      val tech = li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand").as("category"), col("p_type").as("technology"))
+        .agg(count_distinct(col("l_orderkey")).as("origins"))
+      val cats = tech.groupBy(col("category"))
+        .agg(sum(col("origins")).as("cat_origins"))
+      tech.join(cats, Seq("category"))
+        .groupBy(col("category"), col("cat_origins"))
+        .agg(concat_ws(",",
+          transform(
+            reverse(sort_array(collect_list(struct(col("origins"), col("technology"))))),
+            x => x.getField("technology"))).as("techs_desc"))
+    }),
+
     // Lenient datetime parsing: one format family per residue class; the
     // RFC-1123 weekday prefix is stripped by the engine (Spark 3+ cannot
     // parse EEE) and skipped by the oracle's format string.
@@ -120,6 +164,34 @@ object ReportQueries {
         |       cast((event_id % 50 + 1) + 3 AS BIGINT) AS cookie_size,
         |       'X-Custom = v' || cast(user_id % 10 AS VARCHAR) AS other_headers
         |FROM events""".stripMargin,
+
+    "q_report_pageweight" ->
+      """WITH pc AS (
+        |  SELECT event_type AS app,
+        |         CASE WHEN user_id % 2 = 0 THEN 'desktop' ELSE 'mobile' END AS client,
+        |         cast(sum(cast(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |         count(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT app,
+        |       max(CASE WHEN client = 'desktop' THEN cents END) AS desktop_cents,
+        |       max(CASE WHEN client = 'desktop' THEN n END) AS desktop_n,
+        |       max(CASE WHEN client = 'mobile' THEN cents END) AS mobile_cents,
+        |       max(CASE WHEN client = 'mobile' THEN n END) AS mobile_n
+        |FROM pc GROUP BY 1""".stripMargin,
+
+    "q_report_technologies" ->
+      """WITH tech AS (
+        |  SELECT p.p_brand AS category, p.p_type AS technology,
+        |         count(DISTINCT l.l_orderkey) AS origins
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  GROUP BY 1, 2),
+        |cats AS (
+        |  SELECT category, cast(sum(origins) AS BIGINT) AS cat_origins
+        |  FROM tech GROUP BY 1)
+        |SELECT t.category, c.cat_origins,
+        |       string_agg(t.technology, ',' ORDER BY t.origins DESC, t.technology DESC) AS techs_desc
+        |FROM tech t JOIN cats c USING (category)
+        |GROUP BY 1, 2""".stripMargin,
 
     "q_datetime_epoch" ->
       """WITH x AS (

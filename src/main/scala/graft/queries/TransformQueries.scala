@@ -1,0 +1,158 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Per-record transform compositions the round-1 verdict flagged as
+  * pattern-only (no oracled query):
+  *
+  *  - q_features_union (P6): three feature maps flattened via
+  *    explode(map_entries) ×3 and unioned, with the reference's
+  *    `Feature_(\d+)` id-fallback regex when a map value is missing
+  *    (`modules/import_all.py:146-193`).
+  *  - q_tech_inrow (P7/P14/J4): the reference's in-row app↔category
+  *    correlation (`modules/import_all.py:196-238`): one column holds
+  *    app→info CSV, another category→apps CSV; the join between them is
+  *    executed INSIDE the row with higher-order functions (a hash join per
+  *    row, exactly the reference's shape — NOT a relational join), emitting
+  *    one row per (category, app) pair.
+  *
+  *  - q_wide_row (P3/P11): document → WIDE TYPED ROW (the reference's
+  *    get_page shape, `modules/import_all.py:25-100`): a nested JSON doc is
+  *    synthesized per row, then a typed multi-column row is extracted from
+  *    it (url + hash, clamped rank, byte count, mime, home-page flag) with
+  *    the canonicalized payload carried alongside.
+  *
+  * All synthesize their inputs deterministically from `events` columns so
+  * DuckDB can construct the identical expected outputs.
+  */
+object TransformQueries {
+
+  import graft.exprs.RefFunctions
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_features_union" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      // map 1: plain feature → id
+      val m1 = map_from_arrays(
+        array(concat(lit("f"), (col("event_id") % 5).cast("string"))),
+        array((col("event_id") % 100).cast("string")))
+      // map 2: the fallback case — no id value, the name carries it
+      val m2 = map_from_arrays(
+        array(concat(lit("Feature_"), (col("user_id") % 50).cast("string"))),
+        array(lit(null).cast("string")))
+      // map 3: animated features
+      val m3 = map_from_arrays(
+        array(concat(lit("anim"), (col("user_id") % 3).cast("string"))),
+        array(lit("9")))
+      def flat(m: org.apache.spark.sql.Column, typ: String) =
+        e.select(col("event_id"), explode(map_entries(m)).as("kv"))
+          .select(col("event_id"),
+            col("kv.key").as("feature"),
+            lit(typ).as("ftype"),
+            coalesce(col("kv.value"),
+              regexp_extract(col("kv.key"), "Feature_(\\d+)", 1)).as("fid"))
+      flat(m1, "default")
+        .unionByName(flat(m2, "default"))
+        .unionByName(flat(m3, "animated"))
+    }),
+
+    "q_tech_inrow" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        // two distinct app indices so the per-row app→info map has no
+        // duplicate keys (x ≠ y by construction)
+        .withColumn("x", (col("event_id") % 7).cast("int"))
+        .withColumn("y", ((col("x") + 1 + col("user_id") % 6) % 7).cast("int"))
+        .withColumn("apps_csv",
+          concat(lit("a"), col("x"), lit(":i"), col("x"),
+            lit(",a"), col("y"), lit(":i"), col("y")))
+        .withColumn("cats_csv",
+          concat(lit("c0:a"), col("x"), lit("|a"), col("y"), lit(";c1:a"), col("x")))
+      // in-row hash map: app → info
+      val appMap = map_from_entries(transform(split(col("apps_csv"), ","),
+        kv => struct(substring_index(kv, ":", 1).as("k"),
+          substring_index(kv, ":", -1).as("v"))))
+      // explode category segments, then apps within each, probing the map
+      val pairs = flatten(transform(split(col("cats_csv"), ";"), seg =>
+        transform(split(substring_index(seg, ":", -1), "\\|"), app =>
+          struct(substring_index(seg, ":", 1).as("category"), app.as("app")))))
+      e.select(col("event_id"), appMap.as("am"), explode(pairs).as("p"))
+        .select(col("event_id"),
+          col("p.category").as("category"),
+          col("p.app").as("technology"),
+          element_at(col("am"), col("p.app")).as("info"))
+    }),
+
+    "q_wide_row" -> ((s, dir) => {
+      val mimes = array(lit("text/html"), lit("text/css"),
+        lit("application/javascript"), lit("image/png"))
+      val doc = concat(
+        lit("{\"page\":{\"url\":\"https://site"), (col("user_id") % 50).cast("string"),
+        lit(".example.org/p/"), (col("event_id") % 1000).cast("string"),
+        lit("\",\"rank\":"), (col("user_id") % 100000).cast("string"),
+        lit(",\"bytes\":"), floor(col("value") * 1000).cast("long").cast("string"),
+        lit(",\"mime\":\""), element_at(mimes, (col("event_id") % 4 + 1).cast("int")),
+        lit("\",\"depth\":"), (col("event_id") % 3).cast("string"), lit("}}"))
+      val url = get_json_object(doc, "$.page.url")
+      t(s, dir, "events").select(
+        col("event_id"),
+        url.as("url"),
+        RefFunctions.getUrlHash(url).as("url_hash"),
+        RefFunctions.clampInteger(
+          get_json_object(doc, "$.page.rank").cast("long") - 50000).as("rank_clamped"),
+        get_json_object(doc, "$.page.bytes").cast("long").as("bytes"),
+        get_json_object(doc, "$.page.mime").as("mime"),
+        (get_json_object(doc, "$.page.depth").cast("int") === 0).as("is_home"),
+        graft.exprs.CanonicalJson.canonicalJson(doc).as("payload"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_features_union" ->
+      """SELECT event_id, 'f' || cast(event_id % 5 AS VARCHAR) AS feature,
+        |       'default' AS ftype, cast(event_id % 100 AS VARCHAR) AS fid
+        |FROM events
+        |UNION ALL
+        |SELECT event_id, 'Feature_' || cast(user_id % 50 AS VARCHAR),
+        |       'default', cast(user_id % 50 AS VARCHAR)
+        |FROM events
+        |UNION ALL
+        |SELECT event_id, 'anim' || cast(user_id % 3 AS VARCHAR), 'animated', '9'
+        |FROM events""".stripMargin,
+
+    "q_tech_inrow" ->
+      """WITH x AS (
+        |  SELECT event_id,
+        |         cast(event_id % 7 AS INT) AS x,
+        |         cast((event_id % 7 + 1 + user_id % 6) % 7 AS INT) AS y
+        |  FROM events)
+        |SELECT event_id, 'c0' AS category, 'a' || x AS technology, 'i' || x AS info FROM x
+        |UNION ALL
+        |SELECT event_id, 'c0', 'a' || y, 'i' || y FROM x
+        |UNION ALL
+        |SELECT event_id, 'c1', 'a' || x, 'i' || x FROM x""".stripMargin,
+
+    "q_wide_row" ->
+      """WITH f AS (
+        |  SELECT event_id,
+        |         'https://site' || cast(user_id % 50 AS VARCHAR) ||
+        |           '.example.org/p/' || cast(event_id % 1000 AS VARCHAR) AS url,
+        |         user_id % 100000 AS rank,
+        |         cast(floor(value * 1000) AS BIGINT) AS bytes,
+        |         (['text/html','text/css','application/javascript','image/png'])[cast(event_id % 4 AS INT) + 1] AS mime,
+        |         cast(event_id % 3 AS INT) AS depth
+        |  FROM events)
+        |SELECT event_id, url,
+        |       cast(concat('0x', substr(md5(url), 1, 4)) AS BIGINT) AS url_hash,
+        |       CASE WHEN rank - 50000 < 0 THEN NULL ELSE rank - 50000 END AS rank_clamped,
+        |       bytes,
+        |       mime,
+        |       depth = 0 AS is_home,
+        |       concat('{"page":{"url":"', url, '","rank":', rank, ',"bytes":', bytes,
+        |              ',"mime":"', mime, '","depth":', depth, '}}') AS payload
+        |FROM f""".stripMargin
+  )
+}

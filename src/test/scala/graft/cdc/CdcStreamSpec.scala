@@ -117,6 +117,40 @@ class CdcStreamSpec extends SparkSpec {
     assert(tableState(table) != half, "second drain must have applied new data")
   }
 
+  test("retention: streaming with auto-expire reclaims disk and still converges to the oracle") {
+    val dir = tmpDir("cdcexpire")
+    val binlog = s"$dir/binlog"
+    EventGen.writeBinlog(spark, binlog, N, segments = 8, nRepos = 80, pathsPerRepo = 10)
+
+    def drained(root: String, expireEvery: Int): LakeTable = {
+      val t = LakeTable.create(spark, s"$root/table", CdcStream.binlogSchema, numBuckets = 8)
+      val m = CdcStream.metricsTable(spark, s"$root/metrics")
+      val q = CdcStream.start(spark, t, m, binlog, s"$root/ckpt",
+        queryId = "exp", maxFilesPerTrigger = 1, compactAtDeltas = 2,
+        expireEvery = expireEvery, expireRetain = 2)
+      q.awaitTermination()
+      t
+    }
+    def dataBytes(t: LakeTable): Long = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(t.root, "data"))
+        .iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
+        .map(java.nio.file.Files.size(_)).sum
+    }
+
+    val kept = drained(tmpDir("cdcexpire-keep"), expireEvery = 0)
+    val expired = drained(tmpDir("cdcexpire-exp"), expireEvery = 2)
+    // identical live state either way — retention is invisible to readers
+    assert(tableState(expired) == oracleState())
+    assert(tableState(expired) == tableState(kept))
+    // but the expired table physically reclaimed its compacted-away history
+    assert(dataBytes(expired) < dataBytes(kept),
+      s"expire must shrink disk: ${dataBytes(expired)} vs ${dataBytes(kept)}")
+    // retained history still time-travels; pre-retention versions are gone
+    assert(expired.readVersion(expired.currentVersion).count() > 0)
+    intercept[IllegalStateException](expired.readVersion(2))
+  }
+
   test("kill/restart mid-stream from checkpoint reconverges byte-identically") {
     val dir = tmpDir("cdcrestart")
     val binlog = s"$dir/binlog"

@@ -189,7 +189,7 @@ class LakeTableSpec extends SparkSpec {
     val df2 = Seq(("r2", "b", "c2", 2L, null: String, "two"))
       .toDF(baseSchema.fieldNames.toSeq: _*).withColumn("bucket", lit(1))
     val staged = t.stage(df2, 0)
-    t.rewriteCommit(Set(0, 1), staged, readPaths = t.files.map(_.path).toSet)
+    t.rewriteCommit(Set(0, 1), t.files.map(_.path).toSet, staged)
 
     assert(readerView.collect().map(_.getAs[String]("content")).toSeq == Seq("one"),
       "pinned reader must still see its snapshot")
@@ -243,7 +243,7 @@ class LakeTableSpec extends SparkSpec {
     // compaction-style rewrite: replaces everything in bucket 0
     val resolved = t.read().withColumn("bucket", lit(0))
     val readSet = t.files.map(_.path).toSet
-    t.rewriteCommit(Set(0), t.stage(resolved, 0), readSet,
+    t.rewriteCommit(Set(0), readSet, t.stage(resolved, 0),
       summary = Map("operation" -> "compact"))
     write("v7") // one commit past the rewrite, so retainLast=2 keeps only
                 // post-compaction snapshots (pre-compaction history expires)
@@ -285,9 +285,8 @@ class LakeTableSpec extends SparkSpec {
     // ...a concurrent writer lands a newer delta in the same bucket...
     t.appendCommit(t.stage(row("concurrent", 2L), 0, kind = "delta"))
     // ...and the compaction commits against the moved snapshot
-    val snap = t.rewriteCommit(Set(0), staged, readSet,
+    t.rewriteCommit(Set(0), readSet, staged,
       summary = Map("operation" -> "compact"))
-    assert(snap.summary.contains("carried-concurrent-files"))
     val contents = t.read().collect().map(_.getAs[String]("content")).toSet
     assert(contents == Set("old", "concurrent"),
       s"concurrently committed delta was lost: $contents")
