@@ -96,6 +96,31 @@ object Demo {
       "post-compaction state diverged from oracle on pre-evolve keys")
     log(s"post-compaction state: ${after.size} keys (includes evolve-batch upserts)")
 
+    // 7b. retention: expire all but the last 2 snapshots, physically
+    // reclaiming every file only the expired history referenced — the live
+    // view must be untouched and expired versions must fail cleanly
+    def diskBytes(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(s"$dir/table", "data"))
+        .iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
+        .map(java.nio.file.Files.size(_)).sum
+    }
+    val diskBefore = diskBytes()
+    val exp = table.expireSnapshots(retainLast = 2)
+    val diskAfter = diskBytes()
+    assert(diskAfter < diskBefore, "expiration must reclaim disk")
+    val afterExpire = LakeMerge.readState(table)
+      .select($"repo", $"path", sha2($"content", 256))
+      .as[(String, String, String)].collect()
+      .map(x => (x._1, x._2) -> x._3).toMap
+    assert(afterExpire == after, "expiration must not change the live view")
+    val expiredFails =
+      try { table.readVersion(2); false }
+      catch { case _: IllegalStateException => true }
+    assert(expiredFails, "expired version must fail cleanly")
+    log(f"expired ${exp.expiredVersions} snapshots: reclaimed ${exp.dataFilesDeleted} files / " +
+      f"${exp.bytesReclaimed / 1024} KiB (disk ${diskBefore / 1024} → ${diskAfter / 1024} KiB); live view unchanged")
+
     // 8. lineage sidecar
     val m = metrics.read().orderBy("epoch_id")
       .select("epoch_id", "batch_rows", "distinct_keys", "deletes", "min_lsn", "max_lsn")

@@ -121,6 +121,53 @@ object ReportQueries {
             x => x.getField("technology"))).as("techs_desc"))
     }),
 
+    // Reference lighthouse shape (`modules/constants.py:191-208`): GROUP BY
+    // app, per-client MEDIAN of a score + distinct origins, ARRAY_AGG(STRUCT)
+    // collected and pivoted per client. Median over exact integer cents —
+    // both engines interpolate the midpoint identically for integers.
+    "q_report_lighthouse" -> ((s, dir) => {
+      val perClient = t(s, dir, "events")
+        .withColumn("client",
+          when(col("user_id") % 2 === 0, "desktop").otherwise("mobile"))
+        .groupBy(col("event_type").as("app"), col("client"))
+        .agg(
+          round(expr("percentile(cast(floor(value * 100) as long), 0.5)"), 2)
+            .as("median_cents"),
+          count_distinct(col("user_id")).as("origins"))
+      perClient.groupBy(col("app"))
+        .agg(map_from_entries(collect_list(
+          struct(col("client"), struct(col("median_cents"), col("origins"))))).as("m"))
+        .select(col("app"),
+          col("m.desktop.median_cents").as("desktop_median"),
+          col("m.desktop.origins").as("desktop_origins"),
+          col("m.mobile.median_cents").as("mobile_median"),
+          col("m.mobile.origins").as("mobile_origins"))
+    }),
+
+    // Reference CWV shape (`modules/constants.py:265-290`): per (app,
+    // client) the share of origins whose worst (max) metric clears a
+    // threshold — a two-level aggregation (per-origin max, then per-group
+    // distinct counts + conditional sum) pivoted per client. Exact integer
+    // comparisons end-to-end.
+    "q_report_cwv" -> ((s, dir) => {
+      val perUser = t(s, dir, "events")
+        .withColumn("client",
+          when(col("user_id") % 2 === 0, "desktop").otherwise("mobile"))
+        .groupBy(col("event_type").as("app"), col("client"), col("user_id"))
+        .agg(max(floor(col("value") * 100).cast("long")).as("worst_cents"))
+      val perClient = perUser.groupBy(col("app"), col("client"))
+        .agg(count(lit(1)).as("origins"),
+          sum(when(col("worst_cents") <= 15000L, 1L).otherwise(0L)).as("good_origins"))
+      perClient.groupBy(col("app"))
+        .agg(map_from_entries(collect_list(
+          struct(col("client"), struct(col("origins"), col("good_origins"))))).as("m"))
+        .select(col("app"),
+          col("m.desktop.origins").as("desktop_origins"),
+          col("m.desktop.good_origins").as("desktop_good"),
+          col("m.mobile.origins").as("mobile_origins"),
+          col("m.mobile.good_origins").as("mobile_good"))
+    }),
+
     // Lenient datetime parsing: one format family per residue class; the
     // RFC-1123 weekday prefix is stripped by the engine (Spark 3+ cannot
     // parse EEE) and skipped by the oracle's format string.
@@ -192,6 +239,38 @@ object ReportQueries {
         |       string_agg(t.technology, ',' ORDER BY t.origins DESC, t.technology DESC) AS techs_desc
         |FROM tech t JOIN cats c USING (category)
         |GROUP BY 1, 2""".stripMargin,
+
+    "q_report_lighthouse" ->
+      """WITH pc AS (
+        |  SELECT event_type AS app,
+        |         CASE WHEN user_id % 2 = 0 THEN 'desktop' ELSE 'mobile' END AS client,
+        |         round(median(cast(floor(value * 100) AS BIGINT)), 2) AS median_cents,
+        |         count(DISTINCT user_id) AS origins
+        |  FROM events GROUP BY 1, 2)
+        |SELECT app,
+        |       max(CASE WHEN client = 'desktop' THEN median_cents END) AS desktop_median,
+        |       max(CASE WHEN client = 'desktop' THEN origins END) AS desktop_origins,
+        |       max(CASE WHEN client = 'mobile' THEN median_cents END) AS mobile_median,
+        |       max(CASE WHEN client = 'mobile' THEN origins END) AS mobile_origins
+        |FROM pc GROUP BY 1""".stripMargin,
+
+    "q_report_cwv" ->
+      """WITH pu AS (
+        |  SELECT event_type AS app,
+        |         CASE WHEN user_id % 2 = 0 THEN 'desktop' ELSE 'mobile' END AS client,
+        |         user_id,
+        |         max(cast(floor(value * 100) AS BIGINT)) AS worst_cents
+        |  FROM events GROUP BY 1, 2, 3),
+        |pc AS (
+        |  SELECT app, client, count(*) AS origins,
+        |         cast(sum(CASE WHEN worst_cents <= 15000 THEN 1 ELSE 0 END) AS BIGINT) AS good_origins
+        |  FROM pu GROUP BY 1, 2)
+        |SELECT app,
+        |       max(CASE WHEN client = 'desktop' THEN origins END) AS desktop_origins,
+        |       max(CASE WHEN client = 'desktop' THEN good_origins END) AS desktop_good,
+        |       max(CASE WHEN client = 'mobile' THEN origins END) AS mobile_origins,
+        |       max(CASE WHEN client = 'mobile' THEN good_origins END) AS mobile_good
+        |FROM pc GROUP BY 1""".stripMargin,
 
     "q_datetime_epoch" ->
       """WITH x AS (
