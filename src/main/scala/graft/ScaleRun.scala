@@ -126,11 +126,11 @@ object ScaleRun {
   private def cpuJob(spark: SparkSession, n: Long, totalCores: Int): Double = {
     // ~7 core-seconds per million rows (48-deep sha256 chain — deeper
     // trips the analyzer's resolution-iteration cap): the timed window is
-    // ~14s at N so task-scheduling overhead can't dominate. The warm run
+    // ~7s at N so task-scheduling overhead can't dominate. The warm run
     // is IDENTICAL to the timed run — executor launch, codegen compilation
     // and JIT all happen there, so the timed run measures pure task
     // execution at both sizes.
-    val rows = math.max(2 * n, 2000000L)
+    val rows = math.max(n, 1000000L)
     def run(): Long = {
       var h = col("id").cast("string")
       (0 until 48).foreach(_ => h = sha2(h, 256))

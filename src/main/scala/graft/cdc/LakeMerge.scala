@@ -47,6 +47,15 @@ object LakeMerge {
   def readState(table: LakeTable): DataFrame =
     MergeEngine.liveView(resolvedState(table))
 
+  /** Register the current live state as a SQL temp view — SQL-as-source
+    * (the reference reads BigQuery SQL as a pipeline source,
+    * `modules/tech_report_pipeline.py:156`): `spark.sql(s"... FROM $name")`
+    * then runs any relational stage over the resolved table. */
+  def registerView(table: LakeTable, name: String): Unit = {
+    readState(table).createOrReplaceTempView(name)
+    ()
+  }
+
   /** Point lookup: the current live state of ONE repo. Metadata pruning
     * reads only that repo's hash bucket (1/numBuckets of the table), then
     * filters and resolves — at 100 TB this touches a handful of files, not

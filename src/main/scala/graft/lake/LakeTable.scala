@@ -389,6 +389,27 @@ final class LakeTable private (val root: String, val spark: SparkSession) {
   def readSubset(files: Seq[DataFileMeta]): DataFrame =
     readFiles(snapshot, files)
 
+  /** CDC-out / incremental scan: the change rows committed AFTER
+    * `fromVersion` up to `toVersion` — an Iceberg-changelog-style read that
+    * touches only the files those commits added, never the unchanged table.
+    * Only append-operation snapshots contribute (compaction rewrites and
+    * minor merges re-house existing rows, they are not changes), so a
+    * downstream consumer can chain off this table incrementally:
+    * resolve-with-LWW over the returned rows = exactly the net effect of
+    * the skipped-over commits. Both versions must still be retained. */
+  def readChangesBetween(fromVersion: Int, toVersion: Int): DataFrame = {
+    require(fromVersion <= toVersion, s"$fromVersion > $toVersion")
+    val appendOps = Set("merge-append", "append", "dead-letter", "append-metrics")
+    val changed = (fromVersion + 1 to toVersion).flatMap { v =>
+      val snap = snapshotAt(v)
+      if (snap.summary.get("operation").exists(appendOps.contains)) {
+        val before = filesOf(snapshotAt(v - 1)).map(_.path).toSet
+        filesOf(snap).filterNot(f => before.contains(f.path))
+      } else Nil
+    }
+    readFiles(snapshotAt(toVersion), changed)
+  }
+
   private def writeHint(v: Int): Unit = {
     val tmp = metaDir.resolve(s".hint-${UUID.randomUUID()}")
     Files.writeString(tmp, v.toString)

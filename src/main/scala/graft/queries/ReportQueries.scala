@@ -113,7 +113,10 @@ object ReportQueries {
         .agg(count_distinct(col("l_orderkey")).as("origins"))
       val cats = tech.groupBy(col("category"))
         .agg(sum(col("origins")).as("cat_origins"))
-      tech.join(cats, Seq("category"))
+      // categories are a bounded domain (one row per brand) — broadcast the
+      // aggregated side instead of letting unknown post-agg stats force a
+      // sort-merge join of two shuffles
+      tech.join(broadcast(cats), Seq("category"))
         .groupBy(col("category"), col("cat_origins"))
         .agg(concat_ws(",",
           transform(

@@ -63,4 +63,17 @@ class MartSpec extends SparkSpec {
     assert(Mart.readDocs(mart, "by-lang").count() == 0)
     assert(Mart.readDocs(mart, "by-repo").count() == byRepo.count())
   }
+
+  test("SQL-as-source: registered live view queries via spark.sql match the DataFrame path") {
+    val dir = tmpDir("martsql")
+    val table = setupState(dir)
+    LakeMerge.registerView(table, "repo_state")
+    val viaSql = spark.sql(
+      "SELECT lang, count(*) AS n FROM repo_state GROUP BY lang ORDER BY lang")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val viaDf = LakeMerge.readState(table)
+      .groupBy($"lang").agg(count(lit(1)).as("n")).orderBy($"lang")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(viaSql == viaDf && viaSql.nonEmpty)
+  }
 }

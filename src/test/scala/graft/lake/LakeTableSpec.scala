@@ -292,6 +292,35 @@ class LakeTableSpec extends SparkSpec {
       s"concurrently committed delta was lost: $contents")
   }
 
+  test("readChangesBetween returns exactly the rows appended in the version range") {
+    val root = tmpDir("lake")
+    val t = LakeTable.create(spark, root, baseSchema, numBuckets = 2)
+    def append(tag: String, lsn: Long): Int = {
+      val df = Seq((s"r$tag", "p", f"c$lsn%03d", lsn, null: String, tag))
+        .toDF(baseSchema.fieldNames.toSeq: _*).withColumn("bucket", lit(0))
+      t.appendCommit(t.stage(df, 0, kind = "delta"),
+        summary = Map("operation" -> "merge-append")).version
+    }
+    val v1 = append("a", 1L)
+    val v2 = append("b", 2L)
+    // a compaction between appends must NOT surface as changes
+    val readSet = t.files.map(_.path).toSet
+    val resolved = t.read().withColumn("bucket", lit(0))
+    t.rewriteCommit(Set(0), readSet, t.stage(resolved, 0),
+      summary = Map("operation" -> "compact"))
+    val v4 = append("c", 3L)
+
+    val changes = t.readChangesBetween(v1, v4)
+      .select("content").collect().map(_.getString(0)).toSet
+    assert(changes == Set("b", "c"),
+      s"expected only post-v1 appended rows, got $changes")
+    // full range includes the first append; empty range is empty
+    assert(t.readChangesBetween(1, v4).count() == 3)
+    assert(t.readChangesBetween(v4, v4).count() == 0)
+    assert(t.readChangesBetween(v2, v4)
+      .select("content").collect().map(_.getString(0)).toSet == Set("c"))
+  }
+
   test("gcOrphans removes unreferenced staging dirs, keeps referenced files") {
     val root = tmpDir("lake")
     val t = LakeTable.create(spark, root, baseSchema, numBuckets = 2)
