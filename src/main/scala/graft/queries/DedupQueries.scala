@@ -79,11 +79,16 @@ object DedupQueries {
     }),
 
     // LSH candidate pairs: docs sharing any (band, signature) bucket.
-    // Self-join of an identical subplan: Catalyst's ReuseExchange computes
-    // the (shingle → minhash → band) pipeline once (verified in the plan);
-    // an explicit persist() measured slower (stats lost → worse join plan).
+    // The signature pipeline (one md5 per shingle over every doc — the
+    // expensive part) must compute ONCE: an explicit repartition on the
+    // join keys gives both self-join sides an IDENTICAL Exchange subtree,
+    // which Catalyst's ReuseExchange dedups. Without it the planner
+    // broadcasts the (small) signature relation and the pipeline runs
+    // twice — once for the probe, once for the broadcast build (measured
+    // ~1.5× slower at sf0.1). persist() also measured slower (stats lost).
     "q_minhash_pairs" -> ((s, dir) => {
       val sig = queries("q_minhash_sig")(s, dir)
+        .repartition(col("band"), col("sig"))
       val a = sig.as("a")
       val b = sig.as("b")
       a.join(b, col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&

@@ -86,6 +86,17 @@ object TransformQueries {
           element_at(col("am"), col("p.app")).as("info"))
     }),
 
+    // Multimodal metadata oracle: the deterministic byte-derived outputs of
+    // the binary-column pipeline (UTF-8 encode → opaque binary → typed
+    // mapPartitions decode) — blob length and magic-number signature —
+    // cross-checked in DuckDB. Verifies the binary plumbing round-trip at
+    // value level; the stubbed dims/embedding stay rows-only
+    // (q_multimodal_features).
+    "q_multimodal_meta" -> ((s, dir) => {
+      graft.ops.Multimodal.featuresOverDocuments(s, dir)
+        .select(col("doc_id"), col("n_bytes"), col("format_sig"))
+    }),
+
     "q_wide_row" -> ((s, dir) => {
       val mimes = array(lit("text/html"), lit("text/css"),
         lit("application/javascript"), lit("image/png"))
@@ -134,6 +145,12 @@ object TransformQueries {
         |SELECT event_id, 'c0', 'a' || y, 'i' || y FROM x
         |UNION ALL
         |SELECT event_id, 'c1', 'a' || x, 'i' || x FROM x""".stripMargin,
+
+    "q_multimodal_meta" ->
+      """SELECT doc_id,
+        |       cast(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |       lower(substr(hex(encode(text)), 1, 8)) AS format_sig
+        |FROM documents""".stripMargin,
 
     "q_wide_row" ->
       """WITH f AS (
