@@ -12,4 +12,22 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def toColumn(e: Expression): Column = ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a SQL function whose body is a Catalyst expression BUILDER —
+    * Column-combinator libraries become plain SQL functions with full
+    * codegen, no UDF wrapper (`FunctionRegistry` is `private[sql]`, hence
+    * this shim). */
+  def registerFunction(
+      spark: org.apache.spark.sql.SparkSession,
+      name: String,
+      builder: Seq[Expression] => Column): Unit = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    // eager ColumnNode→Expression conversion: the lazy wrapper
+    // (ExpressionUtils.expression) is Unevaluable and the analyzer does not
+    // descend into it, so function builders must convert through the
+    // session's converter
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, exprs => classic.expression(builder(exprs)), "scala_udf")
+    ()
+  }
 }
