@@ -492,39 +492,36 @@ final class LakeTable private (val root: String, val spark: SparkSession) {
       }
     }
 
-    // 3. drop data files referenced by no retained manifest, then any
-    //    directories left empty
+    // 3. drop data files referenced by no retained manifest, plus every
+    //    sidecar (_SUCCESS, .crc) and directory in subtrees holding no
+    //    surviving parquet — one walk, one bottom-up sweep
     val dataDir = Paths.get(root, "data")
     var fDeleted = 0
     var bytes = 0L
     if (Files.exists(dataDir)) {
-      Files.walk(dataDir).iterator().asScala.toList.foreach { p =>
-        val name = p.getFileName.toString
-        if (name.endsWith(".parquet") && !keepFiles.contains(p.toString)) {
-          bytes += (try Files.size(p) catch { case NonFatal(_) => 0L })
-          if (Files.deleteIfExists(p)) fDeleted += 1
+      val all = Files.walk(dataDir).iterator().asScala.toList
+      val keepDirs = scala.collection.mutable.Set[Path](dataDir)
+      all.foreach { p =>
+        if (!Files.isDirectory(p) && keepFiles.contains(p.toString)) {
+          var d = p.getParent
+          while (d != null && d != dataDir && keepDirs.add(d)) d = d.getParent
         }
       }
-      // sweep now-empty dirs bottom-up (also removes parquet _SUCCESS/.crc
-      // sidecars in dirs whose data files are all gone)
-      Files.walk(dataDir).iterator().asScala.toList.reverse.foreach { p =>
-        if (p != dataDir) {
-          if (Files.isDirectory(p)) {
-            if (!Files.list(p).iterator().hasNext) Files.deleteIfExists(p)
-          } else if (!p.getFileName.toString.endsWith(".parquet")) {
-            // sidecar in a dir with no surviving parquet?
-            val siblings = Files.list(p.getParent).iterator().asScala
-            if (!siblings.exists(_.getFileName.toString.endsWith(".parquet")))
-              Files.deleteIfExists(p)
+      all.reverse.foreach { p =>
+        if (Files.isDirectory(p)) {
+          if (p != dataDir && !keepDirs.contains(p))
+            try Files.deleteIfExists(p)
+            catch { case _: java.nio.file.DirectoryNotEmptyException => false }
+          ()
+        } else {
+          val isParquet = p.getFileName.toString.endsWith(".parquet")
+          val dead = (isParquet && !keepFiles.contains(p.toString)) ||
+            !keepDirs.contains(p.getParent) // sidecar in a dead subtree
+          if (dead) {
+            if (isParquet) bytes += (try Files.size(p) catch { case NonFatal(_) => 0L })
+            if (Files.deleteIfExists(p) && isParquet) fDeleted += 1
           }
         }
-        ()
-      }
-      // second bottom-up pass: dirs emptied by sidecar removal
-      Files.walk(dataDir).iterator().asScala.toList.reverse.foreach { p =>
-        if (p != dataDir && Files.isDirectory(p) && !Files.list(p).iterator().hasNext)
-          Files.deleteIfExists(p)
-        ()
       }
     }
     ExpireResult(expired, mDeleted, fDeleted, bytes)
