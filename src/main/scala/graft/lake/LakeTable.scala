@@ -14,13 +14,22 @@ import org.apache.spark.sql.types._
 /** One data file tracked by a manifest. `bucket` = hash-bucket of `repo`
   * (the table's partition spec); parsed back from the written directory
   * layout `.../bucket=<b>/part-*.parquet`. `kind` is "base" (compacted) or
-  * "delta" (merge-on-read append, resolved by LWW dedup at read time). */
+  * "delta" (merge-on-read append, resolved by LWW dedup at read time).
+  * `minLsn`/`maxLsn` are per-file column stats lifted from the parquet
+  * footer at stage time (when the schema has an `lsn` column) — the
+  * metadata layer's file-level pruning statistics, so an lsn-range scan
+  * never opens files outside the range (full range = stats unknown,
+  * never pruned). Rows within a file are clustered by (repo, path): the
+  * write-aligned merge emits SortAggregate output ordered on its grouping
+  * keys, which parquet page stats then exploit for point lookups. */
 final case class DataFileMeta(
     path: String,
     bucket: Int,
     bytes: Long,
     schemaId: Int,
-    kind: String = "base"
+    kind: String = "base",
+    minLsn: Long = Long.MinValue,
+    maxLsn: Long = Long.MaxValue
 )
 
 /** A pinned, versioned schema (Spark DDL string). */
@@ -244,8 +253,37 @@ final class LakeTable private (val root: String, val spark: SparkSession) {
     val commitUuid = UUID.randomUUID().toString
     val dir = Paths.get(root, "data", commitUuid)
     df.write.partitionBy("bucket").parquet(dir.toString)
-    listParquet(dir, schemaId).map(_.copy(kind = kind))
+    val hasLsn = df.columns.contains("lsn")
+    listParquet(dir, schemaId).map { f =>
+      val withKind = f.copy(kind = kind)
+      if (hasLsn) {
+        val (lo, hi) = lsnFooterStats(withKind.path)
+        withKind.copy(minLsn = lo, maxLsn = hi)
+      } else withKind
+    }
   }
+
+  /** Lift the lsn column's min/max from the parquet footer (one footer read
+    * per staged file — O(files added), never touches data pages). Unknown
+    * stats degrade to the full range (file never pruned). */
+  private def lsnFooterStats(path: String): (Long, Long) =
+    try {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(path), spark.sparkContext.hadoopConfiguration)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        val blocks = reader.getFooter.getBlocks.asScala
+        val stats = blocks.flatMap(_.getColumns.asScala
+          .find(_.getPath.toDotString == "lsn").map(_.getStatistics))
+        if (stats.isEmpty || stats.exists(s => s == null || !s.hasNonNullValue))
+          (Long.MinValue, Long.MaxValue)
+        else {
+          val mins = stats.map(_.genericGetMin.asInstanceOf[Number].longValue())
+          val maxs = stats.map(_.genericGetMax.asInstanceOf[Number].longValue())
+          (mins.min, maxs.max)
+        }
+      } finally reader.close()
+    } catch { case NonFatal(_) => (Long.MinValue, Long.MaxValue) }
 
   private def listParquet(dir: Path, schemaId: Int): Seq[DataFileMeta] = {
     val out = Seq.newBuilder[DataFileMeta]
@@ -388,6 +426,16 @@ final class LakeTable private (val root: String, val spark: SparkSession) {
     * [[read]]) — the minor-compaction input path. */
   def readSubset(files: Seq[DataFileMeta]): DataFrame =
     readFiles(snapshot, files)
+
+  /** Metadata-pruned lsn-range scan: only files whose footer-lifted
+    * [minLsn, maxLsn] stats intersect the range are opened (the S7
+    * "clustering + file stats" contract — at 10^5 files a bounded range
+    * touches a handful); the residual predicate is pushed into the scan. */
+  def readLsnRange(lo: Long, hi: Long): DataFrame = {
+    val snap = snapshot
+    val pruned = filesOf(snap).filter(f => f.maxLsn >= lo && f.minLsn <= hi)
+    readFiles(snap, pruned).where(col("lsn").between(lo, hi))
+  }
 
   /** CDC-out / incremental scan: the change rows committed AFTER
     * `fromVersion` up to `toVersion` — an Iceberg-changelog-style read that

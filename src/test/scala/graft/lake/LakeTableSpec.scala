@@ -292,6 +292,32 @@ class LakeTableSpec extends SparkSpec {
       s"concurrently committed delta was lost: $contents")
   }
 
+  test("per-file lsn stats from parquet footers drive metadata-level range pruning") {
+    val root = tmpDir("lake")
+    val t = LakeTable.create(spark, root, baseSchema, numBuckets = 2)
+    def append(lsnFrom: Long): Unit = {
+      val df = (lsnFrom until lsnFrom + 10).map(l =>
+        (s"r$l", "p", f"c$l%04d", l, null: String, s"v$l"))
+        .toDF(baseSchema.fieldNames.toSeq: _*)
+        .coalesce(1) // one file per append → exact pruning arithmetic below
+        .withColumn("bucket", lit((lsnFrom / 10 % 2).toInt))
+      t.appendCommit(t.stage(df, 0, kind = "delta"))
+      ()
+    }
+    append(0); append(100); append(200) // disjoint lsn ranges, one file each
+    val files = t.files
+    assert(files.forall(f => f.minLsn != Long.MinValue && f.maxLsn != Long.MaxValue),
+      "footer stats must be lifted into metadata")
+    // file-level pruning: only the file covering [100, 109] intersects
+    val snap = t.snapshot
+    val pruned = t.filesOf(snap).filter(f => f.maxLsn >= 100L && f.minLsn <= 109L)
+    assert(pruned.size == 1, s"expected 1 pruned file, got ${pruned.size}")
+    // the pruned read returns exactly that range's rows
+    assert(t.readLsnRange(100L, 109L).count() == 10)
+    assert(t.readLsnRange(95L, 105L).count() == 6)
+    assert(t.readLsnRange(500L, 600L).count() == 0)
+  }
+
   test("readChangesBetween returns exactly the rows appended in the version range") {
     val root = tmpDir("lake")
     val t = LakeTable.create(spark, root, baseSchema, numBuckets = 2)
