@@ -254,12 +254,21 @@ final class LakeTable private (val root: String, val spark: SparkSession) {
     val dir = Paths.get(root, "data", commitUuid)
     df.write.partitionBy("bucket").parquet(dir.toString)
     val hasLsn = df.columns.contains("lsn")
-    listParquet(dir, schemaId).map { f =>
-      val withKind = f.copy(kind = kind)
-      if (hasLsn) {
-        val (lo, hi) = lsnFooterStats(withKind.path)
-        withKind.copy(minLsn = lo, maxLsn = hi)
-      } else withKind
+    val listed = listParquet(dir, schemaId).map(_.copy(kind = kind))
+    if (!hasLsn) listed
+    else {
+      // footer reads are independent ~ms-scale IO — collect them in
+      // parallel so stats never add measurable driver time to a commit
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration._
+      Await.result(
+        Future.traverse(listed) { f =>
+          Future {
+            val (lo, hi) = lsnFooterStats(f.path)
+            f.copy(minLsn = lo, maxLsn = hi)
+          }
+        }, 10.minutes)
     }
   }
 
