@@ -87,8 +87,8 @@ object Bench {
       batches: Int, executors: Int, coresPerExec: Int, memMb: Int,
       buckets: Int, cpus: Option[String]): Double = {
     val classesDir = Paths.get("target", "scala-2.13", "classes").toAbsolutePath
-    val sparkJars = Files.list(Paths.get("/opt/spark/jars")).iterator().asScala
-      .map(_.toString).toSeq.sorted
+    val sparkJars = graft.util.Fs.list(Paths.get("/opt/spark/jars"))
+      .map(_.toString).sorted
     val cp = (classesDir.toString +: sparkJars).mkString(":")
     val javaBin = Paths.get(System.getProperty("java.home"), "bin", "java").toString
     val base = Seq(javaBin) ++ addOpensList ++ Seq("-Xmx4g", "-cp", cp,
@@ -111,11 +111,7 @@ object Bench {
     wall.get
   }
 
-  private def rmTree(dir: String): Unit =
-    try {
-      Files.walk(Paths.get(dir)).iterator().asScala.toList
-        .reverse.foreach(Files.deleteIfExists(_))
-    } catch { case _: Throwable => () }
+  private def rmTree(dir: String): Unit = graft.util.Fs.rmTree(Paths.get(dir))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -162,24 +158,36 @@ object Bench {
     // cross-pair swing on this host reaches 2× (identical configs measured
     // 14.8s and 27.6s twenty minutes apart), which makes min-of-all-walls
     // a meaningless ratio when the minima land in different windows. The
-    // max over pairs is the least-contaminated window (contention deflates
-    // the 4N side strictly more than the 8-CPU-pinned N side); the median
-    // is reported alongside for honesty.
+    // MEDIAN over pairs is the headline (an unbiased-ish window draw); the
+    // max is reported as `efficiency_best_window` — the least-contaminated
+    // window (neighbor contention deflates the 4N side strictly more than
+    // the 8-CPU-pinned N side), useful but upward-selected.
     val pairEffs = runs.map(r => r._1 / (4.0 * r._2)).sorted
-    val eff = pairEffs.max
-    val effMedian = pairEffs(pairEffs.size / 2)
+    val effBest = pairEffs.max
+    val eff = pairEffs(pairEffs.size / 2)
     val cpuPairs = runs.map(r => r._3 / (4.0 * r._4))
     val cpuCeiling = cpuPairs.max
     // infrastructure ceiling: plain Spark shuffle of the same data volume
     // (no engine logic). Normalizing by IT shows whether the ENGINE adds
     // any scaling penalty beyond the platform's shuffle path on this box.
+    // Normalization is computed WITHIN each repeat (merge pair / shuffle
+    // pair of the same window), then the median taken — never a ratio of
+    // numbers from different contention windows.
     val shufPairs = runs.map(r => r._5 / (4.0 * r._6))
     val shuffleCeiling = shufPairs.max
-    val effNorm = eff / shuffleCeiling
+    val normPairs = runs.map(r => (r._1 / (4.0 * r._2)) / (r._5 / (4.0 * r._6))).sorted
+    val effNorm = normPairs(normPairs.size / 2)
 
     // ---- phase 2: headline operator queries at full parallelism ----
     val spark = session(Runtime.getRuntime.availableProcessors())
     val qmap = SparkEntry.queries
+    // UNTIMED warmup: this parent JVM ran no queries during phase 1 (they
+    // all executed in child JVMs), so the first timed query would otherwise
+    // absorb all codegen/JIT/parquet-reader warmup — round 2 recorded a fake
+    // 3.4× "regression" on q_lww_latest from exactly this artifact.
+    try qmap(HeadlineQueries.head)(spark, sfDir)
+      .write.mode("overwrite").format("noop").save()
+    catch { case _: Throwable => () }
     val results = HeadlineQueries.flatMap { name =>
       qmap.get(name).map { fn =>
         val t0 = System.nanoTime()
@@ -200,7 +208,7 @@ object Bench {
     val total = results.map(_._2).sum
     val pairsJson = pairEffs.map(e => f"$e%.3f").mkString("[", ",", "]")
     val scaling =
-      f"""{"events":$scaleEvents,"mode":"local-cluster","executors_n":$execN,"executors_4n":$exec4N,"cores_per_executor":$coresPerExec,"t_n":$tN%.2f,"t_4n":$t4N%.2f,"eps_n":$epsN%.0f,"eps_4n":$eps4N%.0f,"efficiency":$eff%.3f,"efficiency_median":$effMedian%.3f,"efficiency_pairs":$pairsJson,"cpu_ceiling":$cpuCeiling%.3f,"shuffle_ceiling":$shuffleCeiling%.3f,"efficiency_normalized":$effNorm%.3f}"""
+      f"""{"events":$scaleEvents,"mode":"local-cluster","executors_n":$execN,"executors_4n":$exec4N,"cores_per_executor":$coresPerExec,"t_n":$tN%.2f,"t_4n":$t4N%.2f,"eps_n":$epsN%.0f,"eps_4n":$eps4N%.0f,"efficiency":$eff%.3f,"efficiency_best_window":$effBest%.3f,"efficiency_pairs":$pairsJson,"cpu_ceiling":$cpuCeiling%.3f,"shuffle_ceiling":$shuffleCeiling%.3f,"efficiency_normalized":$effNorm%.3f}"""
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","scaling":$scaling}""")
   }

@@ -167,9 +167,5 @@ object ScaleRun {
   }
 
   private def rmTree(dir: String): Unit =
-    try {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
-        .toList.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
-    } catch { case _: Throwable => () }
+    graft.util.Fs.rmTree(java.nio.file.Paths.get(dir))
 }

@@ -139,7 +139,6 @@ object EventGen {
       langFromLsn: Long = Long.MaxValue
   ): Unit = {
     import java.nio.file.{Files, Paths}
-    import scala.jdk.CollectionConverters._
     Files.createDirectories(Paths.get(dir))
     // ONE job: range with `segments` partitions yields contiguous lsn
     // slices, one parquet part per segment; flatten-rename afterwards. Each
@@ -150,12 +149,12 @@ object EventGen {
       langFromLsn = langFromLsn, numPartitions = segments)
       .write.mode("overwrite").parquet(tmp.toString)
     var i = 0
-    Files.list(tmp).iterator().asScala.toList.sortBy(_.toString).foreach { p =>
+    graft.util.Fs.list(tmp).sortBy(_.toString).foreach { p =>
       if (p.getFileName.toString.endsWith(".parquet")) {
         Files.move(p, Paths.get(dir, f"segment-$i%05d.parquet"))
         i += 1
       }
     }
-    Files.walk(tmp).iterator().asScala.toList.reverse.foreach(Files.deleteIfExists(_))
+    graft.util.Fs.rmTree(tmp)
   }
 }

@@ -172,6 +172,7 @@ object LakeMerge {
       else s.copy(
         watermarkCommit = commit,
         watermarkLsn = lsn,
+        opKind = "metadata",
         summary = Map("operation" -> "advance-watermark",
           "watermark" -> s"$commit/$lsn"))
     }

@@ -21,11 +21,26 @@ import graft.lake.LakeTable
   */
 object Mart {
 
+  /** The epoch→(commit, lsn) packing version — bumped when the packing
+    * changes (v2: lsn = 2·epoch for publishes, 2·epoch+1 for deletes; v1
+    * used lsn = epoch). Mixed-encoding tables would resolve LWW ordering
+    * inconsistently across old/new commits, so a mart written under a
+    * different encoding fails loudly at open instead. */
+  val EncodingVersion = "2"
+
   /** Open (or create) a mart table (document-shaped: same envelope as the
     * data table so the merge engine applies unchanged). */
   def martTable(spark: SparkSession, root: String): LakeTable =
-    if (LakeTable.exists(root)) LakeTable.load(spark, root)
-    else LakeTable.create(spark, root, CdcStream.binlogSchema, numBuckets = 4)
+    if (LakeTable.exists(root)) {
+      val t = LakeTable.load(spark, root)
+      val enc = t.snapshot.properties.getOrElse("mart.encoding", "1")
+      require(enc == EncodingVersion,
+        s"mart at $root uses epoch encoding v$enc, this engine writes " +
+          s"v$EncodingVersion — rebuild the mart (LWW ordering is not " +
+          "comparable across encodings)")
+      t
+    } else LakeTable.create(spark, root, CdcStream.binlogSchema, numBuckets = 4,
+      properties = Map("mart.encoding" -> EncodingVersion))
 
   /** Publish a query result into the mart.
     *

@@ -76,6 +76,14 @@ final case class ManifestMeta(
   * must be on `(commit, lsn)`, not lsn alone: a tombstone with a high
   * commit but low lsn can still be the LWW winner against a future event
   * with a higher lsn.
+  *
+  * `opKind` is the STRUCTURED operation class of the commit that produced
+  * this snapshot — "create" | "append" | "rewrite" | "rollback" |
+  * "metadata" — stamped at the commit sites themselves so changelog readers
+  * ([[LakeTable.readChangesBetween]]) never have to pattern-match
+  * caller-supplied free-form `summary` strings. `properties` are immutable
+  * table-level key/values (format markers etc.), carried through every
+  * commit.
   */
 final case class Snapshot(
     formatVersion: Int,
@@ -90,7 +98,9 @@ final case class Snapshot(
     fences: Map[String, Long],
     watermarkCommit: String,
     watermarkLsn: Long,
-    summary: Map[String, String]
+    summary: Map[String, String],
+    opKind: String = "metadata",
+    properties: Map[String, String] = Map.empty
 ) {
   def schema: StructType = StructType.fromDDL(schemas.find(_.id == schemaId).get.ddl)
   def schemaById(id: Int): StructType = StructType.fromDDL(schemas.find(_.id == id).get.ddl)
@@ -160,7 +170,11 @@ final class LakeTable private (val root: String, val spark: SparkSession) {
     val fixedFences = raw.fences.asInstanceOf[Map[String, Any]].map {
       case (k, v) => k -> v.asInstanceOf[Number].longValue()
     }
-    raw.copy(fences = fixedFences)
+    raw.copy(
+      fences = fixedFences,
+      // pre-round-3 snapshot JSON lacks these fields (Jackson → null)
+      opKind = if (raw.opKind == null) "metadata" else raw.opKind,
+      properties = if (raw.properties == null) Map.empty else raw.properties)
   }
 
   def schema: StructType = snapshot.schema
@@ -218,9 +232,11 @@ final class LakeTable private (val root: String, val spark: SparkSession) {
   def rollback(toVersion: Int): Snapshot = {
     val target = snapshotAt(toVersion)
     commit { _ =>
-      target.copy(summary = Map(
-        "operation" -> "rollback",
-        "to-version" -> toVersion.toString))
+      target.copy(
+        opKind = "rollback",
+        summary = Map(
+          "operation" -> "rollback",
+          "to-version" -> toVersion.toString))
     }
   }
 
@@ -296,7 +312,7 @@ final class LakeTable private (val root: String, val spark: SparkSession) {
 
   private def listParquet(dir: Path, schemaId: Int): Seq[DataFileMeta] = {
     val out = Seq.newBuilder[DataFileMeta]
-    Files.walk(dir).iterator().asScala.foreach { p =>
+    graft.util.Fs.walk(dir).foreach { p =>
       val name = p.getFileName.toString
       if (name.endsWith(".parquet") && !name.startsWith(".") && !name.startsWith("_")) {
         val parent = p.getParent.getFileName.toString
@@ -373,7 +389,8 @@ final class LakeTable private (val root: String, val spark: SparkSession) {
         manifests = mergeSmallManifests(s.manifests ++ ms, s.manifestGroups),
         schemaId = math.max(s.schemaId, schemaId.getOrElse(s.schemaId)),
         fences = fence.fold(s.fences) { case (q, e) => s.fences.updated(q, e) },
-        summary = summary
+        summary = summary,
+        opKind = "append"
       )
     }
   }
@@ -426,7 +443,8 @@ final class LakeTable private (val root: String, val spark: SparkSession) {
       val ms = writeManifests(kept ++ staged, s.manifestGroups)
       s.copy(
         manifests = untouched ++ ms,
-        summary = summary + ("replaced-files" -> replaced.size.toString)
+        summary = summary + ("replaced-files" -> replaced.size.toString),
+        opKind = "rewrite"
       )
     }
   }
@@ -449,20 +467,31 @@ final class LakeTable private (val root: String, val spark: SparkSession) {
   /** CDC-out / incremental scan: the change rows committed AFTER
     * `fromVersion` up to `toVersion` — an Iceberg-changelog-style read that
     * touches only the files those commits added, never the unchanged table.
-    * Only append-operation snapshots contribute (compaction rewrites and
-    * minor merges re-house existing rows, they are not changes), so a
-    * downstream consumer can chain off this table incrementally:
-    * resolve-with-LWW over the returned rows = exactly the net effect of
-    * the skipped-over commits. Both versions must still be retained. */
+    * Only `opKind == "append"` snapshots contribute (compaction rewrites and
+    * minor merges re-house existing rows, they are not changes; the kind is
+    * stamped structurally at the commit sites, never inferred from
+    * free-form summaries), so a downstream consumer can chain off this
+    * table incrementally: resolve-with-LWW over the returned rows = exactly
+    * the net effect of the skipped-over commits. Both versions must still
+    * be retained.
+    *
+    * A ROLLBACK inside the range genuinely changes visible state in a way
+    * no incremental delta can express (rows un-happen), so it fails loudly:
+    * the consumer must re-baseline from a full scan of `toVersion`. */
   def readChangesBetween(fromVersion: Int, toVersion: Int): DataFrame = {
     require(fromVersion <= toVersion, s"$fromVersion > $toVersion")
-    val appendOps = Set("merge-append", "append", "dead-letter", "append-metrics")
     val changed = (fromVersion + 1 to toVersion).flatMap { v =>
       val snap = snapshotAt(v)
-      if (snap.summary.get("operation").exists(appendOps.contains)) {
-        val before = filesOf(snapshotAt(v - 1)).map(_.path).toSet
-        filesOf(snap).filterNot(f => before.contains(f.path))
-      } else Nil
+      snap.opKind match {
+        case "rollback" =>
+          throw new IllegalStateException(
+            s"rollback at v$v inside ($fromVersion, $toVersion]: incremental " +
+              "reads cannot express un-happened rows — re-baseline from a full scan")
+        case "append" =>
+          val before = filesOf(snapshotAt(v - 1)).map(_.path).toSet
+          filesOf(snap).filterNot(f => before.contains(f.path))
+        case _ => Nil
+      }
     }
     readFiles(snapshotAt(toVersion), changed)
   }
@@ -492,7 +521,8 @@ final class LakeTable private (val root: String, val spark: SparkSession) {
           s.copy(
             schemas = s.schemas :+ SchemaInfo(nid, mergedNow.toDDL),
             schemaId = nid,
-            summary = Map("operation" -> "evolve-schema")
+            summary = Map("operation" -> "evolve-schema"),
+            opKind = "metadata"
           )
         }
       }
@@ -521,10 +551,21 @@ final class LakeTable private (val root: String, val spark: SparkSession) {
     * stays referenced by some historical snapshot forever), which is
     * unbounded disk growth under continuous ingest.
     *
-    * Single-maintenance-writer: must not run concurrently with another
-    * expire/GC (data writers are safe — their staged files are invisible
-    * to the reference scan and untouched by it). */
-  def expireSnapshots(retainLast: Int): ExpireResult = {
+    * Concurrency contract: must not run concurrently with another
+    * expire/GC. A concurrent DATA writer is safe only with a nonzero
+    * `minAgeMs`: the sweep deletes any manifest/parquet unreferenced by a
+    * retained snapshot, and a writer's staged-but-uncommitted files (and
+    * manifests written just before its commit lands) are exactly that —
+    * `minAgeMs` must exceed the writer's longest stage→commit window so
+    * in-flight files are skipped by age (same race, same guard as
+    * [[gcOrphans]]). The default 0 is for the engine's normal deployment:
+    * the single foreachBatch loop that owns the table runs the sweep
+    * between its own commits. */
+  def expireSnapshots(retainLast: Int, minAgeMs: Long = 0L): ExpireResult = {
+    def oldEnough(p: Path): Boolean = minAgeMs <= 0L ||
+      (try Files.getLastModifiedTime(p).toMillis <=
+        System.currentTimeMillis() - minAgeMs
+      catch { case NonFatal(_) => false })
     require(retainLast >= 1, "must retain at least the current snapshot")
     val cur = currentVersion
     val minRetained = math.max(minVersionAvailable, cur - retainLast + 1)
@@ -542,9 +583,10 @@ final class LakeTable private (val root: String, val spark: SparkSession) {
     // 2. drop manifests referenced by no retained snapshot (includes
     //    leaked manifests from contended rewrite retries)
     var mDeleted = 0
-    Files.list(metaDir).iterator().asScala.toList.foreach { p =>
+    graft.util.Fs.list(metaDir).foreach { p =>
       val name = p.getFileName.toString
-      if (name.startsWith("manifest-") && !keepManifests.contains(p.toString)) {
+      if (name.startsWith("manifest-") && !keepManifests.contains(p.toString) &&
+        oldEnough(p)) {
         if (Files.deleteIfExists(p)) { mDeleted += 1; manifestCache.remove(p.toString) }
       }
     }
@@ -556,10 +598,11 @@ final class LakeTable private (val root: String, val spark: SparkSession) {
     var fDeleted = 0
     var bytes = 0L
     if (Files.exists(dataDir)) {
-      val all = Files.walk(dataDir).iterator().asScala.toList
+      val all = graft.util.Fs.walk(dataDir)
       val keepDirs = scala.collection.mutable.Set[Path](dataDir)
       all.foreach { p =>
-        if (!Files.isDirectory(p) && keepFiles.contains(p.toString)) {
+        if (!Files.isDirectory(p) &&
+          (keepFiles.contains(p.toString) || !oldEnough(p))) {
           var d = p.getParent
           while (d != null && d != dataDir && keepDirs.add(d)) d = d.getParent
         }
@@ -572,8 +615,8 @@ final class LakeTable private (val root: String, val spark: SparkSession) {
           ()
         } else {
           val isParquet = p.getFileName.toString.endsWith(".parquet")
-          val dead = (isParquet && !keepFiles.contains(p.toString)) ||
-            !keepDirs.contains(p.getParent) // sidecar in a dead subtree
+          val dead = ((isParquet && !keepFiles.contains(p.toString)) ||
+            !keepDirs.contains(p.getParent)) && oldEnough(p) // sidecar in a dead subtree
           if (dead) {
             if (isParquet) bytes += (try Files.size(p) catch { case NonFatal(_) => 0L })
             if (Files.deleteIfExists(p) && isParquet) fDeleted += 1
@@ -603,12 +646,12 @@ final class LakeTable private (val root: String, val spark: SparkSession) {
     if (!Files.exists(dataDir)) return 0
     val cutoff = System.currentTimeMillis() - minAgeMs
     var n = 0
-    Files.list(dataDir).iterator().asScala.toList.foreach { d =>
+    graft.util.Fs.list(dataDir).foreach { d =>
       val oldEnough = minAgeMs == 0L ||
         (try Files.getLastModifiedTime(d).toMillis <= cutoff
         catch { case NonFatal(_) => false })
       if (!referenced.contains(d.getFileName.toString) && oldEnough) {
-        Files.walk(d).iterator().asScala.toList.reverse.foreach(Files.deleteIfExists(_))
+        graft.util.Fs.rmTree(d)
         n += 1
       }
     }
@@ -647,8 +690,10 @@ object LakeTable {
     StructType(widened ++ added)
   }
 
-  /** Create a new empty table (v1 snapshot). */
-  def create(spark: SparkSession, root: String, schema: StructType, numBuckets: Int): LakeTable = {
+  /** Create a new empty table (v1 snapshot). `properties` are immutable
+    * table-level markers carried through every subsequent commit. */
+  def create(spark: SparkSession, root: String, schema: StructType, numBuckets: Int,
+      properties: Map[String, String] = Map.empty): LakeTable = {
     val metaDir = Paths.get(root, "metadata")
     Files.createDirectories(metaDir)
     val snap = Snapshot(
@@ -664,7 +709,9 @@ object LakeTable {
       fences = Map.empty,
       watermarkCommit = null,
       watermarkLsn = Long.MinValue,
-      summary = Map("operation" -> "create")
+      summary = Map("operation" -> "create"),
+      opKind = "create",
+      properties = properties
     )
     val p = metaDir.resolve("v1.metadata.json")
     Files.writeString(p, mapper.writerWithDefaultPrettyPrinter().writeValueAsString(snap))
@@ -684,7 +731,7 @@ object LakeTable {
     val md = Paths.get(root, "metadata")
     Files.exists(md.resolve("version-hint.text")) || {
       Files.isDirectory(md) &&
-        Files.list(md).iterator().asScala.exists(
+        graft.util.Fs.list(md).exists(
           _.getFileName.toString.matches("v\\d+\\.metadata\\.json"))
     }
   }

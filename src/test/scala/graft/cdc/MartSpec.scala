@@ -64,6 +64,20 @@ class MartSpec extends SparkSpec {
     assert(Mart.readDocs(mart, "by-repo").count() == byRepo.count())
   }
 
+  test("a mart written under a different epoch encoding fails loudly at open") {
+    val dir = tmpDir("martenc")
+    // simulate a pre-v2 mart: a lake table at the mart root WITHOUT the
+    // mart.encoding property (what round-2 marts look like on disk)
+    LakeTable.create(spark, s"$dir/mart", CdcStream.binlogSchema, numBuckets = 4)
+    val ex = intercept[IllegalArgumentException](Mart.martTable(spark, s"$dir/mart"))
+    assert(ex.getMessage.contains("encoding"))
+    // a mart created through martTable round-trips fine
+    val ok = Mart.martTable(spark, s"$dir/mart2")
+    assert(Mart.martTable(spark, s"$dir/mart2").snapshot
+      .properties("mart.encoding") == Mart.EncodingVersion)
+    assert(ok.root == s"$dir/mart2")
+  }
+
   test("SQL-as-source: registered live view queries via spark.sql match the DataFrame path") {
     val dir = tmpDir("martsql")
     val table = setupState(dir)

@@ -347,6 +347,47 @@ class LakeTableSpec extends SparkSpec {
       .select("content").collect().map(_.getString(0)).toSet == Set("c"))
   }
 
+  test("readChangesBetween fails loudly when the range spans a rollback") {
+    val root = tmpDir("lake")
+    val t = LakeTable.create(spark, root, baseSchema, numBuckets = 2)
+    def append(tag: String, lsn: Long): Int = {
+      val df = Seq((s"r$tag", "p", f"c$lsn%03d", lsn, null: String, tag))
+        .toDF(baseSchema.fieldNames.toSeq: _*).withColumn("bucket", lit(0))
+      t.appendCommit(t.stage(df, 0, kind = "delta")).version
+    }
+    val v1 = append("a", 1L)
+    append("b", 2L)
+    t.rollback(v1)
+    val v4 = append("c", 3L)
+    val ex = intercept[IllegalStateException](t.readChangesBetween(v1, v4).count())
+    assert(ex.getMessage.contains("rollback"))
+    // a range that does not span the rollback still reads incrementally
+    assert(t.readChangesBetween(v4 - 1, v4)
+      .select("content").collect().map(_.getString(0)).toSet == Set("c"))
+  }
+
+  test("expireSnapshots with minAgeMs spares young unreferenced files (concurrent-writer guard)") {
+    val root = tmpDir("lake")
+    val t = LakeTable.create(spark, root, baseSchema, numBuckets = 2)
+    val df = Seq(("r1", "a", "c1", 1L, null: String, "x"))
+      .toDF(baseSchema.fieldNames.toSeq: _*).withColumn("bucket", lit(0))
+    t.appendCommit(t.stage(df, 0))
+    // a "concurrent writer's" staged-but-uncommitted files: just written
+    val inflight = t.stage(df, 0)
+    // age-guarded sweep must NOT delete the in-flight files...
+    t.expireSnapshots(retainLast = 1, minAgeMs = 60000L)
+    assert(inflight.forall(f => java.nio.file.Files.exists(java.nio.file.Paths.get(f.path))),
+      "minAgeMs sweep deleted a concurrent writer's staged files")
+    // ...and the writer can still commit them afterwards
+    t.appendCommit(inflight)
+    assert(t.read().count() == 2)
+    // the unguarded sweep (single-writer mode) reclaims true orphans
+    t.stage(df, 0)
+    val res = t.expireSnapshots(retainLast = t.currentVersion)
+    assert(res.dataFilesDeleted >= 1)
+    assert(t.read().count() == 2)
+  }
+
   test("gcOrphans removes unreferenced staging dirs, keeps referenced files") {
     val root = tmpDir("lake")
     val t = LakeTable.create(spark, root, baseSchema, numBuckets = 2)
