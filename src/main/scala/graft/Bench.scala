@@ -127,7 +127,7 @@ object Bench {
     val binlog = Files.createTempDirectory(Paths.get(benchTmp), "graft-bench-binlog").toString
     locally {
       val s = session(Runtime.getRuntime.availableProcessors())
-      EventGen.writeBinlog(s, binlog, scaleEvents, segments = 64,
+      EventGen.writeBinlog(s, binlog, scaleEvents, segments = 256,
         nRepos = 20000, pathsPerRepo = 200, skew = 2.0,
         langFromLsn = scaleEvents / 2)
       s.stop()
@@ -137,46 +137,54 @@ object Bench {
     def child(mode: String, execs: Int, mem: Int, pin: Option[String]): Double =
       runChild(mode, binlog, scaleEvents, batches, execs, coresPerExec,
         mem, buckets, pin)
-    // interleaved N/4N repeats of BOTH jobs, per-side minima: the shared
-    // host's neighbor load swings walls ±50% hour to hour, so the merge and
-    // its cpu-ceiling normalizer must be sampled in the same windows
-    val runs = (0 until repeats).map { _ =>
-      (child("merge", execN, memMb, Some(cpusN)),
-        child("merge", exec4N, memMb, None),
-        child("cpu", execN, 2048, Some(cpusN)),
-        child("cpu", exec4N, 2048, None),
-        child("shuffle", execN, memMb, Some(cpusN)),
-        child("shuffle", exec4N, memMb, None))
+    def loadavg(): Double =
+      try Files.readString(Paths.get("/proc/loadavg")).split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    // An N child and its 4N sibling run back-to-back (~1 min apart) so a
+    // PAIR shares its neighbor-load window; pairs of all four jobs are
+    // interleaved within each repeat so the merge modes and their ceiling
+    // normalizers sample the same windows. The host's cross-window swing
+    // reaches 2× (identical configs measured 14.8s and 27.6s twenty
+    // minutes apart), which makes min-of-all-walls a meaningless ratio
+    // when the minima land in different windows.
+    final case class Pair(n: Double, x4: Double) { def eff: Double = n / (4.0 * x4) }
+    val modes = Seq("merge" -> memMb, "mergel0" -> memMb, "cpu" -> 2048, "shuffle" -> memMb)
+    val loads = scala.collection.mutable.ArrayBuffer[Double]()
+    val runs: Seq[Map[String, Pair]] = (0 until repeats).map { _ =>
+      loads += loadavg()
+      modes.map { case (m, mem) =>
+        m -> Pair(child(m, execN, mem, Some(cpusN)), child(m, exec4N, mem, None))
+      }.toMap
     }
-    val tN = runs.map(_._1).min
-    val t4N = runs.map(_._2).min
     rmTree(binlog)
+    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+    def effOf(mode: String): (Double, Double, Seq[Double]) = {
+      val pairs = runs.map(_(mode).eff)
+      (median(pairs), pairs.max, pairs)
+    }
+    // MEDIAN pair efficiency is the headline (an unbiased-ish window draw);
+    // the max is `efficiency_best_window` — the least-contaminated window
+    // (neighbor contention deflates the 4N side strictly more than the
+    // 8-CPU-pinned N side), useful but upward-selected.
+    val (eff, effBest, pairEffs) = effOf("merge")
+    val (effL0, effL0Best, pairEffsL0) = effOf("mergel0")
+    val tN = runs.map(_("merge").n).min
+    val t4N = runs.map(_("merge").x4).min
+    val tNL0 = runs.map(_("mergel0").n).min
+    val t4NL0 = runs.map(_("mergel0").x4).min
     val epsN = scaleEvents / tN
     val eps4N = scaleEvents / t4N
-    // PAIRWISE efficiency: each repeat's N and 4N runs execute back-to-back
-    // (~1 min apart), so a pair shares its neighbor-load window — the
-    // cross-pair swing on this host reaches 2× (identical configs measured
-    // 14.8s and 27.6s twenty minutes apart), which makes min-of-all-walls
-    // a meaningless ratio when the minima land in different windows. The
-    // MEDIAN over pairs is the headline (an unbiased-ish window draw); the
-    // max is reported as `efficiency_best_window` — the least-contaminated
-    // window (neighbor contention deflates the 4N side strictly more than
-    // the 8-CPU-pinned N side), useful but upward-selected.
-    val pairEffs = runs.map(r => r._1 / (4.0 * r._2)).sorted
-    val effBest = pairEffs.max
-    val eff = pairEffs(pairEffs.size / 2)
-    val cpuPairs = runs.map(r => r._3 / (4.0 * r._4))
-    val cpuCeiling = cpuPairs.max
+    val epsNL0 = scaleEvents / tNL0
+    val eps4NL0 = scaleEvents / t4NL0
+    val cpuCeiling = runs.map(_("cpu").eff).max
     // infrastructure ceiling: plain Spark shuffle of the same data volume
     // (no engine logic). Normalizing by IT shows whether the ENGINE adds
     // any scaling penalty beyond the platform's shuffle path on this box.
     // Normalization is computed WITHIN each repeat (merge pair / shuffle
     // pair of the same window), then the median taken — never a ratio of
     // numbers from different contention windows.
-    val shufPairs = runs.map(r => r._5 / (4.0 * r._6))
-    val shuffleCeiling = shufPairs.max
-    val normPairs = runs.map(r => (r._1 / (4.0 * r._2)) / (r._5 / (4.0 * r._6))).sorted
-    val effNorm = normPairs(normPairs.size / 2)
+    val shuffleCeiling = runs.map(_("shuffle").eff).max
+    val effNorm = median(runs.map(r => r("merge").eff / r("shuffle").eff))
 
     // ---- phase 2: headline operator queries at full parallelism ----
     val spark = session(Runtime.getRuntime.availableProcessors())
@@ -206,9 +214,13 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = results.filterNot(_._3).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    val pairsJson = pairEffs.map(e => f"$e%.3f").mkString("[", ",", "]")
+    val pairsJson = pairEffs.sorted.map(e => f"$e%.3f").mkString("[", ",", "]")
+    val pairsL0Json = pairEffsL0.sorted.map(e => f"$e%.3f").mkString("[", ",", "]")
+    val loadsJson = loads.map(l => f"$l%.2f").mkString("[", ",", "]")
+    val l0Block =
+      f""""l0":{"t_n":$tNL0%.2f,"t_4n":$t4NL0%.2f,"eps_n":$epsNL0%.0f,"eps_4n":$eps4NL0%.0f,"efficiency":$effL0%.3f,"efficiency_best_window":$effL0Best%.3f,"efficiency_pairs":$pairsL0Json}"""
     val scaling =
-      f"""{"events":$scaleEvents,"mode":"local-cluster","executors_n":$execN,"executors_4n":$exec4N,"cores_per_executor":$coresPerExec,"t_n":$tN%.2f,"t_4n":$t4N%.2f,"eps_n":$epsN%.0f,"eps_4n":$eps4N%.0f,"efficiency":$eff%.3f,"efficiency_best_window":$effBest%.3f,"efficiency_pairs":$pairsJson,"cpu_ceiling":$cpuCeiling%.3f,"shuffle_ceiling":$shuffleCeiling%.3f,"efficiency_normalized":$effNorm%.3f}"""
+      f"""{"events":$scaleEvents,"mode":"local-cluster","executors_n":$execN,"executors_4n":$exec4N,"cores_per_executor":$coresPerExec,"t_n":$tN%.2f,"t_4n":$t4N%.2f,"eps_n":$epsN%.0f,"eps_4n":$eps4N%.0f,"efficiency":$eff%.3f,"efficiency_best_window":$effBest%.3f,"efficiency_pairs":$pairsJson,$l0Block,"cpu_ceiling":$cpuCeiling%.3f,"shuffle_ceiling":$shuffleCeiling%.3f,"efficiency_normalized":$effNorm%.3f,"loadavg_per_repeat":$loadsJson}"""
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","scaling":$scaling}""")
   }

@@ -65,9 +65,18 @@ object ScaleRun {
       .config("spark.executor.extraJavaOptions", addOpens)
       .config("spark.sql.shuffle.partitions",
         (totalCores * sys.env.getOrElse("GRAFT_SHUF_MULT", "2").toInt).toString)
-      .config("spark.sql.files.maxPartitionBytes", (32 * 1024 * 1024).toString)
+      // small enough that a 2M-event micro-batch splits into ≥2 waves of
+      // tasks at 4N (wave quantization caps append scaling otherwise);
+      // binlog segments are single-rowgroup files, so splits are file-level
+      .config("spark.sql.files.maxPartitionBytes",
+        (sys.env.getOrElse("GRAFT_MAX_PART_MB", "8").toInt * 1024 * 1024).toString)
+      .config("spark.sql.files.openCostInBytes", (1024 * 1024).toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // the merge shuffle is memory/IO-bandwidth-bound on this box; codec
+      // choice trades CPU for shuffled bytes — overridable for A/B probes
+      .config("spark.io.compression.codec",
+        sys.env.getOrElse("GRAFT_SHUF_CODEC", "lz4"))
       .config("spark.local.dir", s"$tmp/graft-spark-local")
       .config("spark.ui.enabled", "false")
       .config("spark.worker.cleanup.enabled", "true")
@@ -75,7 +84,8 @@ object ScaleRun {
     spark.sparkContext.setLogLevel("ERROR")
 
     val wall = mode match {
-      case "merge" => mergeJob(spark, binlog, n, batches, buckets)
+      case "merge" => mergeJob(spark, binlog, n, batches, buckets, l0 = false)
+      case "mergel0" => mergeJob(spark, binlog, n, batches, buckets, l0 = true)
       case "cpu" => cpuJob(spark, n, totalCores)
       case "shuffle" => shuffleJob(spark, n, totalCores)
       case other => throw new IllegalArgumentException(s"unknown mode: $other")
@@ -86,13 +96,21 @@ object ScaleRun {
 
   /** North-rule merge-apply replay. Warmup replay (separate table, first
     * ~1.5% of events) forces executor launch + codegen warm; the timed
-    * window is the fenced batch merges + final compaction only. */
+    * window is the fenced batch merges + final compaction only.
+    *
+    * `l0 = true` runs the shuffle-free ingest shape: every batch appends
+    * with zero exchange (scan → write, embarrassingly parallel) and the
+    * final full compaction re-buckets + resolves everything in ONE
+    * exchange — total shuffled volume is HALF the classic mode's (classic
+    * shuffles each batch once AND the final compaction re-shuffles the
+    * union), and the per-batch path scales like the pure-CPU ceiling
+    * instead of the memory-bandwidth-bound shuffle ceiling. */
   private def mergeJob(spark: SparkSession, binlog: String, n: Long,
-      batches: Int, buckets: Int): Double = {
+      batches: Int, buckets: Int, l0: Boolean): Double = {
     // standalone experimentation convenience: generate the binlog on first
     // use (Bench pre-generates and shares one across all child runs)
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(binlog)))
-      EventGen.writeBinlog(spark, binlog, n, segments = 64,
+      EventGen.writeBinlog(spark, binlog, n, segments = 256,
         nRepos = 20000, pathsPerRepo = 200, skew = 2.0, langFromLsn = n / 2)
     val dir = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get(sys.env.getOrElse("GRAFT_BENCH_TMP", "/dev/shm")),
@@ -102,17 +120,26 @@ object ScaleRun {
       .where(col("lsn") >= lo && col("lsn") < hi)
 
     val warm = LakeTable.create(spark, s"$dir/warm", CdcStream.binlogSchema, buckets)
-    LakeMerge.mergeBatch(warm, read(0, math.max(n / 64, 10000L)), Some(("warm", 0L)), 2)
+    // two warmup batches + a compact: executor launch, codegen, parquet
+    // reader/writer JIT all reach steady state before the timed window
+    // (single-batch warmup left batch0 ~70% slower than batch3)
+    val warmPer = math.max(n / 32, 10000L)
+    LakeMerge.mergeBatch(warm, read(0, warmPer), Some(("warm", 0L)), 2, l0Mode = l0)
+    LakeMerge.mergeBatch(warm, read(warmPer, 2 * warmPer), Some(("warm", 1L)), 2, l0Mode = l0)
     LakeMerge.compact(warm)
 
     val table = LakeTable.create(spark, s"$dir/table", CdcStream.binlogSchema, buckets)
     val per = n / batches
     val t0 = System.nanoTime()
     (0 until batches).foreach { b =>
+      val tb = System.nanoTime()
       val hi = if (b == batches - 1) n else (b + 1) * per
-      LakeMerge.mergeBatch(table, read(b * per, hi), Some(("bench", b.toLong)), 2)
+      LakeMerge.mergeBatch(table, read(b * per, hi), Some(("bench", b.toLong)), 2, l0Mode = l0)
+      System.err.println(f"""{"phase":"batch$b","sec":${(System.nanoTime() - tb) / 1e9}%.2f}""")
     }
+    val tc = System.nanoTime()
     LakeMerge.compact(table)
+    System.err.println(f"""{"phase":"compact","sec":${(System.nanoTime() - tc) / 1e9}%.2f}""")
     val secs = (System.nanoTime() - t0) / 1e9
     rmTree(dir)
     secs

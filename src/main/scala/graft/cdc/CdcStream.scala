@@ -108,7 +108,8 @@ object CdcStream {
       format: String = "parquet",
       compactAtDeltas: Int = 16,
       expireEvery: Int = 0,
-      expireRetain: Int = 10
+      expireRetain: Int = 10,
+      l0Mode: Boolean = false
   ): StreamingQuery = {
     val reader = spark.readStream
       .schema(binlogSchema)
@@ -130,7 +131,8 @@ object CdcStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyBatch(table, metrics, batch, queryId, batchId, saltPartitions,
           compactAtDeltas = compactAtDeltas, deadLetters = deadLetters,
-          expireEvery = expireEvery, expireRetain = expireRetain)
+          expireEvery = expireEvery, expireRetain = expireRetain,
+          l0Mode = l0Mode)
         ()
       }
 
@@ -178,7 +180,8 @@ object CdcStream {
       compactAtDeltas: Int = 16,
       deadLetters: Option[LakeTable] = None,
       expireEvery: Int = 0,
-      expireRetain: Int = 10
+      expireRetain: Int = 10,
+      l0Mode: Boolean = false
   ): CommitStats = {
     if (table.fence(queryId) >= batchId) {
       // Redelivered epoch — exactly-once no-op for the DATA. But a crash in
@@ -214,7 +217,13 @@ object CdcStream {
         }
       }
 
-      val stats = LakeMerge.mergeBatch(table, good, Some((queryId, batchId)), saltPartitions)
+      val stats = LakeMerge.mergeBatch(table, good, Some((queryId, batchId)),
+        saltPartitions, l0Mode = l0Mode)
+      // L0 mode defers the batch's bucket exchange; flush once enough L0
+      // files pile up (the L0 read-amplification bound), then let tiered
+      // compaction manage the resulting deltas exactly as in classic mode
+      if (stats.applied && l0Mode && compactAtDeltas > 0)
+        LakeMerge.flushL0(table, minFiles = compactAtDeltas)
       // bounded read amplification via SIZE-TIERED compaction: a bucket is
       // folded when its delta bytes reach its base bytes (each rewrite at
       // least doubles the base → O(log) rewrites per key over the table's

@@ -35,9 +35,10 @@ object LakeMerge {
     * expression over `repo` (analog of the reference's URL-hash partition
     * routing, `modules/non_summary_pipeline.py:93-111`, minus the magic
     * error-partition index: parse failures are routed to a dead-letter
-    * metric instead). */
+    * metric instead). Delegates to [[LakeTable.bucketExpr]] — the single
+    * definition both the write path and the L0 row-filtering reads use. */
   def bucketOf(repoCol: org.apache.spark.sql.Column, numBuckets: Int): org.apache.spark.sql.Column =
-    pmod(xxhash64(repoCol), lit(numBuckets.toLong)).cast("int")
+    LakeTable.bucketExpr(repoCol, numBuckets)
 
   /** Raw resolved state (tombstones retained): LWW over base ∪ deltas. */
   def resolvedState(table: LakeTable): DataFrame =
@@ -57,14 +58,16 @@ object LakeMerge {
   }
 
   /** Point lookup: the current live state of ONE repo. Metadata pruning
-    * reads only that repo's hash bucket (1/numBuckets of the table), then
+    * reads only that repo's hash bucket (1/numBuckets of the table) plus
+    * any not-yet-compacted L0 files (bounded by the flush trigger), then
     * filters and resolves — at 100 TB this touches a handful of files, not
     * the table. The residual repo filter is pushed into the parquet scan. */
   def readRepo(table: LakeTable, repo: String): DataFrame = {
     val bucket = spark_bucket(table, repo)
     MergeEngine.liveView(
       MergeEngine.dedupBatch(
-        table.readBuckets(Set(bucket)).where(col("repo") === repo)))
+        table.readBuckets(Set(bucket, LakeTable.L0Bucket))
+          .where(col("repo") === repo)))
   }
 
   private def spark_bucket(table: LakeTable, repo: String): Int = {
@@ -74,21 +77,59 @@ object LakeMerge {
       .collect()(0).getInt(0)
   }
 
-  /** Apply one batch of change events: LWW-dedup the batch and append it as
-    * per-bucket delta files.
+  /** The write-aligned single-exchange LWW shape shared by the classic
+    * merge path and every compaction: repartition by (bucket, salt), then
+    * dedup to the per-key winner — the groupBy REUSES the exchange
+    * (partitioning ⊂ grouping keys), so intra-batch LWW dedup and the
+    * file-layout shuffle are ONE exchange; each task holds exactly one
+    * (bucket, salt) group → one output file. Salt fans a hot bucket across
+    * tasks (SURVEY.md §7.6) without changing winners. */
+  private def lwwWriteShape(
+      df: DataFrame,
+      nBuckets: Int,
+      fieldNames: Seq[String],
+      saltPartitions: Int
+  ): DataFrame = {
+    val payload = fieldNames.filterNot(MergeEngine.keyCols.contains)
+    df.withColumn("bucket", bucketOf(col("repo"), nBuckets))
+      .withColumn("_salt", pmod(xxhash64(col("path")), lit(saltPartitions.toLong)))
+      .repartition(col("bucket"), col("_salt"))
+      .groupBy(col("bucket"), col("_salt"), col("repo"), col("path"))
+      .agg(max_by(struct(payload.map(col).toSeq: _*),
+        struct(col("commit"), col("lsn"))).as("_w"))
+      .select(col("bucket") +: col("repo") +: col("path") +:
+        payload.map(c => col(s"_w.$c").as(c)).toSeq: _*)
+  }
+
+  /** Apply one batch of change events.
+    *
+    * Classic mode LWW-dedups the batch and appends it as per-bucket delta
+    * files through ONE write-aligned exchange. L0 mode appends the batch
+    * with ZERO exchange: each input task's rows stream straight into an
+    * "L0" file spanning buckets (the LSM level-0 shape); [[flushL0]] /
+    * [[compact]] re-bucket them later, amortized — the per-batch full-
+    * content shuffle, the one memory-bandwidth-bound operation the scaling
+    * bench's stage accounting blames, disappears from the ingest path
+    * entirely. LWW idempotency keeps reads correct either way.
     *
     * @param fence   optional (queryId, epochId): skip as a no-op when the
     *                table has already committed this epoch (idempotent
     *                redelivery — reference's skip-if-populated rerun fence)
     * @param saltPartitions sub-splits per bucket for the shuffle-write of
     *                hot buckets (skew defusal, SURVEY.md §7.6)
+    * @param aliases renamed-upstream-field fallback: old→new column names
+    *                (reference tolerates `page_id` vs `pageid`,
+    *                `modules/transformation.py:133-136`) — an incoming old
+    *                name feeds the new column instead of spawning a phantom
     */
   def mergeBatch(
       table: LakeTable,
       batch: DataFrame,
       fence: Option[(String, Long)] = None,
       saltPartitions: Int = 4,
-      dedupOnWrite: Boolean = true
+      dedupOnWrite: Boolean = true,
+      l0Mode: Boolean = false,
+      aliases: Map[String, String] = Map.empty
   ): CommitStats = {
     val t0 = System.nanoTime()
     val (queryId, epochId) = fence.getOrElse(("adhoc", -1L))
@@ -99,41 +140,43 @@ object LakeMerge {
     val snap = table.snapshot
     val nBuckets = snap.numBuckets
 
+    // renamed-field fallback BEFORE evolution, so the old name can never
+    // spawn a phantom column alongside the real one
+    val renamed = aliases.foldLeft(batch) { case (df, (oldName, newName)) =>
+      if (df.columns.contains(oldName) && !df.columns.contains(newName))
+        df.withColumnRenamed(oldName, newName)
+      else df
+    }
+
     // additive / widening schema evolution driven by the incoming batch.
     // The table schema retains `op`: tombstones are stored (see
     // MergeEngine.apply scaladoc), filtered out by [[readState]].
-    val schemaId = table.evolveSchema(batch.schema)
+    val schemaId = table.evolveSchema(renamed.schema)
     val tableSchema = table.schema
 
-    // Write-aligned single shuffle: repartition by (bucket, salt) first;
-    // with dedupOnWrite the groupBy(bucket, salt, repo, path) REUSES that
-    // exchange (partitioning ⊂ grouping keys), so intra-batch LWW dedup and
-    // the file-layout shuffle are ONE exchange — each task holds exactly
-    // one (bucket, salt) group → one output file. Salt fans a hot bucket
-    // across tasks (SURVEY.md §7.6) without changing winners. The batch is
-    // aligned to the evolved table schema first (null-fill/cast for older
-    // producers). dedupOnWrite=false skips the aggregation and appends raw
-    // deltas (cheaper for near-duplicate-free streams; LWW still resolves
-    // identically at compaction/read — it is idempotent).
-    val aligned = batch.select(tableSchema.fields.map { f =>
-      (if (batch.columns.contains(f.name)) col(f.name) else lit(null))
+    // align to the evolved table schema (null-fill/cast for older producers)
+    val aligned = renamed.select(tableSchema.fields.map { f =>
+      (if (renamed.columns.contains(f.name)) col(f.name) else lit(null))
         .cast(f.dataType).as(f.name)
     }.toSeq: _*)
-      .withColumn("bucket", bucketOf(col("repo"), nBuckets))
-      .withColumn("_salt", pmod(xxhash64(col("path")), lit(saltPartitions.toLong)))
-      .repartition(col("bucket"), col("_salt"))
 
-    val payload = tableSchema.fieldNames.filterNot(MergeEngine.keyCols.contains)
-    val deltas =
-      if (!dedupOnWrite) aligned.drop("_salt")
-      else aligned
-        .groupBy(col("bucket"), col("_salt"), col("repo"), col("path"))
-        .agg(max_by(struct(payload.map(col).toSeq: _*),
-          struct(col("commit"), col("lsn"))).as("_w"))
-        .select(col("bucket") +: col("repo") +: col("path") +:
-          payload.map(c => col(s"_w.$c").as(c)).toSeq: _*)
+    // dedupOnWrite=false appends raw bucketed deltas without the
+    // aggregation (cheaper for near-duplicate-free streams; LWW still
+    // resolves identically at compaction/read — it is idempotent).
+    val (deltas, kind) =
+      if (l0Mode) (aligned, "l0")
+      else if (dedupOnWrite)
+        (lwwWriteShape(aligned, nBuckets, tableSchema.fieldNames.toSeq, saltPartitions), "delta")
+      else
+        (aligned
+          .withColumn("bucket", bucketOf(col("repo"), nBuckets))
+          .repartition(col("bucket"),
+            pmod(xxhash64(col("path")), lit(saltPartitions.toLong))), "delta")
 
-    val staged = table.stage(deltas, schemaId, kind = "delta")
+    val tStage = System.nanoTime()
+    val staged = table.stage(deltas, schemaId, kind = kind)
+    if (sys.env.contains("GRAFT_TRACE"))
+      System.err.println(f"""{"trace":"stage","sec":${(System.nanoTime() - tStage) / 1e9}%.2f,"pre_sec":${(tStage - t0) / 1e9}%.2f,"files":${staged.size}}""")
     // append commit: metadata written = one manifest for THIS batch's files
     // (O(batch)); every prior manifest is reused by reference
     val committed = table.appendCommit(
@@ -142,6 +185,7 @@ object LakeMerge {
       schemaId = Some(schemaId),
       summary = Map(
         "operation" -> "merge-append",
+        "mode" -> (if (l0Mode) "l0" else "bucketed"),
         "added-files" -> staged.size.toString
       )
     )
@@ -180,10 +224,22 @@ object LakeMerge {
   /** Fold deltas into base files for the buckets whose delta count exceeds
     * `ifDeltasAtLeast` (0 = always compact everything). Bounded read
     * amplification: after compaction a bucket is one LWW-resolved base file
-    * set again. Atomic: the new snapshot swaps in rewritten buckets only. */
+    * set again. Atomic: the new snapshot swaps in rewritten buckets only.
+    *
+    * With L0 files present, a FULL compaction (threshold 0) folds
+    * base ∪ deltas ∪ L0 in the SAME single exchange — L0 rows are
+    * re-bucketed in the pass that resolves them, never shuffled twice. A
+    * thresholded compaction never touches L0 (an L0 file spans buckets and
+    * can only be replaced whole); [[flushL0]] handles those. */
   def compact(table: LakeTable, ifDeltasAtLeast: Int = 0): Boolean = {
     val snap = table.snapshot
     val allFiles = table.filesOf(snap)
+    val hasL0 = allFiles.exists(_.kind == "l0")
+    if (ifDeltasAtLeast <= 0 && hasL0) {
+      // L0 rows may belong to ANY bucket: resolve every bucket + L0 at once
+      val buckets = (0 until snap.numBuckets).toSet + LakeTable.L0Bucket
+      return compactBuckets(table, snap, allFiles, buckets).compacted
+    }
     val deltasPerBucket = allFiles.filter(_.kind == "delta")
       .groupBy(_.bucket).view.mapValues(_.size).toMap
     if (deltasPerBucket.isEmpty) return false
@@ -192,6 +248,27 @@ object LakeMerge {
       else deltasPerBucket.filter(_._2 >= ifDeltasAtLeast).keySet
     if (buckets.isEmpty) return false
     compactBuckets(table, snap, allFiles, buckets).compacted
+  }
+
+  /** Re-bucket accumulated L0 files into ordinary per-bucket delta files —
+    * the amortized exchange the shuffle-free ingest path deferred. One
+    * write-aligned LWW pass over the L0 files only (never the table);
+    * atomic swap replaces exactly those files. Runs when at least
+    * `minFiles` L0 files have piled up (the L0 read-amplification bound:
+    * a resolved read opens at most that many bucket-spanning files). */
+  def flushL0(table: LakeTable, minFiles: Int = 1): Boolean = {
+    val snap = table.snapshot
+    val l0 = table.filesOf(snap).filter(_.kind == "l0")
+    if (l0.isEmpty || l0.size < math.max(1, minFiles)) return false
+    val merged = lwwWriteShape(table.readSubset(l0), snap.numBuckets,
+      snap.schema.fieldNames.toSeq, saltPartitions = 4)
+    val staged = table.stage(merged, snap.schemaId, kind = "delta")
+    table.rewriteCommit(Set(LakeTable.L0Bucket), l0.map(_.path).toSet, staged,
+      summary = Map(
+        "operation" -> "flush-l0",
+        "merged-files" -> l0.size.toString,
+        "added-files" -> staged.size.toString))
+    true
   }
 
   /** Size-tiered compaction policy: a bucket is due when its accumulated
@@ -273,17 +350,8 @@ object LakeMerge {
         // one job merges every minor bucket's selected deltas: LWW-dedup
         // within the selected files only, written back as ONE consolidated
         // delta per (bucket, salt) — same write-aligned single exchange
-        val schema = snap.schema
-        val payload = schema.fieldNames.filterNot(MergeEngine.keyCols.contains)
-        val merged = table.readSubset(minorFiles)
-          .withColumn("bucket", bucketOf(col("repo"), snap.numBuckets))
-          .withColumn("_salt", pmod(xxhash64(col("path")), lit(4L)))
-          .repartition(col("bucket"), col("_salt"))
-          .groupBy(col("bucket"), col("_salt"), col("repo"), col("path"))
-          .agg(max_by(struct(payload.map(col).toSeq: _*),
-            struct(col("commit"), col("lsn"))).as("_w"))
-          .select(col("bucket") +: col("repo") +: col("path") +:
-            payload.map(c => col(s"_w.$c").as(c)).toSeq: _*)
+        val merged = lwwWriteShape(table.readSubset(minorFiles),
+          snap.numBuckets, snap.schema.fieldNames.toSeq, saltPartitions = 4)
         val staged = table.stage(merged, snap.schemaId, kind = "delta")
         table.rewriteCommit(
           minorFiles.map(_.bucket).toSet,
@@ -322,18 +390,8 @@ object LakeMerge {
     // ordered at or below the watermark will ever arrive), so compaction
     // drops it — the only point tombstones may be physically removed
     // without risking resurrection.
-    val nBuckets = snap.numBuckets
-    val schema = snap.schema
-    val payload = schema.fieldNames.filterNot(MergeEngine.keyCols.contains)
-    val resolved = table.readBuckets(buckets)
-      .withColumn("bucket", bucketOf(col("repo"), nBuckets))
-      .withColumn("_salt", pmod(xxhash64(col("path")), lit(4L)))
-      .repartition(col("bucket"), col("_salt"))
-      .groupBy(col("bucket"), col("_salt"), col("repo"), col("path"))
-      .agg(max_by(struct(payload.map(col).toSeq: _*),
-        struct(col("commit"), col("lsn"))).as("_w"))
-      .select(col("bucket") +: col("repo") +: col("path") +:
-        payload.map(c => col(s"_w.$c").as(c)).toSeq: _*)
+    val resolved = lwwWriteShape(table.readBuckets(buckets),
+      snap.numBuckets, snap.schema.fieldNames.toSeq, saltPartitions = 4)
     val purged =
       if (snap.watermarkCommit == null) resolved
       else resolved.where(!(col("op") === "D" &&

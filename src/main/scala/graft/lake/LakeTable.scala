@@ -13,15 +13,20 @@ import org.apache.spark.sql.types._
 
 /** One data file tracked by a manifest. `bucket` = hash-bucket of `repo`
   * (the table's partition spec); parsed back from the written directory
-  * layout `.../bucket=<b>/part-*.parquet`. `kind` is "base" (compacted) or
-  * "delta" (merge-on-read append, resolved by LWW dedup at read time).
-  * `minLsn`/`maxLsn` are per-file column stats lifted from the parquet
-  * footer at stage time (when the schema has an `lsn` column) — the
-  * metadata layer's file-level pruning statistics, so an lsn-range scan
-  * never opens files outside the range (full range = stats unknown,
-  * never pruned). Rows within a file are clustered by (repo, path): the
-  * write-aligned merge emits SortAggregate output ordered on its grouping
-  * keys, which parquet page stats then exploit for point lookups. */
+  * layout `.../bucket=<b>/part-*.parquet`. `kind` is "base" (compacted),
+  * "delta" (merge-on-read append, resolved by LWW dedup at read time), or
+  * "l0" (shuffle-free append: the file was written straight from the input
+  * tasks WITHOUT the bucket exchange, so its rows SPAN buckets —
+  * `bucket` is the -1 sentinel; bucket-pruned reads must opt in with
+  * [[LakeTable.L0Bucket]] and row-filter). `minLsn`/`maxLsn` are per-file
+  * column stats lifted from the parquet footer at stage time (when the
+  * schema has an `lsn` column) — the metadata layer's file-level pruning
+  * statistics, so an lsn-range scan never opens files outside the range
+  * (full range = stats unknown, never pruned). `rows` is the footer row
+  * count (-1 if not collected). Rows within a bucketed file are clustered
+  * by (repo, path): the write-aligned merge emits SortAggregate output
+  * ordered on its grouping keys, which parquet page stats then exploit for
+  * point lookups. */
 final case class DataFileMeta(
     path: String,
     bucket: Int,
@@ -29,7 +34,8 @@ final case class DataFileMeta(
     schemaId: Int,
     kind: String = "base",
     minLsn: Long = Long.MinValue,
-    maxLsn: Long = Long.MaxValue
+    maxLsn: Long = Long.MaxValue,
+    rows: Long = -1L
 )
 
 /** A pinned, versioned schema (Spark DDL string). */
@@ -191,7 +197,12 @@ final class LakeTable private (val root: String, val spark: SparkSession) {
 
   /** Data files of a snapshot restricted to `buckets` — manifests whose
     * bucket stats don't intersect are never opened (manifest-level
-    * pruning), then file-level pruning inside the loaded ones. */
+    * pruning), then file-level pruning inside the loaded ones.
+    *
+    * L0 files are selected only when [[LakeTable.L0Bucket]] (-1) is in
+    * `buckets`: a resolved read of bucket b must pass `Set(b, L0Bucket)`
+    * (an L0 file may hold rows of ANY bucket), while a rewrite that
+    * replaces only bucketed files passes `Set(b)`. */
   def filesOf(snap: Snapshot, buckets: Set[Int]): Seq[DataFileMeta] =
     snap.manifests
       .filter(_.buckets.exists(buckets.contains))
@@ -212,10 +223,19 @@ final class LakeTable private (val root: String, val spark: SparkSession) {
   }
 
   /** Read only the given buckets (partition pruning via metadata — the scan
-    * never touches files, or manifests, of unaffected buckets). */
+    * never touches files, or manifests, of unaffected buckets). When the
+    * selection includes L0 files (bucket [[LakeTable.L0Bucket]] requested),
+    * their bucket-spanning rows are filtered back down to `buckets` with
+    * the table's partition expression — unless every bucket is requested,
+    * in which case the per-row filter would be a no-op and is skipped. */
   def readBuckets(buckets: Set[Int]): DataFrame = {
     val snap = snapshot
-    readFiles(snap, filesOf(snap, buckets))
+    val files = filesOf(snap, buckets)
+    val df = readFiles(snap, files)
+    val wantsAll = (0 until snap.numBuckets).forall(buckets.contains)
+    if (wantsAll || !files.exists(_.kind == "l0")) df
+    else df.where(LakeTable.bucketExpr(col("repo"), snap.numBuckets)
+      .isin(buckets.filter(_ >= 0).toSeq.map(Integer.valueOf): _*))
   }
 
   /** Time travel: read the table as of an older committed version. Data
@@ -261,16 +281,27 @@ final class LakeTable private (val root: String, val spark: SparkSession) {
 
   // --------------------------------------------------------------- writes
 
-  /** Stage a DataFrame as new data files partitioned by `bucket` (the column
-    * must exist and is not persisted into the files themselves — it becomes
-    * the directory). Returns the staged files; they are INVISIBLE until a
-    * subsequent commit references them through a manifest. */
+  /** Stage a DataFrame as new data files, INVISIBLE until a subsequent
+    * commit references them through a manifest.
+    *
+    * For bucketed kinds ("base"/"delta") the frame must carry a `bucket`
+    * column, which becomes the directory (not persisted into the files).
+    * For kind "l0" the frame is written AS PARTITIONED — no bucket column,
+    * no exchange of any sort: each input task streams straight into its own
+    * file (the LSM L0 shape). The files get the [[LakeTable.L0Bucket]]
+    * sentinel and are re-bucketed later by compaction. */
   def stage(df: DataFrame, schemaId: Int, kind: String = "base"): Seq[DataFileMeta] = {
     val commitUuid = UUID.randomUUID().toString
     val dir = Paths.get(root, "data", commitUuid)
-    df.write.partitionBy("bucket").parquet(dir.toString)
+    val tW = System.nanoTime()
+    if (kind == "l0") df.write.parquet(dir.toString)
+    else df.write.partitionBy("bucket").parquet(dir.toString)
+    if (sys.env.contains("GRAFT_TRACE"))
+      System.err.println(f"""{"trace":"write","sec":${(System.nanoTime() - tW) / 1e9}%.2f}""")
     val hasLsn = df.columns.contains("lsn")
-    val listed = listParquet(dir, schemaId).map(_.copy(kind = kind))
+    val listed0 = listParquet(dir, schemaId).map(_.copy(kind = kind))
+    val listed =
+      if (kind == "l0") listed0.map(_.copy(bucket = LakeTable.L0Bucket)) else listed0
     if (!hasLsn) listed
     else {
       // footer reads are independent ~ms-scale IO — collect them in
@@ -281,34 +312,36 @@ final class LakeTable private (val root: String, val spark: SparkSession) {
       Await.result(
         Future.traverse(listed) { f =>
           Future {
-            val (lo, hi) = lsnFooterStats(f.path)
-            f.copy(minLsn = lo, maxLsn = hi)
+            val (lo, hi, n) = lsnFooterStats(f.path)
+            f.copy(minLsn = lo, maxLsn = hi, rows = n)
           }
         }, 10.minutes)
     }
   }
 
-  /** Lift the lsn column's min/max from the parquet footer (one footer read
-    * per staged file — O(files added), never touches data pages). Unknown
-    * stats degrade to the full range (file never pruned). */
-  private def lsnFooterStats(path: String): (Long, Long) =
+  /** Lift the lsn column's min/max plus the file row count from the parquet
+    * footer (one footer read per staged file — O(files added), never
+    * touches data pages). Unknown stats degrade to the full range (file
+    * never pruned) and rows = -1. */
+  private def lsnFooterStats(path: String): (Long, Long, Long) =
     try {
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
         new org.apache.hadoop.fs.Path(path), spark.sparkContext.hadoopConfiguration)
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
       try {
         val blocks = reader.getFooter.getBlocks.asScala
+        val rowCount = blocks.map(_.getRowCount).sum
         val stats = blocks.flatMap(_.getColumns.asScala
           .find(_.getPath.toDotString == "lsn").map(_.getStatistics))
         if (stats.isEmpty || stats.exists(s => s == null || !s.hasNonNullValue))
-          (Long.MinValue, Long.MaxValue)
+          (Long.MinValue, Long.MaxValue, rowCount)
         else {
           val mins = stats.map(_.genericGetMin.asInstanceOf[Number].longValue())
           val maxs = stats.map(_.genericGetMax.asInstanceOf[Number].longValue())
-          (mins.min, maxs.max)
+          (mins.min, maxs.max, rowCount)
         }
       } finally reader.close()
-    } catch { case NonFatal(_) => (Long.MinValue, Long.MaxValue) }
+    } catch { case NonFatal(_) => (Long.MinValue, Long.MaxValue, -1L) }
 
   private def listParquet(dir: Path, schemaId: Int): Seq[DataFileMeta] = {
     val out = Seq.newBuilder[DataFileMeta]
@@ -660,6 +693,16 @@ final class LakeTable private (val root: String, val spark: SparkSession) {
 }
 
 object LakeTable {
+
+  /** Sentinel bucket id for L0 (unpartitioned, bucket-spanning) files. */
+  val L0Bucket: Int = -1
+
+  /** The table's partition function: hash-bucket of the key column. Owned
+    * here (not by the merge layer) because reads must apply the SAME
+    * expression to row-filter L0 files — one definition, no drift. */
+  def bucketExpr(keyCol: org.apache.spark.sql.Column, numBuckets: Int): org.apache.spark.sql.Column =
+    pmod(xxhash64(keyCol), lit(numBuckets.toLong)).cast("int")
+
   private[lake] val mapper: ObjectMapper = {
     val m = new ObjectMapper()
     m.registerModule(DefaultScalaModule)

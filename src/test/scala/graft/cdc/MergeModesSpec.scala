@@ -1,0 +1,108 @@
+package graft.cdc
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.lake.LakeTable
+
+/** L0 (shuffle-free append) mode equivalence + renamed-field fallback. */
+class MergeModesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val N = 6000L
+
+  private def state(t: LakeTable): Map[(String, String), String] =
+    LakeMerge.readState(t).select($"repo", $"path", sha2($"content", 256))
+      .as[(String, String, String)].collect()
+      .map(x => (x._1, x._2) -> x._3).toMap
+
+  private def oracle(): Map[(String, String), String] = {
+    val events = EventGen.events(spark, N, nRepos = 50, pathsPerRepo = 8)
+      .orderBy("lsn").as[ChangeEvent].collect().toSeq
+    MergeEngine.foldOracle(events).map { case (k, e) =>
+      k -> org.apache.commons.codec.digest.DigestUtils.sha256Hex(e.content)
+    }
+  }
+
+  test("L0 appends resolve identically to classic bucketed merges; flush + compact re-bucket them") {
+    val dir = tmpDir("l0")
+    val classic = LakeTable.create(spark, s"$dir/classic", CdcStream.binlogSchema, 8)
+    val l0 = LakeTable.create(spark, s"$dir/l0", CdcStream.binlogSchema, 8)
+    val per = N / 3
+    (0 until 3).foreach { b =>
+      val batch = EventGen.eventsRange(spark, b * per, (b + 1) * per,
+        nRepos = 50, pathsPerRepo = 8)
+      LakeMerge.mergeBatch(classic, batch, Some(("c", b.toLong)))
+      LakeMerge.mergeBatch(l0, batch, Some(("l", b.toLong)), l0Mode = true)
+    }
+    // L0 files really are unpartitioned appends: bucket sentinel, kind l0
+    val l0Files = l0.files.filter(_.kind == "l0")
+    assert(l0Files.nonEmpty && l0Files.forall(_.bucket == LakeTable.L0Bucket))
+    // pre-flush: resolved states already agree (LWW resolves at read)
+    assert(state(l0) == state(classic))
+    assert(state(l0) == oracle())
+    // L0 files carry footer lsn stats → lsn-range reads stay metadata-pruned
+    assert(l0Files.forall(f => f.minLsn != Long.MinValue && f.maxLsn != Long.MaxValue))
+    assert(l0.readLsnRange(0L, per - 1).count() == per)
+
+    // point lookup through the L0 overlay
+    val someRepo = LakeMerge.readState(classic).select($"repo").head().getString(0)
+    val viaPoint = LakeMerge.readRepo(l0, someRepo)
+      .select($"path", sha2($"content", 256)).as[(String, String)].collect().toMap
+    val viaFull = LakeMerge.readState(classic).where($"repo" === someRepo)
+      .select($"path", sha2($"content", 256)).as[(String, String)].collect().toMap
+    assert(viaPoint == viaFull && viaPoint.nonEmpty)
+
+    // flush: L0 files replaced by per-bucket deltas, state unchanged
+    assert(LakeMerge.flushL0(l0, minFiles = 1))
+    assert(!l0.files.exists(_.kind == "l0"))
+    assert(l0.files.count(_.kind == "delta") > 0)
+    assert(state(l0) == state(classic))
+
+    // and a fresh L0 table full-compacts (flush folded into the same pass)
+    val l0b = LakeTable.create(spark, s"$dir/l0b", CdcStream.binlogSchema, 8)
+    LakeMerge.mergeBatch(l0b, EventGen.events(spark, N, nRepos = 50, pathsPerRepo = 8),
+      Some(("x", 0L)), l0Mode = true)
+    assert(LakeMerge.compact(l0b))
+    assert(!l0b.files.exists(_.kind == "l0"))
+    assert(l0b.files.forall(_.kind == "base"))
+    assert(state(l0b) == oracle())
+  }
+
+  test("streaming replay in L0 mode converges to the fold oracle with mid-stream flushes") {
+    val dir = tmpDir("l0stream")
+    val binlog = s"$dir/binlog"
+    EventGen.writeBinlog(spark, binlog, N, segments = 6, nRepos = 50, pathsPerRepo = 8)
+    val table = LakeTable.create(spark, s"$dir/table", CdcStream.binlogSchema, 8)
+    val metrics = CdcStream.metricsTable(spark, s"$dir/metrics")
+    val q = CdcStream.start(spark, table, metrics, binlog, s"$dir/ckpt",
+      queryId = "l0-replay", maxFilesPerTrigger = 1, compactAtDeltas = 2,
+      l0Mode = true)
+    q.awaitTermination()
+    assert(state(table) == oracle())
+    // the flush trigger fired: L0 count stays bounded by the trigger
+    assert(table.files.count(_.kind == "l0") < 2)
+    assert(metrics.read().agg(sum($"batch_rows")).collect()(0).getLong(0) == N)
+  }
+
+  test("renamed-field fallback: an aliased old column feeds the new column, no phantom created") {
+    val dir = tmpDir("alias")
+    val table = LakeTable.create(spark, s"$dir/t", CdcStream.binlogSchema, 4)
+    // upstream renamed `lang` to `language` — alias map routes it back
+    val batch = Seq(("r1", "p1", "c1", 1L, "U", "scala", "body"))
+      .toDF("repo", "path", "commit", "lsn", "op", "language", "content")
+    LakeMerge.mergeBatch(table, batch, Some(("a", 0L)),
+      aliases = Map("language" -> "lang"))
+    assert(table.schema.fieldNames.toSet == CdcStream.binlogSchema.fieldNames.toSet,
+      "no phantom column from the renamed field")
+    val row = LakeMerge.readState(table).collect()(0)
+    assert(row.getAs[String]("lang") == "scala")
+
+    // an alias whose new name is ALSO present leaves the batch untouched
+    val batch2 = Seq(("r1", "p1", "c2", 2L, "U", "java", "go", "body2"))
+      .toDF("repo", "path", "commit", "lsn", "op", "lang", "language", "content")
+    LakeMerge.mergeBatch(table, batch2, Some(("a", 1L)),
+      aliases = Map("language" -> "lang"))
+    val row2 = LakeMerge.readState(table).orderBy(desc("lsn")).collect()(0)
+    assert(row2.getAs[String]("lang") == "java")
+  }
+}
