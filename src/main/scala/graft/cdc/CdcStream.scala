@@ -49,13 +49,18 @@ object CdcStream {
     StructField("wall_ms", LongType)
   ))
 
-  /** Dead-letter row: the rejected record (as JSON) + why. */
+  /** Dead-letter row: the rejected record (as JSON) + why. For undecodable
+    * JSON lines, `record_json` is the ORIGINAL raw line, verbatim. */
   val deadLetterSchema: StructType = StructType(Seq(
     StructField("query_id", StringType),
     StructField("epoch_id", LongType),
     StructField("reason", StringType),
     StructField("record_json", StringType)
   ))
+
+  /** Corrupt-record capture column for text-based binlog formats. Stripped
+    * before the merge (never becomes a table column). */
+  val CorruptCol = "_corrupt_record"
 
   /** Validation predicate: a record the merge can apply. Anything else is
     * routed to the dead-letter table instead of failing the stream — the
@@ -112,16 +117,22 @@ object CdcStream {
       l0Mode: Boolean = false
   ): StreamingQuery = {
     val reader = spark.readStream
-      .schema(binlogSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .option("ignoreCorruptFiles", ignoreCorruptFiles.toString)
     // binlog segment encodings: parquet (default) or JSON-lines (the common
-    // wire format of real CDC feeds, e.g. Debezium envelopes). JSON rows
-    // that fail to parse come back all-null (PERMISSIVE) and land in the
-    // dead-letter channel via the validity filter.
+    // wire format of real CDC feeds, e.g. Debezium envelopes). A JSON line
+    // that fails to parse comes back all-null (PERMISSIVE) with the
+    // ORIGINAL text captured in the corrupt-record column, so the
+    // dead-letter row preserves the undecodable evidence — the reference
+    // logs the raw content of undecodable records
+    // (modules/transformation.py:28-36, import_all.py:451-458).
     val src = format match {
-      case "parquet" => reader.parquet(binlogDir)
-      case "json" => reader.option("mode", "PERMISSIVE").json(binlogDir)
+      case "parquet" => reader.schema(binlogSchema).parquet(binlogDir)
+      case "json" => reader
+        .schema(binlogSchema.add(StructField(CorruptCol, StringType)))
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CorruptCol)
+        .json(binlogDir)
       case other => throw new IllegalArgumentException(s"unsupported binlog format: $other")
     }
 
@@ -189,8 +200,7 @@ object CdcStream {
       // the lineage row missing; the redelivered batch carries identical
       // content, so heal the sidecar from it before returning.
       if (metrics.fence(queryId) < batchId)
-        recordLineage(table, metrics, batch.where(isValid),
-          countBad(batch), queryId, batchId,
+        recordLineage(metrics, computeLineage(batch), queryId, batchId,
           CommitStats(applied = true, batchId, table.snapshot.snapshotId, 0, 0, 0),
           System.nanoTime())
       return CommitStats(applied = false, batchId, table.snapshot.snapshotId, 0, 0, 0)
@@ -198,18 +208,31 @@ object CdcStream {
     val t0 = System.nanoTime()
     batch.persist()
     try {
-      val good = batch.where(isValid)
-      val nBad = countBad(batch)
+      val good = batch.where(isValid).drop(CorruptCol)
+      // ONE pass over the persisted batch computes the whole lineage record
+      // (per-partition offsets, counts, bad records); at 10^10 events the
+      // per-epoch constant of extra full passes matters
+      val lineage = computeLineage(batch)
+      val nBad = lineage.badRecords
       if (nBad > 0) deadLetters.foreach { dl =>
         // dead-letter routing is fenced on its own table, so redelivery
         // cannot double-append
         if (dl.fence(queryId) < batchId) {
+          // undecodable source line → keep the ORIGINAL text as evidence;
+          // structurally-valid-but-invalid record → its fields as JSON
+          val hasCorrupt = batch.columns.contains(CorruptCol)
+          val parsedCols = struct(batch.columns.filterNot(_ == CorruptCol).map(col).toSeq: _*)
+          val (reason, recordJson) =
+            if (!hasCorrupt) (invalidReason, to_json(parsedCols))
+            else (
+              when(col(CorruptCol).isNotNull, "corrupt-record").otherwise(invalidReason),
+              coalesce(col(CorruptCol), to_json(parsedCols)))
           val rows = batch.where(!isValid)
             .select(
               lit(queryId).as("query_id"),
               lit(batchId).as("epoch_id"),
-              invalidReason.as("reason"),
-              to_json(struct(col("*"))).as("record_json"))
+              reason.as("reason"),
+              recordJson.as("record_json"))
             .withColumn("bucket", lit(0))
           val staged = dl.stage(rows, 0)
           dl.appendCommit(staged, fence = Some((queryId, batchId)),
@@ -243,7 +266,7 @@ object CdcStream {
         table.expireSnapshots(retainLast = expireRetain)
 
       if (stats.applied)
-        recordLineage(table, metrics, good, nBad, queryId, batchId, stats, t0)
+        recordLineage(metrics, lineage, queryId, batchId, stats, t0)
       stats
     } finally {
       batch.unpersist()
@@ -251,46 +274,70 @@ object CdcStream {
     }
   }
 
-  private def countBad(batch: DataFrame): Long =
-    batch.where(!isValid).count()
-
-  /** Compute and commit the lineage/metrics row for one epoch (§7.7):
-    * per-partition offset ranges, row counts, bad-record count, snapshot id
-    * — keyed by sha256(queryId-epochId) and fenced on the metrics table
-    * itself so the sidecar is exactly-once too. */
-  private def recordLineage(
-      table: LakeTable,
-      metrics: LakeTable,
-      good: DataFrame,
+  /** Everything the lineage row needs from the batch itself, computed by
+    * [[computeLineage]] in one job. */
+  private final case class LineageStats(
+      offsets: Seq[(Int, Long, Long, Long)], // (part, minLsn, maxLsn, rows)
+      rows: Long,
       badRecords: Long,
+      deletes: Long,
+      minLsn: Long,
+      maxLsn: Long)
+
+  /** ONE per-partition aggregation over the (persisted) batch yields the
+    * per-partition offset ranges AND every global count the lineage row
+    * records — the globals are decomposable, so they fold on the driver
+    * from the handful of per-partition rows instead of costing further
+    * passes (round 2 ran three extra full-batch actions per epoch here). */
+  private def computeLineage(batch: DataFrame): LineageStats = {
+    val valid = isValid
+    val perPart = batch
+      .groupBy(spark_partition_id().as("part"))
+      .agg(
+        count(when(valid, 1)).as("rows"),
+        count(when(!valid, 1)).as("bad"),
+        min(when(valid, col("lsn"))).as("minLsn"),
+        max(when(valid, col("lsn"))).as("maxLsn"),
+        count(when(valid && col("op") === "D", 1)).as("dels"))
+      .orderBy("part")
+      .collect()
+    val offsets = perPart.toSeq.filter(_.getAs[Long]("rows") > 0).map { r =>
+      (r.getAs[Int]("part"), r.getAs[Long]("minLsn"), r.getAs[Long]("maxLsn"),
+        r.getAs[Long]("rows"))
+    }
+    LineageStats(
+      offsets = offsets,
+      rows = perPart.map(_.getAs[Long]("rows")).sum,
+      badRecords = perPart.map(_.getAs[Long]("bad")).sum,
+      deletes = perPart.map(_.getAs[Long]("dels")).sum,
+      minLsn = if (offsets.isEmpty) -1L else offsets.map(_._2).min,
+      maxLsn = if (offsets.isEmpty) -1L else offsets.map(_._3).max)
+  }
+
+  /** Commit the lineage/metrics row for one epoch (§7.7): per-partition
+    * offset ranges, row counts, bad-record count, snapshot id — keyed by
+    * sha256(queryId-epochId) and fenced on the metrics table itself so the
+    * sidecar is exactly-once too. `distinct_keys` comes for free from the
+    * merge's staged-file row counts when the write deduped; -1 in L0/raw
+    * modes (the hot path refuses a second full pass — resolve from the
+    * table if needed). */
+  private def recordLineage(
+      metrics: LakeTable,
+      lineage: LineageStats,
       queryId: String,
       batchId: Long,
       stats: CommitStats,
       t0: Long
   ): Unit = {
-    val offs = good
-      .groupBy(spark_partition_id().as("part"))
-      .agg(min("lsn").as("minLsn"), max("lsn").as("maxLsn"), count(lit(1)).as("rows"))
-      .orderBy("part")
-      .collect()
-    val offsetsJson = offs.map { r =>
-      s"""{"part":${r.getInt(0)},"minLsn":${r.getLong(1)},"maxLsn":${r.getLong(2)},"rows":${r.getLong(3)}}"""
+    val offsetsJson = lineage.offsets.map { case (part, mn, mx, rows) =>
+      s"""{"part":$part,"minLsn":$mn,"maxLsn":$mx,"rows":$rows}"""
     }.mkString("[", ",", "]")
-    val agg = good.agg(
-      count(lit(1)).as("n"),
-      count_distinct(col("repo"), col("path")).as("keys"),
-      coalesce(sum(when(col("op") === "D", 1L).otherwise(0L)), lit(0L)).as("dels"),
-      coalesce(min("lsn"), lit(-1L)).as("mn"),
-      coalesce(max("lsn"), lit(-1L)).as("mx")
-    ).collect()(0)
-    val (n, keys, dels) = (agg.getLong(0), agg.getLong(1), agg.getLong(2))
-    val (mn, mx) = if (n == 0) (-1L, -1L) else (agg.getLong(3), agg.getLong(4))
-
-    val spark = good.sparkSession
+    val spark = metrics.spark
     import spark.implicits._
     val key = org.apache.commons.codec.digest.DigestUtils.sha256Hex(s"$queryId-$batchId")
-    val row = Seq((key, queryId, batchId, stats.snapshotId, n, keys, dels,
-      badRecords, stats.touchedBuckets.toLong, mn, mx, offsetsJson,
+    val row = Seq((key, queryId, batchId, stats.snapshotId, lineage.rows,
+      stats.distinctKeys, lineage.deletes, lineage.badRecords,
+      stats.touchedBuckets.toLong, lineage.minLsn, lineage.maxLsn, offsetsJson,
       (System.nanoTime() - t0) / 1000000L))
       .toDF(metricsSchema.fieldNames.toSeq: _*)
       .withColumn("bucket", lit(0))

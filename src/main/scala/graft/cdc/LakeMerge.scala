@@ -5,14 +5,19 @@ import org.apache.spark.sql.functions._
 
 import graft.lake.{DataFileMeta, LakeTable, Snapshot}
 
-/** Result of applying one batch onto the lake table. */
+/** Result of applying one batch onto the lake table. `distinctKeys` is the
+  * exact distinct (repo, path) count of the batch, read for FREE from the
+  * staged files' footer row counts when the merge deduped on write (each
+  * output row is one key); -1 when the write path didn't dedup (L0 / raw
+  * deltas) — unknown without an extra pass the hot path refuses to pay. */
 final case class CommitStats(
     applied: Boolean,
     epochId: Long,
     snapshotId: Long,
     batchBytes: Long,
     touchedBuckets: Int,
-    wallMs: Long
+    wallMs: Long,
+    distinctKeys: Long = -1L
 )
 
 /** Key-partitioned MERGE INTO of change-event batches onto a [[LakeTable]]
@@ -195,7 +200,11 @@ object LakeMerge {
       snapshotId = committed.snapshotId,
       batchBytes = staged.map(_.bytes).sum,
       touchedBuckets = staged.map(_.bucket).distinct.size,
-      wallMs = (System.nanoTime() - t0) / 1000000L
+      wallMs = (System.nanoTime() - t0) / 1000000L,
+      distinctKeys =
+        if (!l0Mode && dedupOnWrite && staged.forall(_.rows >= 0L))
+          staged.map(_.rows).sum
+        else -1L
     )
   }
 

@@ -7,26 +7,31 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata, processed by a per-partition typed pipeline.
   *
   * The Spark-side plumbing — schema, partition-batched iteration, typed
-  * output shape — is real and tested; the actual media decode is STUBBED
-  * (deterministic fake) because no image/audio codec libraries exist in this
-  * environment. Swap [[decodeStub]] for a real decoder to productionize.
+  * output shape — is real and tested. PNG decode is REAL (dependency-free
+  * [[Png]] codec over `java.util.zip`: chunk walk, CRC validation, zlib
+  * inflate). Other formats fall back to [[decodeStub]] — a deterministic
+  * fake, kept because no other codec libraries exist in this environment;
+  * swap it for a real decoder to productionize those formats.
   */
 object Multimodal {
 
-  /** Typed row for an extracted media feature record. */
+  /** Typed row for an extracted media feature record. `width`/`height`/
+    * `pixel_sum` are REAL for PNG inputs (parsed + inflated), stubbed
+    * otherwise. */
   final case class MediaFeatures(
       doc_id: Long,
       n_bytes: Long,
       format_sig: String,     // first-bytes signature (magic-number analog)
-      width: Int,             // STUB: deterministic fake dimensions
+      width: Int,
       height: Int,
-      embedding: Array[Float] // STUB: deterministic fake feature vector
+      pixel_sum: Long,        // sum of decoded pixel values (-1 for non-PNG)
+      embedding: Array[Float]
   )
 
-  /** ===== STUB DECODER =====
+  /** ===== STUB DECODER (non-PNG formats only) =====
     * Deterministic fake "decode + feature-extract" over raw media bytes.
-    * Real implementation would decode the image/audio frame here; the
-    * surrounding batching, schema, and partitioning stay identical. */
+    * Real implementation would decode the frame here; the surrounding
+    * batching, schema, and partitioning stay identical. */
   def decodeStub(docId: Long, bytes: Array[Byte]): MediaFeatures = {
     val n = bytes.length
     val sig = bytes.take(4).map(b => f"${b & 0xff}%02x").mkString
@@ -38,8 +43,27 @@ object Multimodal {
     MediaFeatures(docId, n.toLong, sig,
       width = (math.abs(h) % 1920).toInt + 1,
       height = (math.abs(h / 7) % 1080).toInt + 1,
+      pixel_sum = -1L,
       embedding = emb)
   }
+
+  /** Decode one media blob: real PNG parse when the magic matches (an
+    * INVALID png — bad CRC, truncation — degrades to the stub rather than
+    * failing the pipeline, mirroring the dead-letter philosophy), stub for
+    * everything else. */
+  def decode(docId: Long, bytes: Array[Byte]): MediaFeatures =
+    (if (Png.isPng(bytes)) Png.decode(bytes) else None) match {
+      case Some(img) =>
+        val sig = bytes.take(4).map(b => f"${b & 0xff}%02x").mkString
+        val px = img.width.toLong * img.height
+        MediaFeatures(docId, bytes.length.toLong, sig, img.width, img.height,
+          img.pixelSum,
+          embedding = Array(
+            img.pixelSum.toFloat / (255.0f * px), // mean brightness
+            img.width.toFloat / img.height,       // aspect ratio
+            px.toFloat, 0.0f))
+      case None => decodeStub(docId, bytes)
+    }
 
   /** Binary-column feature extraction: one decoder call per row, iterated
     * per partition (the batch shape a real codec wants — amortized init,
@@ -50,11 +74,34 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         // per-partition decoder init would go here (real codec handle)
-        it.map { case (id, bytes) => decodeStub(id, bytes) }
+        it.map { case (id, bytes) => decode(id, bytes) }
       }
   }
 
-  /** Demo pipeline used by the rows-only parity query: synthesize a binary
+  /** REAL image pipeline (q_multimodal_features): synthesize a valid PNG
+    * per document (dims + pixels deterministic functions of doc_id), then
+    * run the SAME binary-column extraction — dims and pixel sum come out of
+    * the actual chunk-walk + CRC-check + inflate, and the DuckDB oracle
+    * recomputes them from doc_id, so a mis-parse anywhere in the codec
+    * fails the value-level gate. */
+  def pngFeaturesOverDocuments(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").cast("long")).as[Long]
+      .repartition(16) // spread encode/decode work; real impl: by size class
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = (id % 40 + 1).toInt
+          val h = (id % 30 + 1).toInt
+          (id, Png.encode(w, h, (x, y) => ((x + y + id) % 256).toInt))
+        }
+      }.toDF("doc_id", "media")
+    extractFeatures(spark, media).toDF()
+      .select(col("doc_id"), col("format_sig"), col("width"), col("height"),
+        col("pixel_sum"))
+  }
+
+  /** Demo pipeline used by the byte-level parity query: synthesize a binary
     * media column from document text (UTF-8 bytes), then extract features.
     * Partitioned by a media-size-aware repartition so decode work spreads
     * evenly even when a few blobs are huge (the multimodal skew story). */

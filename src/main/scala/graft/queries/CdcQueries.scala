@@ -69,10 +69,6 @@ object CdcQueries {
         .orderBy(col("epoch_id"))
     }),
 
-    // Multimodal binary-column plumbing (stubbed decode, real schema/batching).
-    "q_multimodal_features" -> ((s, dir) =>
-      graft.ops.Multimodal.featuresOverDocuments(s, dir)),
-
     // Schema evolution through the lake: commit narrow batch, evolve, commit
     // wide batch, read reconciled (additive column + widened type).
     "q_schema_evolution" -> ((s, _) => {

@@ -171,6 +171,31 @@ object ReportQueries {
           col("m.mobile.good_origins").as("mobile_good"))
     }),
 
+    // Reference "technologies" LISTING shape (`modules/constants.py:292-309`):
+    // the aggregated technologies joined INNER to a descriptions dim on the
+    // technology name, SPLIT(category) carried as a JSON array, NULL-filled
+    // similar_technologies, ordered by origins DESC — the sixth and last
+    // reporting query of the reference's set. The descriptions dim is
+    // synthesized identically on both sides (distinct p_type → text).
+    "q_report_techlist" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val part = t(s, dir, "part")
+      val tech = li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand").as("category"), col("p_type").as("technology"))
+        .agg(count_distinct(col("l_orderkey")).as("origins"))
+      val descriptions = part.select(col("p_type").as("technology")).distinct()
+        .withColumn("description", concat(lit("All about "), col("technology")))
+      tech.join(broadcast(descriptions), Seq("technology"))
+        .select(
+          col("technology"),
+          col("description"),
+          col("category"),
+          to_json(split(col("category"), ",")).as("category_obj"),
+          lit(null).cast("string").as("similar_technologies"),
+          col("origins"))
+        .orderBy(desc("origins"), col("technology"), col("category"))
+    }),
+
     // Lenient datetime parsing: one format family per residue class; the
     // RFC-1123 weekday prefix is stripped by the engine (Spark 3+ cannot
     // parse EEE) and skipped by the oracle's format string.
@@ -274,6 +299,23 @@ object ReportQueries {
         |       max(CASE WHEN client = 'mobile' THEN origins END) AS mobile_origins,
         |       max(CASE WHEN client = 'mobile' THEN good_origins END) AS mobile_good
         |FROM pc GROUP BY 1""".stripMargin,
+
+    "q_report_techlist" ->
+      """WITH tech AS (
+        |  SELECT p.p_brand AS category, p.p_type AS technology,
+        |         count(DISTINCT l.l_orderkey) AS origins
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  GROUP BY 1, 2),
+        |descr AS (
+        |  SELECT DISTINCT p_type AS technology,
+        |         'All about ' || p_type AS description
+        |  FROM part)
+        |SELECT t.technology, d.description, t.category,
+        |       to_json(string_split(t.category, ',')) AS category_obj,
+        |       cast(NULL AS VARCHAR) AS similar_technologies,
+        |       t.origins
+        |FROM tech t JOIN descr d USING (technology)
+        |ORDER BY t.origins DESC, t.technology, t.category""".stripMargin,
 
     "q_datetime_epoch" ->
       """WITH x AS (

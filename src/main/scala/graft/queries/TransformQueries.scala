@@ -97,6 +97,13 @@ object TransformQueries {
         .select(col("doc_id"), col("n_bytes"), col("format_sig"))
     }),
 
+    // REAL image decode (round-3): per-doc synthesized valid PNGs decoded
+    // by the dependency-free codec — signature, chunk CRCs, IHDR dims,
+    // zlib-inflated pixel sum — all value-checked against DuckDB's
+    // recomputation from doc_id.
+    "q_multimodal_features" -> ((s, dir) =>
+      graft.ops.Multimodal.pngFeaturesOverDocuments(s, dir)),
+
     "q_wide_row" -> ((s, dir) => {
       val mimes = array(lit("text/html"), lit("text/css"),
         lit("application/javascript"), lit("image/png"))
@@ -151,6 +158,22 @@ object TransformQueries {
         |       cast(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |       lower(substr(hex(encode(text)), 1, 8)) AS format_sig
         |FROM documents""".stripMargin,
+
+    "q_multimodal_features" ->
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |         cast(doc_id % 40 + 1 AS INT) AS width,
+        |         cast(doc_id % 30 + 1 AS INT) AS height
+        |  FROM documents),
+        |px AS (
+        |  SELECT d.doc_id,
+        |         cast(sum((xs.range + ys.range + d.doc_id) % 256) AS BIGINT) AS pixel_sum
+        |  FROM dims d
+        |  JOIN range(0, 40) xs ON xs.range < d.width
+        |  JOIN range(0, 30) ys ON ys.range < d.height
+        |  GROUP BY 1)
+        |SELECT d.doc_id, '89504e47' AS format_sig, d.width, d.height, p.pixel_sum
+        |FROM dims d JOIN px p USING (doc_id)""".stripMargin,
 
     "q_wide_row" ->
       """WITH f AS (

@@ -81,8 +81,8 @@ class RobustnessSpec extends SparkSpec {
     part.forEachRemaining { p =>
       if (p.toString.endsWith(".json")) { Files.move(p, Paths.get(binlog, s"seg-$moved.json")); moved += 1 }
     }
-    Files.write(Paths.get(binlog, "seg-bad.json"),
-      "this is { not valid json\n".getBytes)
+    val badLine = "this is { not valid json"
+    Files.write(Paths.get(binlog, "seg-bad.json"), (badLine + "\n").getBytes)
 
     val table = LakeTable.create(spark, s"$dir/table", CdcStream.binlogSchema, numBuckets = 4)
     val metrics = CdcStream.metricsTable(spark, s"$dir/metrics")
@@ -99,8 +99,14 @@ class RobustnessSpec extends SparkSpec {
       .select($"repo", $"path", sha2($"content", 256))
       .as[(String, String, String)].collect().map(x => (x._1, x._2) -> x._3).toMap
     assert(got == oracle)
-    assert(dlq.read().count() == 1, "the malformed JSON line must dead-letter")
+    val dl = dlq.read().collect()
+    assert(dl.length == 1, "the malformed JSON line must dead-letter")
+    // forensic contract: the ORIGINAL undecodable line is preserved verbatim
+    assert(dl(0).getAs[String]("record_json") == badLine)
+    assert(dl(0).getAs[String]("reason") == "corrupt-record")
     assert(metrics.read().agg(sum($"bad_records")).collect()(0).getLong(0) == 1L)
+    // and the corrupt-capture column never leaks into the table schema
+    assert(!table.schema.fieldNames.contains(CdcStream.CorruptCol))
   }
 
   test("manifest-driven replay (S2): listed segments applied under sequential fenced epochs") {
