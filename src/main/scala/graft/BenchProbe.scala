@@ -85,6 +85,7 @@ object BenchProbe {
       nRepos = 20000, pathsPerRepo = 200, skew = 2.0, langFromLsn = n / 2)
     System.err.println(f"[probe] gen: ${(System.nanoTime() - t0) / 1e9}%.2f s")
 
+    val l0 = sys.env.contains("GRAFT_L0") // shuffle-free L0 append mode
     val table = LakeTable.create(spark, s"$dir/table", CdcStream.binlogSchema, buckets)
     val per = n / batches
     val tAll = System.nanoTime()
@@ -95,7 +96,7 @@ object BenchProbe {
       val batch = spark.read.schema(CdcStream.binlogSchema)
         .parquet(s"$dir/binlog")
         .where(col("lsn") >= lo && col("lsn") < hi)
-      val st = LakeMerge.mergeBatch(table, batch, Some(("probe", b.toLong)), salt)
+      val st = LakeMerge.mergeBatch(table, batch, Some(("probe", b.toLong)), salt, l0Mode = l0)
       System.err.println(f"[probe] batch $b: ${(System.nanoTime() - t0) / 1e9}%.2f s " +
         s"(buckets=${st.touchedBuckets}, files=${table.files.size})")
     }

@@ -84,6 +84,34 @@ class MergeModesSpec extends SparkSpec {
     assert(metrics.read().agg(sum($"batch_rows")).collect()(0).getLong(0) == N)
   }
 
+  test("L0 mode: kill/restart mid-stream from checkpoint reconverges byte-identically") {
+    val dir = tmpDir("l0restart")
+    val binlog = s"$dir/binlog"
+    EventGen.writeBinlog(spark, binlog, N, segments = 6, nRepos = 50, pathsPerRepo = 8)
+    val table = LakeTable.create(spark, s"$dir/table", CdcStream.binlogSchema, 8)
+    val metrics = CdcStream.metricsTable(spark, s"$dir/metrics")
+
+    val q1 = CdcStream.start(spark, table, metrics, binlog, s"$dir/ckpt",
+      queryId = "l0-restart", maxFilesPerTrigger = 1, availableNow = false,
+      compactAtDeltas = 2, l0Mode = true)
+    var waited = 0
+    while (table.fence("l0-restart") < 1L && waited < 300) { Thread.sleep(100); waited += 1 }
+    q1.stop() // hard stop mid-stream
+    assert(table.fence("l0-restart") >= 1L)
+
+    val q2 = CdcStream.start(spark, table, metrics, binlog, s"$dir/ckpt",
+      queryId = "l0-restart", maxFilesPerTrigger = 2,
+      compactAtDeltas = 2, l0Mode = true)
+    q2.awaitTermination()
+
+    assert(state(table) == oracle())
+    // lineage complete and exactly-once despite the kill
+    val m = metrics.read().where(col("query_id") === "l0-restart")
+      .orderBy("epoch_id").collect()
+    assert(m.map(_.getAs[Long]("epoch_id")).toSeq == (0L to table.fence("l0-restart")))
+    assert(m.map(_.getAs[Long]("batch_rows")).sum == N)
+  }
+
   test("renamed-field fallback: an aliased old column feeds the new column, no phantom created") {
     val dir = tmpDir("alias")
     val table = LakeTable.create(spark, s"$dir/t", CdcStream.binlogSchema, 4)
