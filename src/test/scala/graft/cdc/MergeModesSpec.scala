@@ -84,6 +84,28 @@ class MergeModesSpec extends SparkSpec {
     assert(metrics.read().agg(sum($"batch_rows")).collect()(0).getLong(0) == N)
   }
 
+  test("mixed-mode ingest: L0 and classic batches interleaved on ONE table still resolve to the oracle") {
+    val dir = tmpDir("l0mixed")
+    val table = LakeTable.create(spark, s"$dir/t", CdcStream.binlogSchema, 8)
+    val per = N / 4
+    (0 until 4).foreach { b =>
+      val batch = EventGen.eventsRange(spark, b * per, (b + 1) * per,
+        nRepos = 50, pathsPerRepo = 8)
+      // alternate shapes: the overlay algebra must not care how a batch landed
+      LakeMerge.mergeBatch(table, batch, Some(("m", b.toLong)), l0Mode = b % 2 == 0)
+    }
+    assert(table.files.exists(_.kind == "l0") && table.files.exists(_.kind == "delta"))
+    assert(state(table) == oracle())
+    // incremental changes read spans both shapes (all four are appends)
+    val changes = table.readChangesBetween(1, table.currentVersion)
+    assert(changes.count() >= 2 * per) // at least the two raw L0 batches
+    assert(MergeEngine.liveView(MergeEngine.dedupBatch(changes)).count() == oracle().size)
+    // full compaction folds both shapes in one pass
+    assert(LakeMerge.compact(table))
+    assert(table.files.forall(_.kind == "base"))
+    assert(state(table) == oracle())
+  }
+
   test("L0 mode: kill/restart mid-stream from checkpoint reconverges byte-identically") {
     val dir = tmpDir("l0restart")
     val binlog = s"$dir/binlog"
