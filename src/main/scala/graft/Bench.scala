@@ -134,8 +134,9 @@ object Bench {
     }
     val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "2").toInt
     val cpusN = s"0-${execN * coresPerExec - 1}"
-    def child(mode: String, execs: Int, mem: Int, pin: Option[String]): Double =
-      runChild(mode, binlog, scaleEvents, batches, execs, coresPerExec,
+    def child(mode: String, execs: Int, mem: Int, pin: Option[String],
+        events: Long = scaleEvents): Double =
+      runChild(mode, binlog, events, batches, execs, coresPerExec,
         mem, buckets, pin)
     def loadavg(): Double =
       try Files.readString(Paths.get("/proc/loadavg")).split(" ")(0).toDouble
@@ -156,6 +157,14 @@ object Bench {
         m -> Pair(child(m, execN, mem, Some(cpusN)), child(m, exec4N, mem, None))
       }.toMap
     }
+    // WEAK scaling (one back-to-back pair): data grows with the cluster —
+    // events/4 on N vs all events on 4N, both L0 mode (the production
+    // shape). Ideal = 1.0 (equal walls). Complements the strong-scaling
+    // pairs above: per-batch job constants that dominate toy-size strong
+    // scaling amortize away here.
+    val weakN = child("mergel0", execN, memMb, Some(cpusN), events = scaleEvents / 4)
+    val weak4N = child("mergel0", exec4N, memMb, None)
+    val effWeak = weakN / weak4N
     rmTree(binlog)
     def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
     def effOf(mode: String): (Double, Double, Seq[Double]) = {
@@ -218,7 +227,7 @@ object Bench {
     val pairsL0Json = pairEffsL0.sorted.map(e => f"$e%.3f").mkString("[", ",", "]")
     val loadsJson = loads.map(l => f"$l%.2f").mkString("[", ",", "]")
     val l0Block =
-      f""""l0":{"t_n":$tNL0%.2f,"t_4n":$t4NL0%.2f,"eps_n":$epsNL0%.0f,"eps_4n":$eps4NL0%.0f,"efficiency":$effL0%.3f,"efficiency_best_window":$effL0Best%.3f,"efficiency_pairs":$pairsL0Json}"""
+      f""""l0":{"t_n":$tNL0%.2f,"t_4n":$t4NL0%.2f,"eps_n":$epsNL0%.0f,"eps_4n":$eps4NL0%.0f,"efficiency":$effL0%.3f,"efficiency_best_window":$effL0Best%.3f,"efficiency_pairs":$pairsL0Json},"weak":{"t_n_quarter":$weakN%.2f,"t_4n_full":$weak4N%.2f,"efficiency":$effWeak%.3f}"""
     val scaling =
       f"""{"events":$scaleEvents,"mode":"local-cluster","executors_n":$execN,"executors_4n":$exec4N,"cores_per_executor":$coresPerExec,"t_n":$tN%.2f,"t_4n":$t4N%.2f,"eps_n":$epsN%.0f,"eps_4n":$eps4N%.0f,"efficiency":$eff%.3f,"efficiency_best_window":$effBest%.3f,"efficiency_pairs":$pairsJson,$l0Block,"cpu_ceiling":$cpuCeiling%.3f,"shuffle_ceiling":$shuffleCeiling%.3f,"efficiency_normalized":$effNorm%.3f,"loadavg_per_repeat":$loadsJson}"""
     println(

@@ -47,14 +47,15 @@ object Multimodal {
       embedding = emb)
   }
 
-  /** Decode one media blob: real PNG parse when the magic matches (an
-    * INVALID png — bad CRC, truncation — degrades to the stub rather than
-    * failing the pipeline, mirroring the dead-letter philosophy), stub for
-    * everything else. */
-  def decode(docId: Long, bytes: Array[Byte]): MediaFeatures =
-    (if (Png.isPng(bytes)) Png.decode(bytes) else None) match {
+  /** Decode one media blob: real PNG parse (dims + inflated pixel sum) or
+    * real JPEG marker walk (dims; entropy data not decoded → pixel_sum -1)
+    * when the magic matches. An INVALID image — bad CRC, truncation, lost
+    * marker sync — degrades to the stub rather than failing the pipeline,
+    * mirroring the dead-letter philosophy. Unknown formats: stub. */
+  def decode(docId: Long, bytes: Array[Byte]): MediaFeatures = {
+    def sig = bytes.take(4).map(b => f"${b & 0xff}%02x").mkString
+    if (Png.isPng(bytes)) Png.decode(bytes) match {
       case Some(img) =>
-        val sig = bytes.take(4).map(b => f"${b & 0xff}%02x").mkString
         val px = img.width.toLong * img.height
         MediaFeatures(docId, bytes.length.toLong, sig, img.width, img.height,
           img.pixelSum,
@@ -64,6 +65,14 @@ object Multimodal {
             px.toFloat, 0.0f))
       case None => decodeStub(docId, bytes)
     }
+    else if (Jpeg.isJpeg(bytes)) Jpeg.dims(bytes) match {
+      case Some((w, h)) =>
+        MediaFeatures(docId, bytes.length.toLong, sig, w, h, pixel_sum = -1L,
+          embedding = Array(0.0f, w.toFloat / h, w.toFloat * h, 1.0f))
+      case None => decodeStub(docId, bytes)
+    }
+    else decodeStub(docId, bytes)
+  }
 
   /** Binary-column feature extraction: one decoder call per row, iterated
     * per partition (the batch shape a real codec wants — amortized init,
@@ -78,12 +87,13 @@ object Multimodal {
       }
   }
 
-  /** REAL image pipeline (q_multimodal_features): synthesize a valid PNG
-    * per document (dims + pixels deterministic functions of doc_id), then
-    * run the SAME binary-column extraction — dims and pixel sum come out of
-    * the actual chunk-walk + CRC-check + inflate, and the DuckDB oracle
-    * recomputes them from doc_id, so a mis-parse anywhere in the codec
-    * fails the value-level gate. */
+  /** REAL image pipeline (q_multimodal_features): synthesize a valid image
+    * per document — PNG for even doc_ids, JPEG for odd (dims + pixels
+    * deterministic functions of doc_id) — then run the SAME binary-column
+    * extraction. PNG dims and pixel sum come out of the actual chunk walk +
+    * CRC check + inflate; JPEG dims out of the actual marker walk; the
+    * DuckDB oracle recomputes everything from doc_id, so a mis-parse
+    * anywhere in either codec fails the value-level gate. */
   def pngFeaturesOverDocuments(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val media = spark.read.parquet(s"$dir/documents.parquet")
@@ -93,7 +103,10 @@ object Multimodal {
         it.map { id =>
           val w = (id % 40 + 1).toInt
           val h = (id % 30 + 1).toInt
-          (id, Png.encode(w, h, (x, y) => ((x + y + id) % 256).toInt))
+          val blob =
+            if (id % 2 == 0) Png.encode(w, h, (x, y) => ((x + y + id) % 256).toInt)
+            else Jpeg.encodeSkeleton(w, h)
+          (id, blob)
         }
       }.toDF("doc_id", "media")
     extractFeatures(spark, media).toDF()

@@ -171,9 +171,13 @@ object TransformQueries {
         |  FROM dims d
         |  JOIN range(0, 40) xs ON xs.range < d.width
         |  JOIN range(0, 30) ys ON ys.range < d.height
+        |  WHERE d.doc_id % 2 = 0
         |  GROUP BY 1)
-        |SELECT d.doc_id, '89504e47' AS format_sig, d.width, d.height, p.pixel_sum
-        |FROM dims d JOIN px p USING (doc_id)""".stripMargin,
+        |SELECT d.doc_id,
+        |       CASE WHEN d.doc_id % 2 = 0 THEN '89504e47' ELSE 'ffd8ffe0' END AS format_sig,
+        |       d.width, d.height,
+        |       CASE WHEN d.doc_id % 2 = 0 THEN p.pixel_sum ELSE -1 END AS pixel_sum
+        |FROM dims d LEFT JOIN px p USING (doc_id)""".stripMargin,
 
     "q_wide_row" ->
       """WITH f AS (
