@@ -84,6 +84,39 @@ class MergeModesSpec extends SparkSpec {
     assert(metrics.read().agg(sum($"batch_rows")).collect()(0).getLong(0) == N)
   }
 
+  test("L0 + mid-stream schema evolution: pre-evolution L0 files reconcile under the widened schema") {
+    val dir = tmpDir("l0evolve")
+    val table = LakeTable.create(spark, s"$dir/t", CdcStream.binlogSchema, 8)
+    val langFrom = N / 2
+    val per = N / 4
+    (0 until 4).foreach { b =>
+      // first two batches have lang null; later ones carry values — the L0
+      // files of early batches stay pinned to their schemaId and must
+      // reconcile (null-fill) under the evolved read schema
+      val batch = EventGen.eventsRange(spark, b * per, (b + 1) * per,
+        nRepos = 50, pathsPerRepo = 8, langFromLsn = langFrom)
+        .withColumn("stars", when(lit(b) >= 2, col("lsn") % 5).otherwise(lit(null)).cast("int"))
+      val toMerge = if (b < 2) batch.drop("stars") else batch
+      LakeMerge.mergeBatch(table, toMerge, Some(("e", b.toLong)), l0Mode = true)
+    }
+    assert(table.schema.fieldNames.contains("stars"))
+    assert(state(table) == {
+      val events = EventGen.events(spark, N, nRepos = 50, pathsPerRepo = 8,
+        langFromLsn = langFrom).orderBy("lsn").as[ChangeEvent].collect().toSeq
+      MergeEngine.foldOracle(events).map { case (k, e) =>
+        k -> org.apache.commons.codec.digest.DigestUtils.sha256Hex(e.content) }
+    })
+    // winners from late batches carry stars; early-batch winners read null
+    val live = LakeMerge.readState(table)
+    assert(live.where(col("lsn") >= 2 * per && col("stars").isNull).count() == 0)
+    assert(live.where(col("lsn") < 2 * per).count() > 0)
+    assert(live.where(col("lsn") < 2 * per && col("stars").isNotNull).count() == 0)
+    // flush + full compact keep the evolved schema intact
+    assert(LakeMerge.compact(table))
+    assert(LakeMerge.readState(table).where(col("lsn") >= 2 * per)
+      .where(col("stars").isNull).count() == 0)
+  }
+
   test("mixed-mode ingest: L0 and classic batches interleaved on ONE table still resolve to the oracle") {
     val dir = tmpDir("l0mixed")
     val table = LakeTable.create(spark, s"$dir/t", CdcStream.binlogSchema, 8)
