@@ -99,4 +99,33 @@ class MergePropertiesSpec extends SparkSpec {
         got == oracle(events)
     }, 8)
   }
+
+  test("property: random per-batch ingest modes (L0 / classic / raw) all converge to the fold oracle") {
+    // the mode is a physical-layout choice; the LWW algebra must make it
+    // invisible — any interleaving of zero-exchange L0 appends, deduped
+    // bucketed deltas and raw (dedupOnWrite=false) deltas, with or without
+    // a final flush/compact, resolves identically
+    val genMode = Gen.chooseNum(0, 2)
+    checkProp(Prop.forAll(genEvents, Gen.chooseNum(1, 4),
+      Gen.listOfN(4, genMode), Gen.oneOf(true, false)) {
+      (events, nBatches, modes, doCompact) =>
+        val root = tmpDir("modes")
+        val table = graft.lake.LakeTable.create(spark, root,
+          CdcStream.binlogSchema, numBuckets = 2)
+        val batches = events.grouped(math.max(1, events.size / nBatches)).toSeq
+        batches.filter(_.nonEmpty).zipWithIndex.foreach { case (b, i) =>
+          modes(i % modes.size) match {
+            case 0 => LakeMerge.mergeBatch(table, b.toDF(), Some(("m", i.toLong)), l0Mode = true)
+            case 1 => LakeMerge.mergeBatch(table, b.toDF(), Some(("m", i.toLong)))
+            case _ => LakeMerge.mergeBatch(table, b.toDF(), Some(("m", i.toLong)), dedupOnWrite = false)
+          }
+        }
+        if (doCompact) { LakeMerge.flushL0(table); LakeMerge.compact(table); () }
+        val got = MergeEngine.liveView(LakeMerge.resolvedState(table))
+          .select($"repo", $"path", coalesce(sha2($"content", 256), lit("∅")))
+          .as[(String, String, String)].collect()
+          .map(t => (t._1, t._2) -> t._3).toMap
+        got == oracle(events)
+    }, 8)
+  }
 }
