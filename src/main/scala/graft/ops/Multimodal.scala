@@ -114,6 +114,46 @@ object Multimodal {
         col("pixel_sum"))
   }
 
+  /** Typed row for extracted AUDIO features (WAV/RIFF — the audio
+    * modality's real metadata decode). */
+  final case class AudioFeatures(
+      doc_id: Long,
+      n_bytes: Long,
+      format_sig: String,
+      sample_rate: Int,
+      channels: Int,
+      bits: Int,
+      n_samples: Long,  // per channel
+      sample_sum: Long) // exact sum of PCM16 samples (payload traversed)
+
+  /** REAL audio pipeline (q_multimodal_audio): synthesize a valid PCM16
+    * WAV per document (rate/channels/length/samples deterministic functions
+    * of doc_id), decode through the RIFF chunk walk, and emit fields the
+    * DuckDB oracle recomputes from doc_id — including the exact sample sum,
+    * so a mis-parse of framing, fmt fields OR payload fails the gate. */
+  def audioFeaturesOverDocuments(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").cast("long")).as[Long]
+      .repartition(16)
+      .mapPartitions { it =>
+        it.map { id =>
+          val rate = 8000 + (id % 8).toInt * 1000
+          val ch = 1 + (id % 2).toInt
+          val n = (id % 50 + 10).toInt
+          val bytes = Wav.encode(rate, ch, n,
+            i => (((i * 31L + id * 7L) % 4001L) - 2000L).toShort)
+          val sig = bytes.take(4).map(b => f"${b & 0xff}%02x").mkString
+          Wav.decode(bytes) match {
+            case Some(a) => AudioFeatures(id, bytes.length.toLong, sig,
+              a.sampleRate, a.channels, a.bitsPerSample, a.nSamples, a.sampleSum)
+            case None => AudioFeatures(id, bytes.length.toLong, "decode-failed",
+              -1, -1, -1, -1L, 0L)
+          }
+        }
+      }.toDF()
+  }
+
   /** Demo pipeline used by the byte-level parity query: synthesize a binary
     * media column from document text (UTF-8 bytes), then extract features.
     * Partitioned by a media-size-aware repartition so decode work spreads

@@ -97,6 +97,12 @@ object TransformQueries {
         .select(col("doc_id"), col("n_bytes"), col("format_sig"))
     }),
 
+    // REAL audio decode (round-3): per-doc synthesized valid PCM16 WAVs
+    // decoded by the dependency-free RIFF walk — framing, fmt fields AND
+    // the exact payload sample sum value-checked against DuckDB.
+    "q_multimodal_audio" -> ((s, dir) =>
+      graft.ops.Multimodal.audioFeaturesOverDocuments(s, dir)),
+
     // REAL image decode (round-3): per-doc synthesized valid PNGs decoded
     // by the dependency-free codec — signature, chunk CRCs, IHDR dims,
     // zlib-inflated pixel sum — all value-checked against DuckDB's
@@ -158,6 +164,26 @@ object TransformQueries {
         |       cast(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |       lower(substr(hex(encode(text)), 1, 8)) AS format_sig
         |FROM documents""".stripMargin,
+
+    "q_multimodal_audio" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |         cast(8000 + (doc_id % 8) * 1000 AS INT) AS sample_rate,
+        |         cast(1 + doc_id % 2 AS INT) AS channels,
+        |         doc_id % 50 + 10 AS n
+        |  FROM documents),
+        |s AS (
+        |  SELECT p.doc_id,
+        |         cast(sum((xs.range * 31 + p.doc_id * 7) % 4001 - 2000) AS BIGINT) AS sample_sum
+        |  FROM p JOIN range(0, 120) xs ON xs.range < p.n * p.channels
+        |  GROUP BY 1)
+        |SELECT p.doc_id,
+        |       cast(44 + p.n * p.channels * 2 AS BIGINT) AS n_bytes,
+        |       '52494646' AS format_sig,
+        |       p.sample_rate, p.channels, cast(16 AS INT) AS bits,
+        |       cast(p.n AS BIGINT) AS n_samples,
+        |       s.sample_sum
+        |FROM p JOIN s USING (doc_id)""".stripMargin,
 
     "q_multimodal_features" ->
       """WITH dims AS (
