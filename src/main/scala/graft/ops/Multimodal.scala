@@ -154,6 +154,47 @@ object Multimodal {
       }.toDF()
   }
 
+  /** Typed row for extracted VIDEO metadata (AVI/RIFF). */
+  final case class VideoFeatures(
+      doc_id: Long,
+      n_bytes: Long,
+      format_sig: String,
+      width: Int,
+      height: Int,
+      n_frames: Int,
+      fps1000: Long,
+      frame_byte_sum: Long)
+
+  /** REAL video-metadata pipeline (q_multimodal_video): synthesize a valid
+    * AVI skeleton per document (dims / frame count / frame period / pixel
+    * bytes deterministic functions of doc_id), decode through the RIFF/LIST
+    * walk, and emit fields DuckDB recomputes — including total byte length
+    * (checks the encoder's framing arithmetic) and the frame-payload byte
+    * sum (checks the decoder really traversed the movi stream). */
+  def videoFeaturesOverDocuments(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").cast("long")).as[Long]
+      .repartition(16)
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = (id % 16 + 4).toInt
+          val h = (id % 12 + 3).toInt
+          val nf = (id % 6 + 2).toInt
+          val us = ((id % 4 + 1) * 20000).toInt
+          val bytes = Avi.encode(w, h, nf, us,
+            (f, j) => ((id + f * 7L + j * 3L) % 256L).toByte)
+          val sig = bytes.take(4).map(b => f"${b & 0xff}%02x").mkString
+          Avi.decode(bytes) match {
+            case Some(v) => VideoFeatures(id, bytes.length.toLong, sig,
+              v.width, v.height, v.nFrames, v.fps1000, v.frameByteSum)
+            case None => VideoFeatures(id, bytes.length.toLong, "decode-failed",
+              -1, -1, -1, -1L, 0L)
+          }
+        }
+      }.toDF()
+  }
+
   /** Demo pipeline used by the byte-level parity query: synthesize a binary
     * media column from document text (UTF-8 bytes), then extract features.
     * Partitioned by a media-size-aware repartition so decode work spreads

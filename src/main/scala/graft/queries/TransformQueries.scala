@@ -103,6 +103,13 @@ object TransformQueries {
     "q_multimodal_audio" -> ((s, dir) =>
       graft.ops.Multimodal.audioFeaturesOverDocuments(s, dir)),
 
+    // REAL video-metadata decode (round-3): per-doc synthesized AVI
+    // skeletons decoded by the dependency-free RIFF/LIST walk — avih
+    // fields, frame accounting and the movi payload byte sum all
+    // value-checked against DuckDB.
+    "q_multimodal_video" -> ((s, dir) =>
+      graft.ops.Multimodal.videoFeaturesOverDocuments(s, dir)),
+
     // REAL image decode (round-3): per-doc synthesized valid PNGs decoded
     // by the dependency-free codec — signature, chunk CRCs, IHDR dims,
     // zlib-inflated pixel sum — all value-checked against DuckDB's
@@ -183,6 +190,31 @@ object TransformQueries {
         |       p.sample_rate, p.channels, cast(16 AS INT) AS bits,
         |       cast(p.n AS BIGINT) AS n_samples,
         |       s.sample_sum
+        |FROM p JOIN s USING (doc_id)""".stripMargin,
+
+    "q_multimodal_video" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |         cast(doc_id % 16 + 4 AS INT) AS width,
+        |         cast(doc_id % 12 + 3 AS INT) AS height,
+        |         cast(doc_id % 6 + 2 AS INT) AS n_frames,
+        |         (doc_id % 4 + 1) * 20000 AS us
+        |  FROM documents),
+        |s AS (
+        |  SELECT p.doc_id,
+        |         cast(sum((p.doc_id + fs.range * 7 + js.range * 3) % 256) AS BIGINT) AS frame_byte_sum
+        |  FROM p
+        |  JOIN range(0, 8) fs ON fs.range < p.n_frames
+        |  JOIN range(0, 300) js ON js.range < p.width * p.height
+        |  GROUP BY 1)
+        |SELECT p.doc_id,
+        |       cast(12 + 76 + 12 +
+        |            p.n_frames * (8 + p.width * p.height + (p.width * p.height) % 2)
+        |            AS BIGINT) AS n_bytes,
+        |       '52494646' AS format_sig,
+        |       p.width, p.height, p.n_frames,
+        |       cast(1000000000 // p.us AS BIGINT) AS fps1000,
+        |       s.frame_byte_sum
         |FROM p JOIN s USING (doc_id)""".stripMargin,
 
     "q_multimodal_features" ->
