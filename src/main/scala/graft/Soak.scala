@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.cdc.{CdcStream, EventGen, LakeMerge}
+import graft.lake.LakeTable
+
+/** Large-scale equivalence soak: replay the SAME binlog through two fully
+  * independent engine paths and require identical resolved state —
+  *
+  *  - streaming L0 ingest (foreachBatch, zero-exchange appends, mid-stream
+  *    flushes, tiered compaction, auto-expiry) and
+  *  - direct classic batched merges (write-aligned deduped deltas + one
+  *    final full compaction),
+  *
+  * compared by an order-free sha256 checksum computed distributively (no
+  * driver-side fold, so this scales to event counts the unit tests can't).
+  * The small-N fold oracle (Demo/specs) anchors correctness; this anchors
+  * the two physical layouts against EACH OTHER at volume.
+  *
+  * `sbt "runMain graft.Soak [events] [workdir]"` — ~5 min at the 20M
+  * default on 32 cores. Exits non-zero on divergence.
+  */
+object Soak {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toLong else 20000000L
+    val dir = if (args.length > 1) args(1)
+      else java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(sys.env.getOrElse("GRAFT_BENCH_TMP", "/dev/shm")),
+        "graft-soak").toString
+    val spark = SparkSession.builder()
+      .master(s"local[${Runtime.getRuntime.availableProcessors()}]")
+      .appName("graft-soak")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.files.maxPartitionBytes", (16 * 1024 * 1024).toString)
+      .config("spark.local.dir", s"${sys.env.getOrElse("GRAFT_BENCH_TMP", "/dev/shm")}/graft-spark-local")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def log(s: String): Unit = println(s"[soak] $s")
+    def t[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      log(f"$label: ${(System.nanoTime() - t0) / 1e9}%.1f s"); r
+    }
+
+    log(s"events=$n workdir=$dir")
+    t("generate") {
+      EventGen.writeBinlog(spark, s"$dir/binlog", n, segments = 128,
+        nRepos = 50000, pathsPerRepo = 100, skew = 2.0, langFromLsn = n / 2)
+    }
+
+    // path A: streaming L0 with flush + tiered compaction + auto-expiry
+    val l0 = LakeTable.create(spark, s"$dir/l0", CdcStream.binlogSchema, 64)
+    val metrics = CdcStream.metricsTable(spark, s"$dir/metrics")
+    t("stream-l0 replay") {
+      CdcStream.start(spark, l0, metrics, s"$dir/binlog", s"$dir/ckpt",
+        queryId = "soak", maxFilesPerTrigger = 16, compactAtDeltas = 4,
+        expireEvery = 3, expireRetain = 3, l0Mode = true)
+        .awaitTermination()
+    }
+
+    // path B: direct classic batched merges, different batch boundaries
+    val classic = LakeTable.create(spark, s"$dir/classic", CdcStream.binlogSchema, 64)
+    t("classic replay") {
+      val batches = 5
+      val per = n / batches
+      (0 until batches).foreach { b =>
+        val hi = if (b == batches - 1) n else (b + 1) * per
+        val batch = spark.read.schema(CdcStream.binlogSchema)
+          .parquet(s"$dir/binlog")
+          .where(col("lsn") >= b * per && col("lsn") < hi)
+        LakeMerge.mergeBatch(classic, batch, Some(("soak-c", b.toLong)))
+      }
+      LakeMerge.compact(classic)
+    }
+
+    def checksum(table: LakeTable): (Long, String) = {
+      val st = LakeMerge.readState(table)
+        .select(sha2(concat_ws("|", col("repo"), col("path"),
+          sha2(coalesce(col("content"), lit("")), 256),
+          coalesce(col("lang"), lit("∅"))), 256).as("h"))
+      val r = st.agg(
+        count(lit(1)).as("n"),
+        sum(conv(substring(col("h"), 1, 15), 16, 10).cast("decimal(38,0)")).as("sum"))
+        .collect()(0)
+      (r.getLong(0), r.getDecimal(1).toString)
+    }
+    val (rowsA, sumA) = t("checksum l0")(checksum(l0))
+    val (rowsB, sumB) = t("checksum classic")(checksum(classic))
+    log(s"l0:      rows=$rowsA checksum=$sumA (files=${l0.files.size})")
+    log(s"classic: rows=$rowsB checksum=$sumB (files=${classic.files.size})")
+    assert(rowsA == rowsB && sumA == sumB,
+      "DIVERGENCE between L0 streaming and classic batched replay")
+    val lineageRows = metrics.read().agg(sum(col("batch_rows"))).collect()(0).getLong(0)
+    assert(lineageRows == n, s"lineage accounted $lineageRows of $n events")
+    log(s"lineage accounts all $n events across ${metrics.read().count()} epochs")
+    log("SOAK OK")
+    graft.util.Fs.rmTree(java.nio.file.Paths.get(dir))
+    spark.stop()
+  }
+}
