@@ -7,11 +7,13 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata, processed by a per-partition typed pipeline.
   *
   * The Spark-side plumbing — schema, partition-batched iteration, typed
-  * output shape — is real and tested. PNG decode is REAL (dependency-free
-  * [[Png]] codec over `java.util.zip`: chunk walk, CRC validation, zlib
-  * inflate). Other formats fall back to [[decodeStub]] — a deterministic
-  * fake, kept because no other codec libraries exist in this environment;
-  * swap it for a real decoder to productionize those formats.
+  * output shape — is real and tested, and so are the decoders: PNG
+  * (dependency-free [[Png]] codec over `java.util.zip`: chunk walk, CRC
+  * validation, zlib inflate), GIF ([[Gif]]: real variable-width LZW),
+  * BMP ([[Bmp]]: palette + stride matrix read), JPEG dims ([[Jpeg]] marker
+  * walk), WAV ([[Wav]] RIFF walk) and AVI metadata ([[Avi]]). Bytes with
+  * no recognized magic fall back to [[decodeStub]] — a deterministic fake
+  * standing in for codecs that don't exist in this environment.
   */
 object Multimodal {
 
@@ -47,28 +49,38 @@ object Multimodal {
       embedding = emb)
   }
 
-  /** Decode one media blob: real PNG parse (dims + inflated pixel sum) or
-    * real JPEG marker walk (dims; entropy data not decoded → pixel_sum -1)
-    * when the magic matches. An INVALID image — bad CRC, truncation, lost
-    * marker sync — degrades to the stub rather than failing the pipeline,
-    * mirroring the dead-letter philosophy. Unknown formats: stub. */
+  /** Decode one media blob: real PNG parse (dims + inflated pixel sum),
+    * real GIF LZW decompression (dims + palette-mapped pixel sum), real BMP
+    * matrix read (dims + stride-honoring pixel sum), or real JPEG marker
+    * walk (dims; entropy data not decoded → pixel_sum -1) when the magic
+    * matches. An INVALID image — bad CRC, truncation, lost marker sync —
+    * degrades to the stub rather than failing the pipeline, mirroring the
+    * dead-letter philosophy. Unknown formats: stub. */
   def decode(docId: Long, bytes: Array[Byte]): MediaFeatures = {
     def sig = bytes.take(4).map(b => f"${b & 0xff}%02x").mkString
+    def decoded(w: Int, h: Int, pixelSum: Long): MediaFeatures = {
+      val px = w.toLong * h
+      MediaFeatures(docId, bytes.length.toLong, sig, w, h, pixelSum,
+        embedding = Array(
+          if (pixelSum >= 0) pixelSum.toFloat / (255.0f * px) else 0.0f, // mean brightness
+          w.toFloat / h,                                                 // aspect ratio
+          px.toFloat,
+          if (pixelSum >= 0) 0.0f else 1.0f))
+    }
     if (Png.isPng(bytes)) Png.decode(bytes) match {
-      case Some(img) =>
-        val px = img.width.toLong * img.height
-        MediaFeatures(docId, bytes.length.toLong, sig, img.width, img.height,
-          img.pixelSum,
-          embedding = Array(
-            img.pixelSum.toFloat / (255.0f * px), // mean brightness
-            img.width.toFloat / img.height,       // aspect ratio
-            px.toFloat, 0.0f))
+      case Some(img) => decoded(img.width, img.height, img.pixelSum)
+      case None => decodeStub(docId, bytes)
+    }
+    else if (Gif.isGif(bytes)) Gif.decode(bytes) match {
+      case Some(img) => decoded(img.width, img.height, img.pixelSum)
+      case None => decodeStub(docId, bytes)
+    }
+    else if (Bmp.isBmp(bytes)) Bmp.decode(bytes) match {
+      case Some(img) => decoded(img.width, img.height, img.pixelSum)
       case None => decodeStub(docId, bytes)
     }
     else if (Jpeg.isJpeg(bytes)) Jpeg.dims(bytes) match {
-      case Some((w, h)) =>
-        MediaFeatures(docId, bytes.length.toLong, sig, w, h, pixel_sum = -1L,
-          embedding = Array(0.0f, w.toFloat / h, w.toFloat * h, 1.0f))
+      case Some((w, h)) => decoded(w, h, pixelSum = -1L)
       case None => decodeStub(docId, bytes)
     }
     else decodeStub(docId, bytes)
@@ -88,13 +100,15 @@ object Multimodal {
   }
 
   /** REAL image pipeline (q_multimodal_features): synthesize a valid image
-    * per document — PNG for even doc_ids, JPEG for odd (dims + pixels
-    * deterministic functions of doc_id) — then run the SAME binary-column
+    * per document — PNG / JPEG / GIF / BMP by doc_id % 4, dims + pixels
+    * deterministic functions of doc_id — then run the SAME binary-column
     * extraction. PNG dims and pixel sum come out of the actual chunk walk +
-    * CRC check + inflate; JPEG dims out of the actual marker walk; the
-    * DuckDB oracle recomputes everything from doc_id, so a mis-parse
-    * anywhere in either codec fails the value-level gate. */
-  def pngFeaturesOverDocuments(spark: SparkSession, dir: String): DataFrame = {
+    * CRC check + inflate; GIF's out of real LZW decompression; BMP's out of
+    * the stride-honoring palette matrix read; JPEG dims out of the actual
+    * marker walk. The DuckDB oracle recomputes everything from doc_id
+    * (including BMP's file-size-bearing signature bytes), so a mis-parse
+    * anywhere in any codec fails the value-level gate. */
+  def imageFeaturesOverDocuments(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val media = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id").cast("long")).as[Long]
@@ -103,9 +117,13 @@ object Multimodal {
         it.map { id =>
           val w = (id % 40 + 1).toInt
           val h = (id % 30 + 1).toInt
-          val blob =
-            if (id % 2 == 0) Png.encode(w, h, (x, y) => ((x + y + id) % 256).toInt)
-            else Jpeg.encodeSkeleton(w, h)
+          def pix(x: Int, y: Int): Int = ((x + y + id) % 256).toInt
+          val blob = (id % 4) match {
+            case 0 => Png.encode(w, h, pix)
+            case 1 => Jpeg.encodeSkeleton(w, h)
+            case 2 => Gif.encode(w, h, pix)
+            case _ => Bmp.encode(w, h, pix)
+          }
           (id, blob)
         }
       }.toDF("doc_id", "media")

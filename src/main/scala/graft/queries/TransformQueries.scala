@@ -110,12 +110,14 @@ object TransformQueries {
     "q_multimodal_video" -> ((s, dir) =>
       graft.ops.Multimodal.videoFeaturesOverDocuments(s, dir)),
 
-    // REAL image decode (round-3): per-doc synthesized valid PNGs decoded
-    // by the dependency-free codec — signature, chunk CRCs, IHDR dims,
-    // zlib-inflated pixel sum — all value-checked against DuckDB's
-    // recomputation from doc_id.
+    // REAL image decode (round-3): per-doc synthesized valid images —
+    // PNG / JPEG / GIF / BMP by doc_id % 4 — decoded by the dependency-free
+    // codecs: PNG chunk walk + CRC + zlib inflate, GIF real LZW
+    // decompression, BMP palette/stride matrix read, JPEG marker walk.
+    // Dims and pixel sums (and BMP's file-size-bearing signature bytes)
+    // all value-checked against DuckDB's recomputation from doc_id.
     "q_multimodal_features" -> ((s, dir) =>
-      graft.ops.Multimodal.pngFeaturesOverDocuments(s, dir)),
+      graft.ops.Multimodal.imageFeaturesOverDocuments(s, dir)),
 
     "q_wide_row" -> ((s, dir) => {
       val mimes = array(lit("text/html"), lit("text/css"),
@@ -221,7 +223,8 @@ object TransformQueries {
       """WITH dims AS (
         |  SELECT doc_id,
         |         cast(doc_id % 40 + 1 AS INT) AS width,
-        |         cast(doc_id % 30 + 1 AS INT) AS height
+        |         cast(doc_id % 30 + 1 AS INT) AS height,
+        |         doc_id % 4 AS fmt
         |  FROM documents),
         |px AS (
         |  SELECT d.doc_id,
@@ -229,13 +232,26 @@ object TransformQueries {
         |  FROM dims d
         |  JOIN range(0, 40) xs ON xs.range < d.width
         |  JOIN range(0, 30) ys ON ys.range < d.height
-        |  WHERE d.doc_id % 2 = 0
-        |  GROUP BY 1)
+        |  WHERE d.fmt <> 1
+        |  GROUP BY 1),
+        |sz AS ( -- BMP file size: headers + palette + padded rows (LE bytes 3-4 of the sig)
+        |  SELECT doc_id,
+        |         14 + 40 + 1024 + ((width + 3) // 4) * 4 * height AS bmp_size
+        |  FROM dims)
         |SELECT d.doc_id,
-        |       CASE WHEN d.doc_id % 2 = 0 THEN '89504e47' ELSE 'ffd8ffe0' END AS format_sig,
+        |       CASE d.fmt
+        |         WHEN 0 THEN '89504e47'
+        |         WHEN 1 THEN 'ffd8ffe0'
+        |         WHEN 2 THEN '47494638'
+        |         ELSE '424d' ||
+        |              substr('0123456789abcdef', cast(s.bmp_size % 256 AS INT) // 16 + 1, 1) ||
+        |              substr('0123456789abcdef', cast(s.bmp_size % 16 AS INT) + 1, 1) ||
+        |              substr('0123456789abcdef', cast((s.bmp_size // 256) % 256 AS INT) // 16 + 1, 1) ||
+        |              substr('0123456789abcdef', cast((s.bmp_size // 256) % 16 AS INT) + 1, 1)
+        |       END AS format_sig,
         |       d.width, d.height,
-        |       CASE WHEN d.doc_id % 2 = 0 THEN p.pixel_sum ELSE -1 END AS pixel_sum
-        |FROM dims d LEFT JOIN px p USING (doc_id)""".stripMargin,
+        |       CASE WHEN d.fmt <> 1 THEN p.pixel_sum ELSE -1 END AS pixel_sum
+        |FROM dims d LEFT JOIN px p USING (doc_id) JOIN sz s USING (doc_id)""".stripMargin,
 
     "q_wide_row" ->
       """WITH f AS (
