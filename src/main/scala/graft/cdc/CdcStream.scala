@@ -198,11 +198,22 @@ object CdcStream {
       // Redelivered epoch — exactly-once no-op for the DATA. But a crash in
       // the window between the data commit and the metrics commit leaves
       // the lineage row missing; the redelivered batch carries identical
-      // content, so heal the sidecar from it before returning.
-      if (metrics.fence(queryId) < batchId)
+      // content, so heal the sidecar from it before returning. The commit
+      // that originally fenced this epoch supplies the facts the batch
+      // can't: its snapshot id and the deduped distinct-key count (from the
+      // merge-append summary) — so healed rows are indistinguishable from
+      // never-crashed ones (unless that history has already been expired).
+      if (metrics.fence(queryId) < batchId) {
+        val fenced = table.commitForFence(queryId, batchId)
         recordLineage(metrics, computeLineage(batch), queryId, batchId,
-          CommitStats(applied = true, batchId, table.snapshot.snapshotId, 0, 0, 0),
+          CommitStats(applied = true, batchId,
+            fenced.map(_.snapshotId).getOrElse(table.snapshot.snapshotId), 0, 0, 0,
+            distinctKeys = fenced
+              .flatMap(_.summary.get("distinct-keys"))
+              .flatMap(s => scala.util.Try(s.toLong).toOption)
+              .getOrElse(-1L)),
           System.nanoTime())
+      }
       return CommitStats(applied = false, batchId, table.snapshot.snapshotId, 0, 0, 0)
     }
     val t0 = System.nanoTime()

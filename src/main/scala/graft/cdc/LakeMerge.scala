@@ -182,6 +182,14 @@ object LakeMerge {
     val staged = table.stage(deltas, schemaId, kind = kind)
     if (sys.env.contains("GRAFT_TRACE"))
       System.err.println(f"""{"trace":"stage","sec":${(System.nanoTime() - tStage) / 1e9}%.2f,"pre_sec":${(tStage - t0) / 1e9}%.2f,"files":${staged.size}}""")
+    // deduped writes know the batch's distinct-key count for free from the
+    // staged-file row counts; -1 in L0/raw modes. Recorded in the commit
+    // summary so lineage healing after a crash between the data and metrics
+    // commits can recover the exact value without re-deduplicating.
+    val dk =
+      if (!l0Mode && dedupOnWrite && staged.forall(_.rows >= 0L))
+        staged.map(_.rows).sum
+      else -1L
     // append commit: metadata written = one manifest for THIS batch's files
     // (O(batch)); every prior manifest is reused by reference
     val committed = table.appendCommit(
@@ -191,7 +199,8 @@ object LakeMerge {
       summary = Map(
         "operation" -> "merge-append",
         "mode" -> (if (l0Mode) "l0" else "bucketed"),
-        "added-files" -> staged.size.toString
+        "added-files" -> staged.size.toString,
+        "distinct-keys" -> dk.toString
       )
     )
     CommitStats(
@@ -201,10 +210,7 @@ object LakeMerge {
       batchBytes = staged.map(_.bytes).sum,
       touchedBuckets = staged.map(_.bucket).distinct.size,
       wallMs = (System.nanoTime() - t0) / 1000000L,
-      distinctKeys =
-        if (!l0Mode && dedupOnWrite && staged.forall(_.rows >= 0L))
-          staged.map(_.rows).sum
-        else -1L
+      distinctKeys = dk
     )
   }
 

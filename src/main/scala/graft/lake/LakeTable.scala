@@ -188,6 +188,34 @@ final class LakeTable private (val root: String, val spark: SparkSession) {
   /** Last committed epoch for a streaming query, or -1. */
   def fence(queryId: String): Long = snapshot.fences.getOrElse(queryId, -1L)
 
+  /** The snapshot of the commit that advanced `queryId`'s fence to `epoch` —
+    * the lowest still-unexpired version whose fence equals it (later
+    * compaction/metadata commits carry the fence forward unchanged). None if
+    * the epoch never committed or its history has been expired. Used by
+    * lineage healing to recover per-epoch commit facts (summary fields,
+    * snapshot id) after a crash between the data and metrics commits. */
+  def commitForFence(queryId: String, epoch: Long): Option[Snapshot] = {
+    var v = currentVersion
+    var found: Option[Snapshot] = None
+    var walking = true
+    while (walking && v >= 1) {
+      val snapOpt =
+        try Some(snapshotAt(v))
+        catch { case NonFatal(_) => None } // expired below this point
+      snapOpt match {
+        case None => walking = false
+        case Some(sn) =>
+          val f = sn.fences.getOrElse(queryId, -1L)
+          if (f < epoch) walking = false
+          else {
+            if (f == epoch) found = Some(sn)
+            v -= 1
+          }
+      }
+    }
+    found
+  }
+
   /** All data files of the current snapshot (loads + caches manifests). */
   def files: Seq[DataFileMeta] = filesOf(snapshot)
 

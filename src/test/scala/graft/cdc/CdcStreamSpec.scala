@@ -79,6 +79,41 @@ class CdcStreamSpec extends SparkSpec {
     assert(tableState(table) == state1)
   }
 
+  test("lineage healed after a data/metrics crash carries the EXACT distinct-key count") {
+    val dir = tmpDir("cdcheal")
+    val table = LakeTable.create(spark, s"$dir/table", CdcStream.binlogSchema,
+      numBuckets = 4)
+    val metrics = CdcStream.metricsTable(spark, s"$dir/metrics")
+    val batch = EventGen.events(spark, 1000L, nRepos = 20, pathsPerRepo = 5)
+    val expectedKeys = batch.select("repo", "path").distinct().count()
+
+    // simulate a crash BETWEEN the data commit and the metrics commit:
+    // the data merge lands (fence advances) but no lineage row is written
+    val s0 = LakeMerge.mergeBatch(table, batch, Some(("q", 0L)))
+    assert(s0.applied && s0.distinctKeys == expectedKeys)
+    assert(metrics.fence("q") == -1L)
+
+    // redelivery heals the sidecar — and must recover the original commit's
+    // snapshot id and distinct-key count from the fenced commit's summary,
+    // not write the -1 "unknown" marker
+    val s1 = CdcStream.applyBatch(table, metrics, batch, "q", 0L)
+    assert(!s1.applied, "data must stay fenced")
+    val row = metrics.read().where($"query_id" === "q" && $"epoch_id" === 0L).collect()
+    assert(row.length == 1, "healed lineage row missing")
+    assert(row(0).getAs[Long]("distinct_keys") == expectedKeys)
+    assert(row(0).getAs[Long]("snapshot_id") == s0.snapshotId,
+      "healed row must carry the ORIGINAL data commit's snapshot id")
+    assert(row(0).getAs[Long]("batch_rows") == 1000L)
+
+    // the lookup walks through later commits that carry the fence forward
+    val s2 = CdcStream.applyBatch(table, metrics, batch, "q", 1L)
+    assert(s2.applied)
+    assert(table.commitForFence("q", 0L).map(_.snapshotId).contains(s0.snapshotId))
+    assert(table.commitForFence("q", 1L).map(_.snapshotId).contains(s2.snapshotId))
+    assert(table.commitForFence("q", 5L).isEmpty, "never-committed epoch")
+    assert(table.commitForFence("other", 0L).isEmpty, "unknown query id")
+  }
+
   test("incremental ingest: segments landing after a drain are applied by the next run") {
     val dir = tmpDir("cdcincr")
     val binlog = s"$dir/binlog"
@@ -183,5 +218,9 @@ class CdcStreamSpec extends SparkSpec {
       s"lineage epochs not contiguous: $epochs")
     assert(m.map(_.getAs[Long]("batch_rows")).sum == N,
       "lineage row counts must account for every event exactly once")
+    // classic (deduped) mode knows distinct keys for EVERY epoch — healed
+    // rows recover the exact count from the fenced commit's summary
+    assert(m.forall(_.getAs[Long]("distinct_keys") >= 0L),
+      "no -1 'unknown' distinct_keys markers in classic mode, even healed")
   }
 }
