@@ -404,11 +404,19 @@ object LakeMerge {
     // table's replay low-watermark can never be needed again (no event
     // ordered at or below the watermark will ever arrive), so compaction
     // drops it — the only point tombstones may be physically removed
-    // without risking resurrection.
+    // without risking resurrection. EXCEPT while unflushed L0 files sit
+    // outside this compaction's resolution set: an L0 file can hold an
+    // already-delivered OLDER row for a key this pass resolves (L0 files
+    // span buckets, so per-bucket majors never read them); dropping the
+    // tombstone here would resurrect that row at the next resolved read.
+    // The purge simply waits for a pass that sees everything (full compact,
+    // or any major after the L0 set has been flushed).
+    val l0Outside = !buckets.contains(LakeTable.L0Bucket) &&
+      allFiles.exists(_.kind == "l0")
     val resolved = lwwWriteShape(table.readBuckets(buckets),
       snap.numBuckets, snap.schema.fieldNames.toSeq, saltPartitions = 4)
     val purged =
-      if (snap.watermarkCommit == null) resolved
+      if (snap.watermarkCommit == null || l0Outside) resolved
       else resolved.where(!(col("op") === "D" &&
         (col("commit") < lit(snap.watermarkCommit) ||
           (col("commit") === lit(snap.watermarkCommit) &&

@@ -178,8 +178,20 @@ final class LakeTable private (val root: String, val spark: SparkSession) {
     }
     raw.copy(
       fences = fixedFences,
-      // pre-round-3 snapshot JSON lacks these fields (Jackson → null)
-      opKind = if (raw.opKind == null) "metadata" else raw.opKind,
+      // pre-round-3 snapshot JSON lacks these fields (Jackson fills the
+      // case-class default "metadata" / null). Legacy commits carry their
+      // kind only in the free-form summary, so infer it there — otherwise
+      // changelog readers would silently skip every append a pre-upgrade
+      // engine wrote (and miss its rollbacks). Unambiguous: every current
+      // commit site stamps a structural kind, so a NEW-format "metadata"
+      // snapshot can never carry an append/rollback operation summary.
+      opKind =
+        if (raw.opKind != null && raw.opKind != "metadata") raw.opKind
+        else raw.summary.get("operation") match {
+          case Some(op) if LakeTable.legacyAppendOps.contains(op) => "append"
+          case Some("rollback") => "rollback"
+          case _ => "metadata"
+        },
       properties = if (raw.properties == null) Map.empty else raw.properties)
   }
 
@@ -724,6 +736,12 @@ object LakeTable {
 
   /** Sentinel bucket id for L0 (unpartitioned, bucket-spanning) files. */
   val L0Bucket: Int = -1
+
+  /** Operation summaries that meant "rows were appended" before snapshots
+    * carried a structural opKind (pre-round-3 metadata JSON) — used only to
+    * back-fill `opKind` when deserializing legacy snapshots. */
+  private[lake] val legacyAppendOps: Set[String] =
+    Set("merge-append", "append", "dead-letter", "append-metrics")
 
   /** The table's partition function: hash-bucket of the key column. Owned
     * here (not by the merge layer) because reads must apply the SAME

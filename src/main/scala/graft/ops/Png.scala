@@ -117,7 +117,10 @@ object Png {
       var off = 0
       while (off < raw.length && !inflater.finished()) {
         val n = inflater.inflate(raw, off, raw.length - off)
-        if (n == 0 && inflater.needsInput()) return None // truncated stream
+        // zero progress without completion = truncated stream OR a zlib
+        // header demanding a preset dictionary (needsDictionary) — either
+        // way the loop can never advance, so reject instead of spinning
+        if (n == 0 && !inflater.finished()) return None
         off += n
       }
       inflater.end()

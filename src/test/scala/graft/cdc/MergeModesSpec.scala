@@ -167,6 +167,43 @@ class MergeModesSpec extends SparkSpec {
     assert(m.map(_.getAs[Long]("batch_rows")).sum == N)
   }
 
+  test("per-bucket major compaction must NOT purge watermarked tombstones while unflushed L0 files exist") {
+    // Regression: a tombstone in a bucketed delta shadows an OLDER
+    // already-delivered row sitting in an unflushed L0 file. A per-bucket
+    // major (which never reads bucket-spanning L0 files) used to purge the
+    // tombstone once it fell below the watermark — resurrecting the old row
+    // at the next resolved read. The purge must wait until no L0 file is
+    // outside the compaction's resolution set.
+    val dir = tmpDir("l0purge")
+    val table = LakeTable.create(spark, s"$dir/t", CdcStream.binlogSchema, 2)
+    def ev(commit: String, lsn: Long, op: String, content: String) =
+      ChangeEvent("r1", "p1", commit, lsn, op, "scala", content)
+
+    // newer DELETE lands first, through the classic path (bucketed delta)
+    LakeMerge.mergeBatch(table,
+      Seq(ev("c002", 10L, "D", "")).toDF(), Some(("q", 0L)))
+    // older UPSERT arrives late, through the zero-exchange L0 path
+    LakeMerge.mergeBatch(table,
+      Seq(ev("c001", 5L, "U", "old-body")).toDF(), Some(("q", 1L)), l0Mode = true)
+    assert(state(table).isEmpty, "tombstone must shadow the older L0 row")
+
+    // both events are now below the watermark; a major fires on the
+    // tombstone's bucket while the L0 file is still unflushed
+    LakeMerge.setWatermark(table, "c002", 10L)
+    LakeMerge.compactTiered(table, sizeRatio = 0.0, maxDeltaFiles = 1)
+    assert(table.files.exists(_.kind == "l0"), "L0 file must still be unflushed")
+    assert(state(table).isEmpty,
+      "purging the tombstone with an L0 row outstanding resurrects a deleted key")
+
+    // once everything is in one resolution set, the purge happens and the
+    // live view is STILL correct
+    LakeMerge.compact(table) // full: folds base ∪ deltas ∪ L0 together
+    assert(!table.files.exists(_.kind == "l0"))
+    assert(LakeMerge.resolvedState(table).where(col("op") === "D").count() == 0,
+      "full compaction purges the watermarked tombstone")
+    assert(state(table).isEmpty)
+  }
+
   test("renamed-field fallback: an aliased old column feeds the new column, no phantom created") {
     val dir = tmpDir("alias")
     val table = LakeTable.create(spark, s"$dir/t", CdcStream.binlogSchema, 4)

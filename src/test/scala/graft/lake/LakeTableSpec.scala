@@ -347,6 +347,32 @@ class LakeTableSpec extends SparkSpec {
       .select("content").collect().map(_.getString(0)).toSet == Set("c"))
   }
 
+  test("legacy snapshots (no opKind field) infer their kind from the operation summary") {
+    // a pre-upgrade engine wrote snapshot JSON without opKind; changelog
+    // readers must still see its appends instead of silently skipping them
+    val root = tmpDir("lake")
+    val t = LakeTable.create(spark, root, baseSchema, numBuckets = 2)
+    val df = Seq(("r1", "p", "c001", 1L, null: String, "body"))
+      .toDF(baseSchema.fieldNames.toSeq: _*).withColumn("bucket", lit(0))
+    val v = t.appendCommit(t.stage(df, 0, kind = "delta"),
+      summary = Map("operation" -> "merge-append")).version
+    // strip the structural fields from the committed JSON, as if written
+    // by the pre-round-3 format
+    import java.nio.file.{Files, Paths}
+    val metaFile = Paths.get(root, "metadata", s"v$v.metadata.json")
+    val legacy = Files.readString(metaFile)
+      .replaceAll("""(?s),\s*"opKind"\s*:\s*"[^"]*"""", "")
+      .replaceAll("""(?s),\s*"properties"\s*:\s*\{.*?\}""", "")
+    assert(!legacy.contains("opKind"), "test setup must strip the field")
+    Files.writeString(metaFile, legacy)
+
+    assert(t.snapshotAt(v).opKind == "append",
+      "merge-append summary must back-fill opKind")
+    val changes = t.readChangesBetween(v - 1, v)
+      .select("content").collect().map(_.getString(0)).toSet
+    assert(changes == Set("body"), "legacy append must surface as a change")
+  }
+
   test("readChangesBetween fails loudly when the range spans a rollback") {
     val root = tmpDir("lake")
     val t = LakeTable.create(spark, root, baseSchema, numBuckets = 2)

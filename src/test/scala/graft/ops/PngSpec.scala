@@ -34,6 +34,25 @@ class PngSpec extends AnyFunSuite {
     assert(!Png.isPng("text".getBytes))
   }
 
+  test("a zlib stream demanding a preset dictionary is rejected, not spun on") {
+    // CRC-valid chunks around an IDAT whose zlib header sets FDICT
+    // (0x78 0xBB: check bits valid, dictionary bit on): Inflater makes no
+    // progress (needsDictionary) — decode must return None, never hang
+    def chunk(kind: String, data: Array[Byte]): Array[Byte] = {
+      val tag = kind.getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32(); crc.update(tag); crc.update(data)
+      java.nio.ByteBuffer.allocate(12 + data.length)
+        .putInt(data.length).put(tag).put(data).putInt(crc.getValue.toInt).array()
+    }
+    val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    val ihdr = java.nio.ByteBuffer.allocate(13).putInt(2).putInt(2)
+      .put(8.toByte).put(0.toByte).put(0.toByte).put(0.toByte).put(0.toByte).array()
+    val fdictIdat = Array(0x78, 0xbb, 0x01, 0x02, 0x03, 0x04, 0x05).map(_.toByte)
+    val png = sig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", fdictIdat) ++
+      chunk("IEND", Array.emptyByteArray)
+    assert(Png.decode(png).isEmpty)
+  }
+
   test("Multimodal.decode: real features for PNG, stub fallback otherwise") {
     val png = Png.encode(10, 4, (x, y) => 100)
     val f = Multimodal.decode(7L, png)
