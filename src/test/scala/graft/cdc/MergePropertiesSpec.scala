@@ -100,6 +100,48 @@ class MergePropertiesSpec extends SparkSpec {
     }, 8)
   }
 
+  test("property: watermarked purge under mixed L0/classic ingest and per-bucket majors stays invisible") {
+    // the L0 variant of the purge property: history arrives through an
+    // arbitrary mix of zero-exchange L0 appends and classic deltas (so
+    // older rows can sit in bucket-spanning L0 files), the watermark
+    // advances, per-bucket majors fire (the path that CANNOT see L0 files
+    // and therefore must withhold the purge while any are unflushed), and
+    // the future events then arrive. The live view must still equal the
+    // fold oracle of ALL events — the round-3 resurrection regression,
+    // generalized.
+    // biased toward the dangerous corner: watermark near the top (most
+    // events are purgeable history) and majors usually firing while L0
+    // files are still unflushed — verified to catch the unguarded purge
+    checkProp(Prop.forAll(genEvents, Gen.chooseNum(4, 6), Gen.chooseNum(0L, 1000000L),
+      Gen.listOfN(4, Gen.oneOf(true, false)),
+      Gen.frequency(5 -> false, 1 -> true)) {
+      (events, wCommitN, wLsn, l0Flags, flushBeforeMajor) =>
+        val wCommit = f"c$wCommitN%03d"
+        val (history, future) = events.partition(e =>
+          e.commit < wCommit || (e.commit == wCommit && e.lsn <= wLsn))
+        val root = tmpDir("wml0")
+        val table = graft.lake.LakeTable.create(spark, root,
+          CdcStream.binlogSchema, numBuckets = 2)
+        val batches = history.grouped(
+          math.max(1, history.size / l0Flags.size)).toSeq.filter(_.nonEmpty)
+        batches.zipWithIndex.foreach { case (b, i) =>
+          LakeMerge.mergeBatch(table, b.toDF(), Some(("w", i.toLong)),
+            l0Mode = l0Flags(i % l0Flags.size))
+        }
+        LakeMerge.setWatermark(table, wCommit, wLsn)
+        if (flushBeforeMajor) { LakeMerge.flushL0(table); () }
+        // per-bucket majors on every delta-holding bucket; L0 excluded
+        LakeMerge.compactTiered(table, sizeRatio = 0.0, maxDeltaFiles = 1)
+        if (future.nonEmpty)
+          LakeMerge.mergeBatch(table, future.toDF(), Some(("w", 100L)))
+        val got = MergeEngine.liveView(LakeMerge.resolvedState(table))
+          .select($"repo", $"path", coalesce(sha2($"content", 256), lit("∅")))
+          .as[(String, String, String)].collect()
+          .map(t => (t._1, t._2) -> t._3).toMap
+        got == oracle(events)
+    }, 8)
+  }
+
   test("property: random per-batch ingest modes (L0 / classic / raw) all converge to the fold oracle") {
     // the mode is a physical-layout choice; the LWW algebra must make it
     // invisible — any interleaving of zero-exchange L0 appends, deduped
