@@ -29,12 +29,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ DedupQueries.queries ++ TextQueries.queries ++
       SimilarityQueries.queries ++ CdcQueries.queries ++ ReportQueries.queries ++
-      TransformQueries.queries
+      TransformQueries.queries ++ WindowQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     CoreQueries.oracleSql ++ DedupQueries.oracleSql ++ TextQueries.oracleSql ++
       SimilarityQueries.oracleSql ++ CdcQueries.oracleSql ++ ReportQueries.oracleSql ++
-      TransformQueries.oracleSql
+      TransformQueries.oracleSql ++ WindowQueries.oracleSql
 }
