@@ -31,6 +31,75 @@ object SimilarityQueries {
       when(element_at(emb, b + 1) > 0.0f, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  // ---------------------------------------------------------------- IVF
+
+  /** Deterministic k-means centroid training (Lloyd), the IVF coarse
+    * quantizer. Idiomatic Spark shape: the corpus stays distributed, the k
+    * centroids are collected and re-broadcast each iteration (k·dim is
+    * driver-tiny at any corpus scale; at 100 TB you train on a sample and
+    * the assignment below is the full-data pass). Seeds are the k
+    * lowest-vec_id corpus vectors, so training is reproducible. */
+  def trainCentroids(corpus: DataFrame, k: Int, iters: Int): Seq[(Int, Seq[Double])] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    var cents: Seq[(Int, Seq[Double])] = corpus.orderBy(col("vec_id")).limit(k)
+      .select(col("embedding")).as[Seq[Float]].collect()
+      .toSeq.zipWithIndex.map { case (e, i) => (i, e.map(_.toDouble)) }
+    (0 until iters).foreach { _ =>
+      val cdf = cents.toDF("cid", "centroid")
+      val assigned = assignCells(corpus, cdf)
+      val updated = assigned
+        .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("cid"), col("pos")).agg(avg(col("v")).as("m"))
+        .groupBy(col("cid"))
+        .agg(transform(sort_array(collect_list(struct(col("pos"), col("m")))),
+          x => x.getField("m")).as("centroid"))
+        .as[(Int, Seq[Double])].collect().toMap
+      // empty cells keep their old centroid (standard Lloyd fallback)
+      cents = cents.map { case (cid, old) => (cid, updated.getOrElse(cid, old)) }
+    }
+    cents
+  }
+
+  /** Assign every corpus vector to its nearest centroid (max cosine) — the
+    * inverted file. One broadcast nested-loop over k tiny centroids, then
+    * an argmax per row; no shuffle of the corpus at all. */
+  def assignCells(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(centroids))
+      .withColumn("sim_c", cosine(col("embedding"), col("centroid")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("sim_c").desc, col("cid").asc)
+    scored.withColumn("rk_c", row_number().over(w)).where(col("rk_c") === 1)
+      .drop("rk_c", "sim_c", "centroid")
+  }
+
+  /** IVF search: rank cells per query by centroid similarity, probe the top
+    * `nprobe`, score only vectors in probed cells. At nprobe = k this MUST
+    * return exactly the brute-force top-k (the oracled invariant); at
+    * nprobe < k it is the scale path — candidate volume drops to
+    * ~nprobe/k of the corpus, and the probe join is an equi-join on cid. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame,
+      centroids: DataFrame, nprobe: Int, topK: Int): DataFrame = {
+    val cells = assignCells(corpus, centroids) // (vec_id, embedding, cid)
+    val probes = {
+      val scored = queries.crossJoin(broadcast(centroids))
+        .withColumn("sim_c", cosine(col("q_emb"), col("centroid")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("sim_c").desc, col("cid").asc)
+      scored.withColumn("rk_c", row_number().over(w)).where(col("rk_c") <= nprobe)
+        .select(col("query_id"), col("q_emb"), col("cid"))
+    }
+    val scored = cells.join(broadcast(probes), Seq("cid"))
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("q_emb"), col("embedding")).as("sim_raw"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("sim_raw").desc, col("vec_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= topK)
+      .select(col("query_id"), col("vec_id"), round(col("sim_raw"), 4).as("sim"), col("rk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force cosine top-10 per query vector (query = vec_id < 5,
     // corpus = the rest). Broadcast the tiny query side; rank on the raw
@@ -69,10 +138,38 @@ object SimilarityQueries {
         .where(col("rk") <= 3)
         .select(col("query_id"), col("vec_id"), col("bucket"),
           round(col("sim_raw"), 4).as("sim"), col("rk"))
+    }),
+
+    // IVF ANN with every cell probed: the index machinery (deterministic
+    // k-means coarse quantizer → inverted-file assignment → probe join)
+    // must return EXACTLY the brute-force top-k — the invariant that makes
+    // nprobe < k trustworthy at scale (recall behavior is unit-tested in
+    // SimilaritySpec; this oracles the plumbing).
+    "q_ann_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val corpus = e.where(col("vec_id") >= 5)
+      val q = e.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      val cents = trainCentroids(corpus, k = 8, iters = 2)
+      import s.implicits._
+      ivfTopK(q, corpus, cents.toDF("cid", "centroid"), nprobe = 8, topK = 10)
     })
   )
 
   val oracleSql: Map[String, String] = Map(
+    // probing all cells makes IVF exactly brute force — same oracle shape
+    "q_ann_ivf" ->
+      """WITH scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+        |         list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS sim_raw
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id < 5 AND c.vec_id >= 5),
+        |ranked AS (
+        |  SELECT query_id, vec_id, sim_raw,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY sim_raw DESC, vec_id ASC) AS rk
+        |  FROM scored)
+        |SELECT query_id, vec_id, round(sim_raw, 4) AS sim, rk
+        |FROM ranked WHERE rk <= 10""".stripMargin,
+
     "q_ann_topk" ->
       """WITH scored AS (
         |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.SimilarityQueries._
+
+/** IVF index behavior beyond the oracled nprobe=k exactness invariant:
+  * pruning really shrinks the candidate set, and recall is monotone in
+  * nprobe, reaching 1.0 when every cell is probed. */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val e = spark.read.parquet(s"$dir/embeddings.parquet")
+  private lazy val corpus = e.where(col("vec_id") >= 20)
+  private lazy val queries = e.where(col("vec_id") < 20)
+    .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+
+  private lazy val cents = trainCentroids(corpus, k = 8, iters = 2)
+  private lazy val cdf = cents.toDF("cid", "centroid")
+
+  private def topIds(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+    df.select("query_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
+  private lazy val brute = topIds(
+    ivfTopK(queries, corpus, cdf, nprobe = 8, topK = 10))
+
+  private def recall(nprobe: Int): Double = {
+    val got = topIds(ivfTopK(queries, corpus, cdf, nprobe, topK = 10))
+    val hits = brute.map { case (q, ids) =>
+      got.getOrElse(q, Set.empty).count(ids.contains).toDouble / ids.size
+    }
+    hits.sum / hits.size
+  }
+
+  test("training is deterministic and covers the corpus with non-empty cells") {
+    val again = trainCentroids(corpus, k = 8, iters = 2)
+    assert(cents == again, "same seed vectors + same iterations = same centroids")
+    val sizes = assignCells(corpus, cdf).groupBy("cid").count()
+      .as[(Int, Long)].collect().toMap
+    assert(sizes.values.sum == corpus.count(), "every vector lands in exactly one cell")
+    assert(sizes.size >= 4, s"degenerate clustering: only ${sizes.size} non-empty cells")
+  }
+
+  test("nprobe < k prunes candidates; recall is monotone and hits 1.0 at nprobe = k") {
+    val total = corpus.count() * queries.count()
+    val probed = {
+      val cells = assignCells(corpus, cdf)
+      val perCell = cells.groupBy("cid").count().as[(Int, Long)].collect().toMap
+      // candidate volume for nprobe=2 = sum of the two probed cells per query
+      val probes = ivfTopK(queries, corpus, cdf, nprobe = 2, topK = 1000000)
+      probes.count()
+    }
+    assert(probed < total, s"nprobe=2 must score fewer than all $total pairs (scored $probed)")
+
+    val r1 = recall(1); val r2 = recall(2); val r4 = recall(4); val r8 = recall(8)
+    info(f"recall@10: nprobe=1 $r1%.3f, 2 $r2%.3f, 4 $r4%.3f, 8 $r8%.3f")
+    assert(r1 <= r2 + 1e-9 && r2 <= r4 + 1e-9 && r4 <= r8 + 1e-9,
+      "recall must be monotone in nprobe (candidate sets are nested)")
+    assert(math.abs(r8 - 1.0) < 1e-9, "probing every cell is exact")
+    assert(r1 > 0.0, "even one probed cell finds some true neighbors")
+  }
+}
