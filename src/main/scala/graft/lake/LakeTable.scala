@@ -105,7 +105,13 @@ final case class Snapshot(
     watermarkCommit: String,
     watermarkLsn: Long,
     summary: Map[String, String],
-    opKind: String = "metadata",
+    // default null, NOT "metadata": Jackson fills constructor defaults for
+    // absent JSON fields, and only a null default lets snapshotAt tell a
+    // legacy snapshot (field absent → infer kind from the summary) from a
+    // new-format commit that explicitly stamped "metadata". Every commit
+    // site sets this explicitly; consumers always read via snapshotAt,
+    // which normalizes null away.
+    opKind: String = null,
     properties: Map[String, String] = Map.empty
 ) {
   def schema: StructType = StructType.fromDDL(schemas.find(_.id == schemaId).get.ddl)
@@ -178,15 +184,14 @@ final class LakeTable private (val root: String, val spark: SparkSession) {
     }
     raw.copy(
       fences = fixedFences,
-      // pre-round-3 snapshot JSON lacks these fields (Jackson fills the
-      // case-class default "metadata" / null). Legacy commits carry their
+      // pre-round-3 snapshot JSON lacks the field entirely (null here, by
+      // the constructor-default choice above). Legacy commits carry their
       // kind only in the free-form summary, so infer it there — otherwise
       // changelog readers would silently skip every append a pre-upgrade
-      // engine wrote (and miss its rollbacks). Unambiguous: every current
-      // commit site stamps a structural kind, so a NEW-format "metadata"
-      // snapshot can never carry an append/rollback operation summary.
+      // engine wrote (and miss its rollbacks). New-format snapshots keep
+      // their explicit stamp authoritative, whatever their summary says.
       opKind =
-        if (raw.opKind != null && raw.opKind != "metadata") raw.opKind
+        if (raw.opKind != null) raw.opKind
         else raw.summary.get("operation") match {
           case Some(op) if LakeTable.legacyAppendOps.contains(op) => "append"
           case Some("rollback") => "rollback"
@@ -207,25 +212,28 @@ final class LakeTable private (val root: String, val spark: SparkSession) {
     * lineage healing to recover per-epoch commit facts (summary fields,
     * snapshot id) after a crash between the data and metrics commits. */
   def commitForFence(queryId: String, epoch: Long): Option[Snapshot] = {
-    var v = currentVersion
-    var found: Option[Snapshot] = None
-    var walking = true
-    while (walking && v >= 1) {
-      val snapOpt =
-        try Some(snapshotAt(v))
-        catch { case NonFatal(_) => None } // expired below this point
-      snapOpt match {
-        case None => walking = false
-        case Some(sn) =>
-          val f = sn.fences.getOrElse(queryId, -1L)
-          if (f < epoch) walking = false
-          else {
-            if (f == epoch) found = Some(sn)
-            v -= 1
-          }
+    // fences are monotone in version for a query, so binary-search the
+    // lowest live version whose fence reaches `epoch` — O(log versions)
+    // snapshot reads instead of a linear walk (healing a whole lost
+    // sidecar by replay would otherwise go quadratic in table history).
+    // Expired versions (unreadable) sit at the low end and count as
+    // "below": their commits can't be returned anyway.
+    def fenceAt(v: Int): Option[Long] =
+      try Some(snapshotAt(v).fences.getOrElse(queryId, -1L))
+      catch { case NonFatal(_) => None } // expired
+    var lo = 1
+    var hi = currentVersion
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      fenceAt(mid) match {
+        case Some(f) if f >= epoch => hi = mid
+        case _ => lo = mid + 1
       }
     }
-    found
+    try {
+      val s = snapshotAt(lo)
+      if (s.fences.getOrElse(queryId, -1L) == epoch) Some(s) else None
+    } catch { case NonFatal(_) => None }
   }
 
   /** All data files of the current snapshot (loads + caches manifests). */

@@ -61,6 +61,7 @@ object Bmp {
       if (b.getInt(14) != 40) return None // header version: BITMAPINFOHEADER
       val width = b.getInt(18)
       val rawHeight = b.getInt(22)
+      if (rawHeight == Int.MinValue) return None // abs() would stay negative
       val height = math.abs(rawHeight)
       if (width <= 0 || height == 0) return None
       if (b.getShort(26) != 1 || b.getShort(28) != 8) return None

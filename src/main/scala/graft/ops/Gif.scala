@@ -32,6 +32,8 @@ object Gif {
   def encode(width: Int, height: Int, pixel: (Int, Int) => Int): Array[Byte] = {
     require(width > 0 && height > 0 && width <= 0xffff && height <= 0xffff,
       s"bad dims ${width}x$height")
+    require(width.toLong * height <= Int.MaxValue,
+      s"pixel count overflows Int: ${width}x$height")
     val out = new java.io.ByteArrayOutputStream()
     def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
     out.write("GIF87a".getBytes("US-ASCII"))

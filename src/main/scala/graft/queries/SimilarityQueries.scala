@@ -61,17 +61,28 @@ object SimilarityQueries {
     cents
   }
 
-  /** Assign every corpus vector to its nearest centroid (max cosine) — the
-    * inverted file. One broadcast nested-loop over k tiny centroids, then
-    * an argmax per row; no shuffle of the corpus at all. */
-  def assignCells(corpus: DataFrame, centroids: DataFrame): DataFrame = {
-    val scored = corpus.crossJoin(broadcast(centroids))
-      .withColumn("sim_c", cosine(col("embedding"), col("centroid")))
+  /** Rank the k broadcast centroids per row of `vectors` by cosine against
+    * `embCol` and keep the top `n` — THE one ranking used for both cell
+    * assignment (n=1) and query probing (n=nprobe), so a tie-break or
+    * scoring change can never make the two drift apart (the nested-
+    * candidate-set monotonicity the recall tests assert depends on that).
+    * The vectors side never shuffles its payload beyond one exchange of
+    * the already-pruned top-n rows (partial WindowGroupLimit). */
+  private def rankCells(vectors: DataFrame, centroids: DataFrame,
+      idCol: String, embCol: String, n: Int): DataFrame = {
+    val scored = vectors.crossJoin(broadcast(centroids))
+      .withColumn("sim_c", cosine(col(embCol), col("centroid")))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id")).orderBy(col("sim_c").desc, col("cid").asc)
-    scored.withColumn("rk_c", row_number().over(w)).where(col("rk_c") === 1)
+      .partitionBy(col(idCol)).orderBy(col("sim_c").desc, col("cid").asc)
+    scored.withColumn("rk_c", row_number().over(w)).where(col("rk_c") <= n)
       .drop("rk_c", "sim_c", "centroid")
   }
+
+  /** Assign every corpus vector to its nearest centroid (max cosine) — the
+    * inverted file. One broadcast nested-loop over k tiny centroids, then
+    * an argmax per row; the corpus is never re-shuffled for scoring. */
+  def assignCells(corpus: DataFrame, centroids: DataFrame): DataFrame =
+    rankCells(corpus, centroids, "vec_id", "embedding", n = 1)
 
   /** IVF search: rank cells per query by centroid similarity, probe the top
     * `nprobe`, score only vectors in probed cells. At nprobe = k this MUST
@@ -81,14 +92,8 @@ object SimilarityQueries {
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
       centroids: DataFrame, nprobe: Int, topK: Int): DataFrame = {
     val cells = assignCells(corpus, centroids) // (vec_id, embedding, cid)
-    val probes = {
-      val scored = queries.crossJoin(broadcast(centroids))
-        .withColumn("sim_c", cosine(col("q_emb"), col("centroid")))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("query_id")).orderBy(col("sim_c").desc, col("cid").asc)
-      scored.withColumn("rk_c", row_number().over(w)).where(col("rk_c") <= nprobe)
-        .select(col("query_id"), col("q_emb"), col("cid"))
-    }
+    val probes = rankCells(queries, centroids, "query_id", "q_emb", n = nprobe)
+      .select(col("query_id"), col("q_emb"), col("cid"))
     val scored = cells.join(broadcast(probes), Seq("cid"))
       .select(col("query_id"), col("vec_id"),
         cosine(col("q_emb"), col("embedding")).as("sim_raw"))

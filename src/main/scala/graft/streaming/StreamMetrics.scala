@@ -141,11 +141,16 @@ object StreamMetrics {
             state.remove()
             Iterator.single(closed)
           } else {
-            val sorted = it.toIndexedSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            // sort at the SAME microsecond precision the fold uses — a
+            // millisecond-precision sort key lets same-ms events fold out
+            // of time order and diverge from the batch twin
+            def usOf(e: TimedEvent): Long =
+              e.ts.getTime * 1000 + (e.ts.getNanos / 1000) % 1000
+            val sorted = it.toIndexedSeq.sortBy(e => (usOf(e), e.event_id))
             var open = state.getOption
             val closed = Seq.newBuilder[SessionOut]
             sorted.foreach { e =>
-              val us = e.ts.getTime * 1000 + (e.ts.getNanos / 1000) % 1000
+              val us = usOf(e)
               val c = math.floor(e.value * 100).toLong
               open match {
                 case Some(s) if us - s.lastUs > gapUs =>

@@ -371,6 +371,14 @@ class LakeTableSpec extends SparkSpec {
     val changes = t.readChangesBetween(v - 1, v)
       .select("content").collect().map(_.getString(0)).toSet
     assert(changes == Set("body"), "legacy append must surface as a change")
+
+    // ...but a NEW-format commit's explicit stamp is authoritative even
+    // when its free-form summary looks append-ish: no re-inference
+    val v2 = t.commit(s => s.copy(opKind = "metadata",
+      summary = Map("operation" -> "merge-append"))).version
+    assert(t.snapshotAt(v2).opKind == "metadata",
+      "explicit opKind stamp must never be overridden by the summary")
+    assert(t.readChangesBetween(v2 - 1, v2).count() == 0)
   }
 
   test("readChangesBetween fails loudly when the range spans a rollback") {
