@@ -86,6 +86,20 @@ object RefFunctions {
   def clampInteger(n: Column): Column =
     when(n < 0, lit(null)).otherwise(least(n, lit(Long.MaxValue)))
 
+  /** snake_case → PascalCase label formatting (reference
+    * `modules/utils.py:236-237`, F17 — the transform display names): split
+    * on underscores, capitalize each word, lowercase the rest, rejoin.
+    * `initcap` matches Python `.title()` for the alpha-word names the
+    * reference feeds it (they diverge only on intra-word digits). */
+  def labelFormat(name: Column): Column =
+    regexp_replace(initcap(regexp_replace(name, "_", " ")), " ", "")
+
+  /** Scala-side twin for driver/display use on plain strings. */
+  def labelFormat(name: String): String =
+    name.split("_", -1).map { w =>
+      if (w.isEmpty) "" else w.head.toUpper.toString + w.tail.toLowerCase
+    }.mkString
+
   /** desktop/mobile from crawl file path (reference `modules/utils.py:162-171`):
     * dir prefix chrome/android, else _Dx/_Mx marker in the file name, else
     * the lower-cased dir prefix. */

@@ -34,6 +34,7 @@ object SqlFunctions {
     reg("exp_age", 4)(a => RefFunctions.expAge(a(0), a(1), a(2), a(3)))
     reg("exp_age_bucket", 1)(a => RefFunctions.expAgeBucket(a(0)))
     reg("is_home_page", 1)(a => RefFunctions.isHomePage(a(0)))
+    reg("label_format", 1)(a => RefFunctions.labelFormat(a(0)))
     reg("canonical_json", 1)(a => CanonicalJson.canonicalJson(a(0)))
     PivotSumAggregator.register(spark) // pivot_sum(client, value) UDAF
   }

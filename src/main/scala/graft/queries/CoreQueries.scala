@@ -183,6 +183,14 @@ object CoreQueries {
           RefFunctions.prettyType(lit(""), RefFunctions.getExt(col("url"))).as("ptype"))
     }),
 
+    // Label formatting (F17): snake_case → PascalCase over two-word names
+    // synthesized from event_type (the reference's transform display names).
+    "q_label_format" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(concat(col("event_type"), lit("_rate")).as("raw")).distinct()
+        .withColumn("label", RefFunctions.labelFormat(col("raw")))
+    }),
+
     // Integer clamp semantics (F10) over derived values.
     "q_clamp" -> ((s, dir) => {
       t(s, dir, "events")
@@ -362,6 +370,12 @@ object CoreQueries {
     "q_sort_limit" ->
       """SELECT doc_id, n_chars FROM documents
         |ORDER BY n_chars DESC, doc_id ASC LIMIT 50""".stripMargin,
+
+    "q_label_format" ->
+      """SELECT DISTINCT event_type || '_rate' AS raw,
+        |       upper(substr(event_type, 1, 1)) || lower(substr(event_type, 2))
+        |         || 'Rate' AS label
+        |FROM events""".stripMargin,
 
     "q_url_scalars" ->
       """WITH u AS (

@@ -98,6 +98,21 @@ class RefFunctionsSpec extends SparkSpec {
       lit("gs://httparchive/crawls/android-Apr_1_2022"))).toString == "2022-04-01")
   }
 
+  test("label_format goldens (utils.py:236-237 — snake_case to PascalCase)") {
+    // outputs pinned against the reference's replace/title/replace chain
+    val cases = Seq(
+      "combine_events" -> "CombineEvents",
+      "sum_pages" -> "SumPages",
+      "write_non_summary_tables" -> "WriteNonSummaryTables",
+      "a" -> "A",
+      "already" -> "Already",
+      "x__y" -> "XY")
+    cases.foreach { case (in, want) =>
+      assert(eval1[String](RefFunctions.labelFormat(lit(in))) == want, in)
+      assert(RefFunctions.labelFormat(in) == want, s"scala twin: $in")
+    }
+  }
+
   test("hostname keeps the port (transformation.py:592 regex, not parse_url)") {
     assert(eval1[String](RefFunctions.hostname(lit("https://example.com:8443/x/y"))) == "example.com:8443")
     assert(eval1[String](RefFunctions.hostname(lit("wss://ws.example.com/ws"))) == "ws.example.com")
