@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Plan-regression gate: the physical shapes the 100-TB posture depends on
+  * (exchange counts, broadcast joins, scan-level column pruning) asserted
+  * against the actual executed plans, so a future refactor cannot silently
+  * add a shuffle or demote a broadcast join without failing here. */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def executed(df: DataFrame): SparkPlan =
+    df.queryExecution.executedPlan
+
+  private def collectAll[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] = {
+    // unwrap AQE wrappers so counts see the real operators
+    def children(n: SparkPlan): Seq[SparkPlan] = n match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case other => other.children ++ other.subqueries
+    }
+    def walk(n: SparkPlan): Seq[T] =
+      (if (pf.isDefinedAt(n)) Seq(pf(n)) else Nil) ++ children(n).flatMap(walk)
+    walk(p)
+  }
+
+  private def shuffles(df: DataFrame): Int =
+    collectAll(executed(df)) { case e: ShuffleExchangeExec => e }.size
+
+  private def q(name: String): DataFrame = SparkEntry.queries(name)(spark, dir)
+
+  test("windowed rates: exactly one exchange (partial+final hash aggregate)") {
+    assert(shuffles(q("q_windowed_rates")) == 1)
+  }
+
+  test("sessionize: exactly one exchange feeds windows AND the session aggregation") {
+    assert(shuffles(q("q_sessionize")) == 1)
+  }
+
+  test("LWW latest: the merge shape costs exactly one exchange") {
+    assert(shuffles(q("q_lww_latest")) == 1)
+  }
+
+  test("dimension joins broadcast — no sort-merge join, no shuffle of the fact side") {
+    val plan = executed(q("q_join_dims"))
+    assert(collectAll(plan) { case j: SortMergeJoinExec => j }.isEmpty,
+      "dim join must not plan as SortMergeJoin")
+    assert(collectAll(plan) { case b: BroadcastExchangeExec => b }.nonEmpty,
+      "dim join must broadcast the small side")
+  }
+
+  test("ANN top-k: query side broadcasts; corpus is never shuffled before scoring") {
+    val plan = executed(q("q_ann_topk"))
+    assert(collectAll(plan) { case b: BroadcastExchangeExec => b }.nonEmpty)
+    // the only exchange is the final per-query ranking of top-k candidates
+    assert(shuffles(q("q_ann_topk")) <= 1)
+  }
+
+  test("windowed rates scan prunes to the three referenced columns") {
+    val scans = collectAll(executed(q("q_windowed_rates"))) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f.requiredSchema.fieldNames.toSet
+    }
+    assert(scans.nonEmpty)
+    assert(scans.head == Set("ts", "event_type", "value"),
+      s"scan must read only the referenced columns, got ${scans.head}")
+  }
+}
