@@ -1,0 +1,14 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** The library's `SparkSessionExtensions` entry point: add
+  * `spark.sql.extensions=graft.GraftExtensions` (spark-defaults, submit
+  * conf, or builder) and every session gets the full reference-parity SQL
+  * function surface with no code — the standard integration shape for
+  * Spark extension libraries. Bodies are native Catalyst expression trees
+  * (whole-stage codegen), not UDF wrappers. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    graft.exprs.SqlFunctions.injectInto(ext)
+}

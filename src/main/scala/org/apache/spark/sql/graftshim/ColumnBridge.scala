@@ -13,6 +13,15 @@ object ColumnBridge {
   def toColumn(e: Expression): Column = ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Eager Column→Expression conversion through the ACTIVE session's
+    * converter (the lazy [[toExpression]] wrapper is Unevaluable — the
+    * analyzer never descends into it). For extension-injected function
+    * builders, which run during analysis when an active session is
+    * guaranteed. */
+  def toSessionExpression(c: Column): Expression =
+    org.apache.spark.sql.SparkSession.active
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession].expression(c)
+
   /** Register a SQL function whose body is a Catalyst expression BUILDER —
     * Column-combinator libraries become plain SQL functions with full
     * codegen, no UDF wrapper (`FunctionRegistry` is `private[sql]`, hence
