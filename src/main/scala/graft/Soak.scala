@@ -25,7 +25,8 @@ import graft.lake.LakeTable
 object Soak {
   def main(args: Array[String]): Unit = {
     val n = if (args.nonEmpty) args(0).toLong else 20000000L
-    val dir = if (args.length > 1) args(1)
+    val ownDir = args.length <= 1 // only delete what we created
+    val dir = if (!ownDir) args(1)
       else java.nio.file.Files.createTempDirectory(
         java.nio.file.Paths.get(sys.env.getOrElse("GRAFT_BENCH_TMP", "/dev/shm")),
         "graft-soak").toString
@@ -76,10 +77,14 @@ object Soak {
       LakeMerge.compact(classic)
     }
 
+    // NOTE: deliberately independent of BenchProbe's checksum — an
+    // equivalence checker sharing code with the thing it checks could mask
+    // a shared bug. NULL content hashes to a sentinel OUTSIDE the sha2 hex
+    // domain so null-vs-empty divergence between the paths is visible.
     def checksum(table: LakeTable): (Long, String) = {
       val st = LakeMerge.readState(table)
         .select(sha2(concat_ws("|", col("repo"), col("path"),
-          sha2(coalesce(col("content"), lit("")), 256),
+          coalesce(sha2(col("content"), 256), lit("null-content")),
           coalesce(col("lang"), lit("∅"))), 256).as("h"))
       val r = st.agg(
         count(lit(1)).as("n"),
@@ -97,7 +102,8 @@ object Soak {
     assert(lineageRows == n, s"lineage accounted $lineageRows of $n events")
     log(s"lineage accounts all $n events across ${metrics.read().count()} epochs")
     log("SOAK OK")
-    graft.util.Fs.rmTree(java.nio.file.Paths.get(dir))
+    if (ownDir) graft.util.Fs.rmTree(java.nio.file.Paths.get(dir))
+    else log(s"keeping user-supplied workdir $dir")
     spark.stop()
   }
 }

@@ -94,10 +94,15 @@ object RefFunctions {
   def labelFormat(name: Column): Column =
     regexp_replace(initcap(regexp_replace(name, "_", " ")), " ", "")
 
-  /** Scala-side twin for driver/display use on plain strings. */
+  /** Scala-side twin for driver/display use on plain strings — mirrors the
+    * reference chain exactly (replace _ → space, title per space-delimited
+    * word, strip spaces), locale-pinned so a tr-TR JVM can't produce
+    * dotless-i labels that diverge from the Column/SQL path. */
   def labelFormat(name: String): String =
-    name.split("_", -1).map { w =>
-      if (w.isEmpty) "" else w.head.toUpper.toString + w.tail.toLowerCase
+    name.replace('_', ' ').split(" ", -1).map { w =>
+      if (w.isEmpty) ""
+      else w.substring(0, 1).toUpperCase(java.util.Locale.ROOT) +
+        w.substring(1).toLowerCase(java.util.Locale.ROOT)
     }.mkString
 
   /** desktop/mobile from crawl file path (reference `modules/utils.py:162-171`):

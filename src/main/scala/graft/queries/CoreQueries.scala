@@ -373,8 +373,9 @@ object CoreQueries {
 
     "q_label_format" ->
       """SELECT DISTINCT event_type || '_rate' AS raw,
-        |       upper(substr(event_type, 1, 1)) || lower(substr(event_type, 2))
-        |         || 'Rate' AS label
+        |       array_to_string(list_transform(
+        |         string_split(event_type || '_rate', '_'),
+        |         w -> upper(w[1]) || lower(w[2:])), '') AS label
         |FROM events""".stripMargin,
 
     "q_url_scalars" ->
