@@ -3,21 +3,23 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.cdc.{CdcStream, EventGen, LakeMerge}
+import graft.cdc.{CdcStream, EventGen, LakeMerge, MergeEngine}
 import graft.lake.LakeTable
 
-/** Large-scale equivalence soak: replay the SAME binlog through two fully
+/** Large-scale equivalence soak: replay the SAME binlog through THREE
   * independent engine paths and require identical resolved state —
   *
   *  - streaming L0 ingest (foreachBatch, zero-exchange appends, mid-stream
-  *    flushes, tiered compaction, auto-expiry) and
+  *    flushes, tiered compaction, auto-expiry),
   *  - direct classic batched merges (write-aligned deduped deltas + one
-  *    final full compaction),
+  *    final full compaction), and
+  *  - the incremental-consumer surface: LWW-resolving every row the
+  *    classic table's changelog (readChangesBetween) ever published,
   *
   * compared by an order-free sha256 checksum computed distributively (no
   * driver-side fold, so this scales to event counts the unit tests can't).
   * The small-N fold oracle (Demo/specs) anchors correctness; this anchors
-  * the two physical layouts against EACH OTHER at volume.
+  * the physical layouts and the changelog against EACH OTHER at volume.
   *
   * `sbt "runMain graft.Soak [events] [workdir]"` — ~5 min at the 20M
   * default on 32 cores. Exits non-zero on divergence.
@@ -81,23 +83,35 @@ object Soak {
     // equivalence checker sharing code with the thing it checks could mask
     // a shared bug. NULL content hashes to a sentinel OUTSIDE the sha2 hex
     // domain so null-vs-empty divergence between the paths is visible.
-    def checksum(table: LakeTable): (Long, String) = {
-      val st = LakeMerge.readState(table)
-        .select(sha2(concat_ws("|", col("repo"), col("path"),
-          coalesce(sha2(col("content"), 256), lit("null-content")),
-          coalesce(col("lang"), lit("∅"))), 256).as("h"))
+    def checksumOf(live: org.apache.spark.sql.DataFrame): (Long, String) = {
+      val st = live.select(sha2(concat_ws("|", col("repo"), col("path"),
+        coalesce(sha2(col("content"), 256), lit("null-content")),
+        coalesce(col("lang"), lit("∅"))), 256).as("h"))
       val r = st.agg(
         count(lit(1)).as("n"),
         sum(conv(substring(col("h"), 1, 15), 16, 10).cast("decimal(38,0)")).as("sum"))
         .collect()(0)
       (r.getLong(0), r.getDecimal(1).toString)
     }
+    def checksum(table: LakeTable): (Long, String) =
+      checksumOf(LakeMerge.readState(table))
     val (rowsA, sumA) = t("checksum l0")(checksum(l0))
     val (rowsB, sumB) = t("checksum classic")(checksum(classic))
     log(s"l0:      rows=$rowsA checksum=$sumA (files=${l0.files.size})")
     log(s"classic: rows=$rowsB checksum=$sumB (files=${classic.files.size})")
     assert(rowsA == rowsB && sumA == sumB,
       "DIVERGENCE between L0 streaming and classic batched replay")
+
+    // path C: the incremental-consumer surface — LWW-resolving EVERY row
+    // the changelog ever published (append commits only; the compaction
+    // rewrite above must be invisible to it) reproduces the direct state
+    val (rowsC, sumC) = t("changelog resolve") {
+      val changes = classic.readChangesBetween(1, classic.currentVersion)
+      checksumOf(MergeEngine.liveView(MergeEngine.apply(changes.limit(0), changes)))
+    }
+    log(s"changelog: rows=$rowsC checksum=$sumC")
+    assert(rowsC == rowsB && sumC == sumB,
+      "DIVERGENCE between the resolved changelog and the direct state read")
     val lineageRows = metrics.read().agg(sum(col("batch_rows"))).collect()(0).getLong(0)
     assert(lineageRows == n, s"lineage accounted $lineageRows of $n events")
     log(s"lineage accounts all $n events across ${metrics.read().count()} epochs")
