@@ -142,6 +142,52 @@ class MergePropertiesSpec extends SparkSpec {
     }, 8)
   }
 
+  test("property: old-producer batches (missing column) interleaved with new ones converge, any mode mix") {
+    // schema evolution under ARBITRARY interleaving: a random subset of
+    // batches comes from an "old producer" whose schema lacks `lang`
+    // entirely (not null-valued — the column is absent), each batch lands
+    // through a random ingest mode, and batches arrive in random order.
+    // The resolved state must equal the fold oracle over the same events
+    // with lang nulled where the old producer sent them.
+    val genLang = Gen.oneOf("scala", "rust", "go")
+    checkProp(Prop.forAll(genEvents, Gen.chooseNum(2, 4),
+      Gen.listOfN(4, Gen.oneOf(true, false)), Gen.listOfN(4, Gen.chooseNum(0, 1)),
+      genLang, Gen.chooseNum(0L, 1L)) {
+      (events0, nBatches, oldProducer, modes, lang, shuffleSeed) =>
+        val events = events0.map(e => e.copy(lang = if (e.op == "D") null else lang))
+        val root = tmpDir("evo")
+        val table = graft.lake.LakeTable.create(spark, root,
+          CdcStream.binlogSchema, numBuckets = 2)
+        val batches0 = events.grouped(math.max(1, events.size / nBatches)).toSeq.filter(_.nonEmpty)
+        val batches = if (shuffleSeed == 1L) batches0.reverse else batches0
+        val effective = batches.zipWithIndex.flatMap { case (b, i) =>
+          val old = oldProducer(i % oldProducer.size)
+          val df0 = b.toDF()
+          val df = if (old) df0.drop("lang") else df0
+          modes(i % modes.size) match {
+            case 0 => LakeMerge.mergeBatch(table, df, Some(("e", i.toLong)), l0Mode = true)
+            case _ => LakeMerge.mergeBatch(table, df, Some(("e", i.toLong)))
+          }
+          // the oracle sees what the old producer actually sent: no lang
+          if (old) b.map(_.copy(lang = null)) else b
+        }
+        LakeMerge.flushL0(table)
+        LakeMerge.compact(table)
+        val got = MergeEngine.liveView(LakeMerge.resolvedState(table))
+          .select($"repo", $"path",
+            coalesce(sha2($"content", 256), lit("∅")),
+            coalesce($"lang", lit("∅")))
+          .as[(String, String, String, String)].collect()
+          .map(t => (t._1, t._2) -> (t._3, t._4)).toMap
+        val want = MergeEngine.foldOracle(effective.toList).map { case (k, e) =>
+          k -> ((if (e.content == null) "∅"
+                 else org.apache.commons.codec.digest.DigestUtils.sha256Hex(e.content)),
+                if (e.lang == null) "∅" else e.lang)
+        }
+        got == want
+    }, 8)
+  }
+
   test("property: random per-batch ingest modes (L0 / classic / raw) all converge to the fold oracle") {
     // the mode is a physical-layout choice; the LWW algebra must make it
     // invisible — any interleaving of zero-exchange L0 appends, deduped
