@@ -78,6 +78,21 @@ object CdcStream {
       .when(!col("op").isin("I", "U", "D"), "bad-op")
       .otherwise("null-content")
 
+  /** Live background compactors, keyed by queryId — so callers (soak,
+    * tests, operators) can drain/close after the stream stops. */
+  private val compactors = scala.collection.concurrent.TrieMap[String, Compactor]()
+
+  /** The background compactor attached to a running/finished stream, if
+    * [[start]] was called with `asyncCompact = true`. */
+  def compactorOf(queryId: String): Option[Compactor] = compactors.get(queryId)
+
+  /** Wait for all queued background compaction passes of `queryId` to
+    * finish and release the compactor thread. Call after the stream
+    * terminates when deterministic on-disk state is needed (tests, soak
+    * checksums); a long-lived service can instead leave the daemon running. */
+  def drainCompaction(queryId: String): Unit =
+    compactors.remove(queryId).foreach(_.close())
+
   /** Open (or create) the lineage sidecar table. */
   def metricsTable(spark: SparkSession, root: String): LakeTable =
     if (LakeTable.exists(root)) LakeTable.load(spark, root)
@@ -114,8 +129,22 @@ object CdcStream {
       compactAtDeltas: Int = 16,
       expireEvery: Int = 0,
       expireRetain: Int = 10,
-      l0Mode: Boolean = false
+      l0Mode: Boolean = false,
+      asyncCompact: Boolean = false
   ): StreamingQuery = {
+    // async mode: flushL0/compactTiered run on a background thread instead
+    // of inside foreachBatch — ingest never stalls behind a major. Safe
+    // under the optimistic commit protocol (rewrite carry-forward); see
+    // Compactor. Retrieve/drain via compactorOf/drainCompaction(queryId).
+    val compactor =
+      if (asyncCompact && compactAtDeltas > 0) {
+        compactors.remove(queryId).foreach(_.close())
+        val c = new Compactor(table, sizeRatio = 1.0,
+          maxDeltaFiles = compactAtDeltas,
+          flushL0MinFiles = if (l0Mode) compactAtDeltas else 0)
+        compactors.put(queryId, c)
+        Some(c)
+      } else None
     val reader = spark.readStream
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .option("ignoreCorruptFiles", ignoreCorruptFiles.toString)
@@ -143,7 +172,7 @@ object CdcStream {
         applyBatch(table, metrics, batch, queryId, batchId, saltPartitions,
           compactAtDeltas = compactAtDeltas, deadLetters = deadLetters,
           expireEvery = expireEvery, expireRetain = expireRetain,
-          l0Mode = l0Mode)
+          l0Mode = l0Mode, compactor = compactor)
         ()
       }
 
@@ -192,7 +221,8 @@ object CdcStream {
       deadLetters: Option[LakeTable] = None,
       expireEvery: Int = 0,
       expireRetain: Int = 10,
-      l0Mode: Boolean = false
+      l0Mode: Boolean = false,
+      compactor: Option[Compactor] = None
   ): CommitStats = {
     if (table.fence(queryId) >= batchId) {
       // Redelivered epoch — exactly-once no-op for the DATA. But a crash in
@@ -253,28 +283,37 @@ object CdcStream {
 
       val stats = LakeMerge.mergeBatch(table, good, Some((queryId, batchId)),
         saltPartitions, l0Mode = l0Mode)
-      // L0 mode defers the batch's bucket exchange; flush once enough L0
-      // files pile up (the L0 read-amplification bound), then let tiered
-      // compaction manage the resulting deltas exactly as in classic mode
-      if (stats.applied && l0Mode && compactAtDeltas > 0)
-        LakeMerge.flushL0(table, minFiles = compactAtDeltas)
-      // bounded read amplification via SIZE-TIERED compaction: a bucket is
-      // folded when its delta bytes reach its base bytes (each rewrite at
-      // least doubles the base → O(log) rewrites per key over the table's
-      // lifetime, vs O(batches/k) under a flat every-k-deltas trigger), or
-      // at compactAtDeltas delta files as the read-amplification cap
-      // (single-writer: runs inside the same foreachBatch serial loop as
-      // the merge commits)
-      if (stats.applied && compactAtDeltas > 0)
-        LakeMerge.compactTiered(table, sizeRatio = 1.0, maxDeltaFiles = compactAtDeltas)
+      // housekeeping: either inline (single-writer serial loop) or poked to
+      // the background Compactor (ingest never stalls behind a major —
+      // VERDICT r3 #2). Both paths run the same flushL0/compactTiered.
+      compactor match {
+        case Some(c) =>
+          if (stats.applied) c.poke()
+        case None =>
+          // L0 mode defers the batch's bucket exchange; flush once enough
+          // L0 files pile up (the L0 read-amplification bound), then let
+          // tiered compaction manage the resulting deltas as in classic mode
+          if (stats.applied && l0Mode && compactAtDeltas > 0)
+            LakeMerge.flushL0(table, minFiles = compactAtDeltas)
+          // bounded read amplification via SIZE-TIERED compaction: a bucket
+          // is folded when its delta bytes reach its base bytes (each
+          // rewrite at least doubles the base → O(log) rewrites per key
+          // over the table's lifetime, vs O(batches/k) under a flat
+          // every-k-deltas trigger), or at compactAtDeltas delta files as
+          // the read-amplification cap
+          if (stats.applied && compactAtDeltas > 0)
+            LakeMerge.compactTiered(table, sizeRatio = 1.0, maxDeltaFiles = compactAtDeltas)
+      }
       // retention: periodically expire history and physically reclaim files
       // replaced by compaction — without this, continuous ingest grows disk
       // without bound (every delta stays referenced by some old snapshot
-      // forever). Safe here because this foreachBatch loop is the table's
-      // single writer; `expireRetain` keeps enough history for time travel
-      // and for readers pinned to recent versions.
+      // forever). With a background compactor the sweep gets an age guard:
+      // it must not reclaim the compactor's staged-but-uncommitted files
+      // (the expireSnapshots concurrency contract); inline mode keeps the
+      // exact single-writer sweep.
       if (stats.applied && expireEvery > 0 && batchId % expireEvery == 0)
-        table.expireSnapshots(retainLast = expireRetain)
+        table.expireSnapshots(retainLast = expireRetain,
+          minAgeMs = if (compactor.isDefined) 120000L else 0L)
 
       if (stats.applied)
         recordLineage(metrics, lineage, queryId, batchId, stats, t0)

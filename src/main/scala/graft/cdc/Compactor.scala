@@ -1,0 +1,82 @@
+package graft.cdc
+
+import java.util.concurrent.{Executors, TimeUnit}
+import java.util.concurrent.atomic.AtomicBoolean
+
+import graft.lake.LakeTable
+
+/** Background compaction driver: takes [[LakeMerge.flushL0]] /
+  * [[LakeMerge.compactTiered]] off the ingest critical path, so a hot-bucket
+  * major no longer stalls the foreachBatch loop for its full duration (the
+  * round-3 bench measured 5–7 s majors against ~1 s appends — at 10^10
+  * events that inline stall is the latency/backpressure cliff).
+  *
+  * Model: ONE single-threaded executor per compactor. [[poke]] is
+  * non-blocking and coalescing — if a pass is running, at most one
+  * follow-up is queued, and that follow-up re-reads the latest snapshot
+  * (compaction is idempotent housekeeping, so "run once more, later" loses
+  * nothing). Safety against the concurrently-appending ingest writer is the
+  * lake's optimistic commit protocol itself: [[LakeTable.rewriteCommit]]
+  * replaces only the exact files a pass read, carrying forward anything a
+  * concurrent commit added to the same buckets — committed data cannot be
+  * lost, it just stays a delta on top of the rewrite until the next pass.
+  *
+  * A failed pass latches its error and rethrows on the next [[poke]] /
+  * [[drain]] — compaction failure must surface on the ingest path, not
+  * silently stop bounding read amplification.
+  */
+final class Compactor(
+    table: LakeTable,
+    sizeRatio: Double = 1.0,
+    maxDeltaFiles: Int = 16,
+    flushL0MinFiles: Int = 0 // 0 = never flush L0 (classic mode)
+) extends AutoCloseable {
+
+  private val exec = Executors.newSingleThreadExecutor { r =>
+    val t = new Thread(r, "graft-compactor")
+    t.setDaemon(true)
+    t
+  }
+  private val queued = new AtomicBoolean(false)
+  @volatile private var failure: Throwable = null
+  @volatile private var passesDone = 0L
+
+  /** Number of completed background passes (observability/tests). */
+  def passes: Long = passesDone
+
+  /** Request a compaction pass; returns immediately. Coalesces: while a
+    * pass runs, all pokes fold into a single queued follow-up. */
+  def poke(): Unit = {
+    rethrowIfFailed()
+    if (queued.compareAndSet(false, true)) {
+      exec.execute { () =>
+        // release the coalescing slot BEFORE the pass: a poke arriving
+        // mid-pass queues exactly one follow-up that sees the newest state
+        queued.set(false)
+        try {
+          if (flushL0MinFiles > 0) LakeMerge.flushL0(table, minFiles = flushL0MinFiles)
+          LakeMerge.compactTiered(table, sizeRatio, maxDeltaFiles)
+          passesDone += 1
+        } catch { case e: Throwable => failure = e }
+      }
+    }
+  }
+
+  /** Block until every queued pass has finished (shutdown/test barrier). */
+  def drain(timeoutSec: Int = 600): Unit = {
+    val fence = exec.submit(new Runnable { def run(): Unit = () })
+    fence.get(timeoutSec, TimeUnit.SECONDS)
+    rethrowIfFailed()
+  }
+
+  override def close(): Unit = {
+    drain()
+    exec.shutdown()
+    ()
+  }
+
+  private def rethrowIfFailed(): Unit = {
+    if (failure != null)
+      throw new IllegalStateException("async compaction failed", failure)
+  }
+}

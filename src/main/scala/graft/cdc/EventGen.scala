@@ -148,10 +148,19 @@ object EventGen {
     eventsRange(spark, 0L, n, seed, nRepos, pathsPerRepo, skew,
       langFromLsn = langFromLsn, numPartitions = segments)
       .write.mode("overwrite").parquet(tmp.toString)
+    // strictly increasing mtimes by segment id: the streaming file source
+    // orders new files by modification time, and the parquet parts of one
+    // write job land within the same millisecond — without this, the
+    // segment→epoch mapping (which the lineage oracle asserts) would depend
+    // on directory-listing order ties
+    val t0 = System.currentTimeMillis() - 3600000L
     var i = 0
     graft.util.Fs.list(tmp).sortBy(_.toString).foreach { p =>
       if (p.getFileName.toString.endsWith(".parquet")) {
-        Files.move(p, Paths.get(dir, f"segment-$i%05d.parquet"))
+        val target = Paths.get(dir, f"segment-$i%05d.parquet")
+        Files.move(p, target)
+        Files.setLastModifiedTime(target,
+          java.nio.file.attribute.FileTime.fromMillis(t0 + i * 2000L))
         i += 1
       }
     }

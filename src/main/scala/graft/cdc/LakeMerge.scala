@@ -68,18 +68,13 @@ object LakeMerge {
     * filters and resolves — at 100 TB this touches a handful of files, not
     * the table. The residual repo filter is pushed into the parquet scan. */
   def readRepo(table: LakeTable, repo: String): DataFrame = {
-    val bucket = spark_bucket(table, repo)
+    // bucket computed driver-side (LakeTable.bucketOf — same hash, zero
+    // Spark jobs); the point lookup plans exactly one pruned scan
+    val bucket = LakeTable.bucketOf(repo, table.snapshot.numBuckets)
     MergeEngine.liveView(
       MergeEngine.dedupBatch(
         table.readBuckets(Set(bucket, LakeTable.L0Bucket))
           .where(col("repo") === repo)))
-  }
-
-  private def spark_bucket(table: LakeTable, repo: String): Int = {
-    // evaluate the bucket expression the same way the writer does
-    table.spark.range(1)
-      .select(bucketOf(lit(repo), table.snapshot.numBuckets))
-      .collect()(0).getInt(0)
   }
 
   /** The write-aligned single-exchange LWW shape shared by the classic

@@ -757,6 +757,19 @@ object LakeTable {
   def bucketExpr(keyCol: org.apache.spark.sql.Column, numBuckets: Int): org.apache.spark.sql.Column =
     pmod(xxhash64(keyCol), lit(numBuckets.toLong)).cast("int")
 
+  /** Driver-side twin of [[bucketExpr]] for a single string key: the same
+    * xxhash64 (same seed 42 as the `xxhash64` SQL function) evaluated
+    * locally, so a point lookup costs ZERO Spark jobs beyond its pruned
+    * scan (VERDICT r3 #5 — the old path launched a one-row job per lookup).
+    * Parity with the Column expression is pinned by LakeTableSpec. */
+  def bucketOf(key: String, numBuckets: Int): Int = {
+    val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(key),
+      StringType, 42L)
+    val n = numBuckets.toLong
+    (((h % n) + n) % n).toInt
+  }
+
   private[lake] val mapper: ObjectMapper = {
     val m = new ObjectMapper()
     m.registerModule(DefaultScalaModule)

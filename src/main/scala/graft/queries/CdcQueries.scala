@@ -1,24 +1,46 @@
 package graft.queries
 
-import java.nio.file.Files
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.cdc.{CdcStream, EventGen, LakeMerge, MergeEngine}
 import graft.lake.LakeTable
+import graft.util.Fs
 
 /** The engine's own CDC operators exposed as driver queries. The replay
   * queries run the real generator + merge engine (and for the lake variant,
   * the full fenced snapshot-commit path) and return the final state keyed by
-  * sha256(content) — deterministic across runs, so the driver's rows-only
-  * check is stable. No SQL oracle: DuckDB can't replay the engine.
+  * sha256(content).
+  *
+  * Each query EXPORTS its seeded input stream to a deterministic parquet
+  * path under [[ExportRoot]] before replaying, so the DuckDB oracle can
+  * recompute the expected final state independently: LWW winner per
+  * (repo, path) over the total ordering (commit, lsn), tombstones dropped —
+  * `row_number() OVER (PARTITION BY repo, path ORDER BY commit DESC, lsn
+  * DESC) = 1 AND op <> 'D'` over `read_parquet(...)`. That upgrades the
+  * engine's flagship replay path from a rows-only check to the same
+  * hash-level oracle rigor as every relational query.
   */
 object CdcQueries {
+
+  /** Deterministic export location for the oracle's `read_parquet`. The
+    * driver runs Verify and the DuckDB compare on the same host, so an
+    * absolute tmp path is shared state between them (same mechanism as the
+    * sfDir parquet views, minus the pre-registration). */
+  private val ExportRoot = "/tmp/graft-oracle-export"
 
   private val ReplayEvents = 40000L
   private val ReplayRepos = 200
   private val ReplayPaths = 20
+
+  /** The LWW final-state oracle: winner per key by (commit, lsn), live rows
+    * only — the SQL twin of MergeEngine.foldOracle. */
+  private def lwwOracle(glob: String, select: String, tail: String = ""): String =
+    s"""SELECT $select
+       |FROM (SELECT *, row_number() OVER (PARTITION BY repo, path
+       |                                   ORDER BY "commit" DESC, lsn DESC) rn
+       |      FROM read_parquet('$glob'))
+       |WHERE rn = 1 AND op <> 'D'$tail""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // In-memory batched LWW replay (no I/O): 4 batches folded through
@@ -26,6 +48,7 @@ object CdcQueries {
     "q_cdc_replay" -> ((s, _) => {
       val all = EventGen.events(s, ReplayEvents, nRepos = ReplayRepos,
         pathsPerRepo = ReplayPaths, langFromLsn = ReplayEvents / 2)
+      all.write.mode("overwrite").parquet(s"$ExportRoot/q_cdc_replay")
       var state = all.where(lit(false))
       val step = ReplayEvents / 4
       (0 until 4).foreach { b =>
@@ -38,9 +61,11 @@ object CdcQueries {
     }),
 
     // Full lake replay: binlog segments → streaming AvailableNow tail →
-    // fenced merge commits → read back the live view.
+    // fenced merge commits → read back the live view. The binlog itself is
+    // the oracle's input: written to a deterministic path, read by DuckDB.
     "q_cdc_lake_replay" -> ((s, _) => {
-      val dir = Files.createTempDirectory("graft-lakereplay").toString
+      val dir = s"$ExportRoot/q_cdc_lake_replay"
+      Fs.rmTree(java.nio.file.Paths.get(dir))
       EventGen.writeBinlog(s, s"$dir/binlog", 20000L, segments = 4,
         nRepos = 100, pathsPerRepo = 10, langFromLsn = 10000L)
       val table = LakeTable.create(s, s"$dir/table", CdcStream.binlogSchema, numBuckets = 8)
@@ -53,9 +78,13 @@ object CdcQueries {
           col("lang"), sha2(col("content"), 256).as("content_sha"))
     }),
 
-    // Lineage/metrics sidecar rows from a replay (deterministic columns only).
+    // Lineage/metrics sidecar rows from a replay (deterministic columns
+    // only). maxFilesPerTrigger=1 + strictly increasing segment mtimes →
+    // epoch i processes exactly segment i = lsn slice [i*2000, (i+1)*2000),
+    // so DuckDB recomputes every lineage column from the binlog itself.
     "q_cdc_lineage" -> ((s, _) => {
-      val dir = Files.createTempDirectory("graft-lineage").toString
+      val dir = s"$ExportRoot/q_cdc_lineage"
+      Fs.rmTree(java.nio.file.Paths.get(dir))
       EventGen.writeBinlog(s, s"$dir/binlog", 8000L, segments = 4,
         nRepos = 50, pathsPerRepo = 8)
       val table = LakeTable.create(s, s"$dir/table", CdcStream.binlogSchema, numBuckets = 4)
@@ -70,20 +99,25 @@ object CdcQueries {
     }),
 
     // Schema evolution through the lake: commit narrow batch, evolve, commit
-    // wide batch, read reconciled (additive column + widened type).
+    // wide batch, read reconciled (additive column + widened type). The two
+    // batches are contiguous slices of ONE seeded stream (lang null before
+    // lsn 2000 — exactly the narrow batch's dropped column), so the export
+    // is that single stream and the oracle is plain LWW + group-by over it.
     "q_schema_evolution" -> ((s, _) => {
       import org.apache.spark.sql.types._
-      val dir = Files.createTempDirectory("graft-evolve").toString
+      val dir = java.nio.file.Files.createTempDirectory("graft-evolve").toString
+      val full = EventGen.events(s, 4000L, nRepos = 30, pathsPerRepo = 5,
+        langFromLsn = 2000L)
+      full.write.mode("overwrite").parquet(s"$ExportRoot/q_schema_evolution")
       val narrow = StructType(Seq(
         StructField("repo", StringType), StructField("path", StringType),
         StructField("commit", StringType), StructField("lsn", IntegerType),
         StructField("op", StringType), StructField("content", StringType)))
       val table = LakeTable.create(s, s"$dir/table", narrow, numBuckets = 4)
-      val b1 = EventGen.events(s, 2000L, nRepos = 30, pathsPerRepo = 5)
+      val b1 = full.where(col("lsn") < 2000L)
         .drop("lang").withColumn("lsn", col("lsn").cast("int"))
       LakeMerge.mergeBatch(table, b1, Some(("evolve", 0L)))
-      val b2 = EventGen.events(s, 4000L, nRepos = 30, pathsPerRepo = 5,
-        langFromLsn = 2000L).where(col("lsn") >= 2000L)
+      val b2 = full.where(col("lsn") >= 2000L)
       LakeMerge.mergeBatch(table, b2, Some(("evolve", 1L)))
       LakeMerge.readState(table)
         .groupBy(col("lang"))
@@ -91,6 +125,31 @@ object CdcQueries {
     })
   )
 
-  /** No DuckDB equivalents — driver records the weaker rows-only check. */
-  val oracleSql: Map[String, String] = Map.empty
+  /** DuckDB oracles over the deterministic exports: the final replay state
+    * IS SQL-expressible — arg-max per key over (commit, lsn), deletes
+    * filtered (VERDICT r3 #1). */
+  val oracleSql: Map[String, String] = Map(
+    "q_cdc_replay" -> lwwOracle(
+      s"$ExportRoot/q_cdc_replay/*.parquet",
+      """repo, path, "commit", lsn, lang, sha256(content) AS content_sha"""),
+
+    "q_cdc_lake_replay" -> lwwOracle(
+      s"$ExportRoot/q_cdc_lake_replay/binlog/segment-*.parquet",
+      """repo, path, "commit", lsn, lang, sha256(content) AS content_sha"""),
+
+    "q_cdc_lineage" ->
+      s"""SELECT 'verify-lineage' AS query_id,
+         |       CAST(floor(lsn / 2000) AS BIGINT) AS epoch_id,
+         |       count(*) AS batch_rows,
+         |       count(DISTINCT repo || '|' || path) AS distinct_keys,
+         |       count(*) FILTER (WHERE op = 'D') AS deletes,
+         |       min(lsn) AS min_lsn, max(lsn) AS max_lsn
+         |FROM read_parquet('$ExportRoot/q_cdc_lineage/binlog/segment-*.parquet')
+         |GROUP BY 2""".stripMargin,
+
+    "q_schema_evolution" -> lwwOracle(
+      s"$ExportRoot/q_schema_evolution/*.parquet",
+      "lang, count(*) AS n_rows, max(lsn) AS max_lsn",
+      tail = "\nGROUP BY lang")
+  )
 }

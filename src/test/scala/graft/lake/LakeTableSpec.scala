@@ -422,6 +422,39 @@ class LakeTableSpec extends SparkSpec {
     assert(t.read().count() == 2)
   }
 
+  test("driver-side bucketOf matches the bucketExpr Column for all keys and bucket counts") {
+    val keys = Seq("", "repo_00000", "repo_99999", "a/b/c.scala", "héllo-wörld",
+      "é中文", "x" * 300) ++ (0 until 200).map(i => s"repo_$i")
+    for (n <- Seq(1, 2, 4, 8, 16, 64, 1000)) {
+      val viaSpark = keys.toDF("k")
+        .select(col("k"), LakeTable.bucketExpr(col("k"), n).as("b"))
+        .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+      keys.foreach { k =>
+        assert(LakeTable.bucketOf(k, n) == viaSpark(k),
+          s"bucketOf('$k', $n) diverged from bucketExpr")
+      }
+    }
+  }
+
+  test("readRepo point lookup runs zero Spark jobs before its action") {
+    val root = tmpDir("lake")
+    val cdcSchema = graft.cdc.CdcStream.binlogSchema
+    val t = LakeTable.create(spark, root, cdcSchema, numBuckets = 8)
+    val df = (0 until 50).map(i => (s"repo_$i", "p", "c1", i.toLong, "U", null: String, s"v$i"))
+      .toDF(cdcSchema.fieldNames.toSeq: _*)
+      .withColumn("bucket", graft.cdc.LakeMerge.bucketOf(col("repo"), 8))
+    t.appendCommit(t.stage(df, 0))
+    val sc = spark.sparkContext
+    val before = sc.statusTracker.getJobIdsForGroup(null).length
+    // building the lookup plan must not launch a job (the old path ran a
+    // one-row Spark job just to evaluate the bucket expression)
+    val plan = graft.cdc.LakeMerge.readRepo(t, "repo_7")
+    val mid = sc.statusTracker.getJobIdsForGroup(null).length
+    assert(mid == before, "plan construction launched a Spark job")
+    val rows = plan.collect()
+    assert(rows.length == 1 && rows(0).getAs[String]("content") == "v7")
+  }
+
   test("gcOrphans removes unreferenced staging dirs, keeps referenced files") {
     val root = tmpDir("lake")
     val t = LakeTable.create(spark, root, baseSchema, numBuckets = 2)
