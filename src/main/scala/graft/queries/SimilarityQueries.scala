@@ -68,7 +68,7 @@ object SimilarityQueries {
     * candidate-set monotonicity the recall tests assert depends on that).
     * The vectors side never shuffles its payload beyond one exchange of
     * the already-pruned top-n rows (partial WindowGroupLimit). */
-  private def rankCells(vectors: DataFrame, centroids: DataFrame,
+  private[graft] def rankCells(vectors: DataFrame, centroids: DataFrame,
       idCol: String, embCol: String, n: Int): DataFrame = {
     val scored = vectors.crossJoin(broadcast(centroids))
       .withColumn("sim_c", cosine(col(embCol), col("centroid")))
@@ -158,12 +158,50 @@ object SimilarityQueries {
       val cents = trainCentroids(corpus, k = 8, iters = 2)
       import s.implicits._
       ivfTopK(q, corpus, cents.toDF("cid", "centroid"), nprobe = 8, topK = 10)
+    }),
+
+    // IVF index as a persisted ARTIFACT: train+assign on the initial corpus
+    // slice, persist as snapshot-versioned lake tables, then new vectors
+    // "arrive" and are appended under an epoch fence (no retrain, no
+    // re-assignment of old rows — incremental maintenance), a redelivered
+    // epoch is a no-op, the index is RELOADED from disk, and the probe over
+    // the stored inverted file must equal brute force over the full corpus.
+    "q_ann_ivf_index" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      val root = java.nio.file.Files.createTempDirectory("graft-ivfidx").toString
+      val idx = graft.ops.IvfIndex.create(s, root,
+        e.where(col("vec_id") >= 5 && col("vec_id") < 300)
+          .select(col("vec_id"), col("embedding")),
+        k = 8, iters = 2)
+      // a later merge epoch delivers new vectors; index appends incrementally
+      val arrived = e.where(col("vec_id") >= 300).select(col("vec_id"), col("embedding"))
+      assert(idx.append(arrived, fence = Some(("ivf-maint", 1L))))
+      // crash-replay of the same epoch: fenced no-op
+      assert(!idx.append(arrived, fence = Some(("ivf-maint", 1L))))
+      // restart: reload the artifact from disk, probe without rebuilding
+      graft.ops.IvfIndex.load(s, root).search(q, nprobe = 8, topK = 10)
     })
   )
 
   val oracleSql: Map[String, String] = Map(
     // probing all cells makes IVF exactly brute force — same oracle shape
     "q_ann_ivf" ->
+      """WITH scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+        |         list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS sim_raw
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id < 5 AND c.vec_id >= 5),
+        |ranked AS (
+        |  SELECT query_id, vec_id, sim_raw,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY sim_raw DESC, vec_id ASC) AS rk
+        |  FROM scored)
+        |SELECT query_id, vec_id, round(sim_raw, 4) AS sim, rk
+        |FROM ranked WHERE rk <= 10""".stripMargin,
+
+    // full-corpus brute force: the persisted index (initial build + fenced
+    // incremental appends, reloaded from disk) must lose nothing
+    "q_ann_ivf_index" ->
       """WITH scored AS (
         |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
         |         list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS sim_raw

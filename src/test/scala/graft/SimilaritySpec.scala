@@ -60,4 +60,33 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(r8 - 1.0) < 1e-9, "probing every cell is exact")
     assert(r1 > 0.0, "even one probed cell finds some true neighbors")
   }
+
+  test("persisted IVF index: incremental append equals from-scratch assignment; reload probes without rebuild") {
+    val root = tmpDir("ivfidx")
+    val initial = corpus.where(col("vec_id") < 60).select(col("vec_id"), col("embedding"))
+    val arrived = corpus.where(col("vec_id") >= 60).select(col("vec_id"), col("embedding"))
+    val idx = graft.ops.IvfIndex.create(spark, root, initial, k = 8, iters = 2)
+
+    assert(idx.append(arrived, fence = Some(("maint", 1L))), "first epoch must apply")
+    assert(!idx.append(arrived, fence = Some(("maint", 1L))), "replayed epoch must be fenced")
+
+    // incremental inverted file == assigning the FULL corpus against the
+    // same frozen centroids in one shot (old rows were never re-assigned)
+    val reloaded = graft.ops.IvfIndex.load(spark, root)
+    val stored = reloaded.assignments.select("vec_id", "cid")
+      .as[(Long, Int)].collect().toMap
+    val scratch = assignCells(corpus, reloaded.centroids)
+      .select("vec_id", "cid").as[(Long, Int)].collect().toMap
+    assert(stored == scratch, "incremental index diverged from from-scratch assignment")
+
+    // reloaded probe at nprobe = k over the stored file == brute force over
+    // everything indexed (initial ∪ arrived = the whole corpus here)
+    val viaIndex = topIds(reloaded.search(queries, nprobe = 8, topK = 10))
+    assert(viaIndex == brute, "reloaded index probe diverged from brute force")
+
+    // the index is snapshot-versioned: the append is a distinct, fenced
+    // commit on the assignment table
+    assert(reloaded.assignTable.fence("maint") == 1L)
+    assert(reloaded.assignTable.currentVersion >= 3)
+  }
 }
