@@ -149,7 +149,12 @@ object Bench {
     // minutes apart), which makes min-of-all-walls a meaningless ratio
     // when the minima land in different windows.
     final case class Pair(n: Double, x4: Double) { def eff: Double = n / (4.0 * x4) }
-    val modes = Seq("merge" -> memMb, "mergel0" -> memMb, "cpu" -> 2048, "shuffle" -> memMb)
+    // "stream" is the production ingest shape end-to-end: CdcStream binlog
+    // tail + fenced L0 commits + lineage + BACKGROUND compaction (drained
+    // inside the timed window) — the other merge modes measure the bare
+    // merge-apply kernel
+    val modes = Seq("merge" -> memMb, "mergel0" -> memMb, "stream" -> memMb,
+      "cpu" -> 2048, "shuffle" -> memMb)
     val loads = scala.collection.mutable.ArrayBuffer[Double]()
     val runs: Seq[Map[String, Pair]] = (0 until repeats).map { _ =>
       loads += loadavg()
@@ -177,6 +182,9 @@ object Bench {
     // 8-CPU-pinned N side), useful but upward-selected.
     val (eff, effBest, pairEffs) = effOf("merge")
     val (effL0, effL0Best, pairEffsL0) = effOf("mergel0")
+    val (effSt, effStBest, pairEffsSt) = effOf("stream")
+    val tNSt = runs.map(_("stream").n).min
+    val t4NSt = runs.map(_("stream").x4).min
     val tN = runs.map(_("merge").n).min
     val t4N = runs.map(_("merge").x4).min
     val tNL0 = runs.map(_("mergel0").n).min
@@ -226,8 +234,9 @@ object Bench {
     val pairsJson = pairEffs.sorted.map(e => f"$e%.3f").mkString("[", ",", "]")
     val pairsL0Json = pairEffsL0.sorted.map(e => f"$e%.3f").mkString("[", ",", "]")
     val loadsJson = loads.map(l => f"$l%.2f").mkString("[", ",", "]")
+    val pairsStJson = pairEffsSt.sorted.map(e => f"$e%.3f").mkString("[", ",", "]")
     val l0Block =
-      f""""l0":{"t_n":$tNL0%.2f,"t_4n":$t4NL0%.2f,"eps_n":$epsNL0%.0f,"eps_4n":$eps4NL0%.0f,"efficiency":$effL0%.3f,"efficiency_best_window":$effL0Best%.3f,"efficiency_pairs":$pairsL0Json},"weak":{"t_n_quarter":$weakN%.2f,"t_4n_full":$weak4N%.2f,"efficiency":$effWeak%.3f}"""
+      f""""l0":{"t_n":$tNL0%.2f,"t_4n":$t4NL0%.2f,"eps_n":$epsNL0%.0f,"eps_4n":$eps4NL0%.0f,"efficiency":$effL0%.3f,"efficiency_best_window":$effL0Best%.3f,"efficiency_pairs":$pairsL0Json},"stream":{"t_n":$tNSt%.2f,"t_4n":$t4NSt%.2f,"eps_n":${scaleEvents / tNSt}%.0f,"eps_4n":${scaleEvents / t4NSt}%.0f,"efficiency":$effSt%.3f,"efficiency_best_window":$effStBest%.3f,"efficiency_pairs":$pairsStJson},"weak":{"t_n_quarter":$weakN%.2f,"t_4n_full":$weak4N%.2f,"efficiency":$effWeak%.3f}"""
     val scaling =
       f"""{"events":$scaleEvents,"mode":"local-cluster","executors_n":$execN,"executors_4n":$exec4N,"cores_per_executor":$coresPerExec,"t_n":$tN%.2f,"t_4n":$t4N%.2f,"eps_n":$epsN%.0f,"eps_4n":$eps4N%.0f,"efficiency":$eff%.3f,"efficiency_best_window":$effBest%.3f,"efficiency_pairs":$pairsJson,$l0Block,"cpu_ceiling":$cpuCeiling%.3f,"shuffle_ceiling":$shuffleCeiling%.3f,"efficiency_normalized":$effNorm%.3f,"loadavg_per_repeat":$loadsJson}"""
     println(

@@ -86,6 +86,7 @@ object ScaleRun {
     val wall = mode match {
       case "merge" => mergeJob(spark, binlog, n, batches, buckets, l0 = false)
       case "mergel0" => mergeJob(spark, binlog, n, batches, buckets, l0 = true)
+      case "stream" => streamJob(spark, binlog, n, batches, buckets)
       case "cpu" => cpuJob(spark, n, totalCores)
       case "shuffle" => shuffleJob(spark, n, totalCores)
       case other => throw new IllegalArgumentException(s"unknown mode: $other")
@@ -140,6 +141,58 @@ object ScaleRun {
     val tc = System.nanoTime()
     LakeMerge.compact(table)
     System.err.println(f"""{"phase":"compact","sec":${(System.nanoTime() - tc) / 1e9}%.2f}""")
+    val secs = (System.nanoTime() - t0) / 1e9
+    rmTree(dir)
+    secs
+  }
+
+  /** The PRODUCTION ingest shape end-to-end: Structured-Streaming binlog
+    * tail (AvailableNow drain) → fenced L0 merge commits → lineage sidecar,
+    * with flush/compaction on the BACKGROUND compactor thread — the path a
+    * real deployment runs, measured under the same N vs 4N harness as the
+    * batch modes. Timed window starts after a warmup replay (separate
+    * table/checkpoint, first ~6% of events) has forced executor launch +
+    * codegen; it covers the full drain INCLUDING the final compactor
+    * drain (the work must be complete, not deferred, for eps to be honest). */
+  private def streamJob(spark: SparkSession, binlog: String, n: Long,
+      batches: Int, buckets: Int): Double = {
+    import graft.cdc.{CdcStream, LakeMerge}
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(binlog)))
+      EventGen.writeBinlog(spark, binlog, n, segments = 256,
+        nRepos = 20000, pathsPerRepo = 200, skew = 2.0, langFromLsn = n / 2)
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(sys.env.getOrElse("GRAFT_BENCH_TMP", "/dev/shm")),
+      "graft-scale-stream").toString
+    val nSegments = graft.util.Fs.list(java.nio.file.Paths.get(binlog))
+      .count(_.getFileName.toString.endsWith(".parquet"))
+    val perTrigger = math.max(1, nSegments / batches)
+
+    // warmup: drain a 16th of the segments into a throwaway table
+    val warmBinlog = s"$dir/warmbinlog"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(warmBinlog))
+    graft.util.Fs.list(java.nio.file.Paths.get(binlog)).sortBy(_.toString)
+      .take(math.max(1, nSegments / 16)).foreach { p =>
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(warmBinlog, p.getFileName.toString), p)
+      }
+    // GRAFT_STREAM_L0=false runs the classic (dedup-on-write) streaming
+    // shape instead — the A/B the l0-default recommendation rests on
+    val l0Mode = sys.env.getOrElse("GRAFT_STREAM_L0", "true").toBoolean
+    val warm = LakeTable.create(spark, s"$dir/warm", CdcStream.binlogSchema, buckets)
+    val warmMetrics = CdcStream.metricsTable(spark, s"$dir/warmMetrics")
+    CdcStream.start(spark, warm, warmMetrics, warmBinlog, s"$dir/warmCkpt",
+      queryId = "warm", maxFilesPerTrigger = perTrigger, compactAtDeltas = 4,
+      l0Mode = l0Mode, asyncCompact = true).awaitTermination()
+    CdcStream.drainCompaction("warm")
+
+    val table = LakeTable.create(spark, s"$dir/table", CdcStream.binlogSchema, buckets)
+    val metrics = CdcStream.metricsTable(spark, s"$dir/metrics")
+    val t0 = System.nanoTime()
+    CdcStream.start(spark, table, metrics, binlog, s"$dir/ckpt",
+      queryId = "bench-stream", maxFilesPerTrigger = perTrigger,
+      compactAtDeltas = 4, l0Mode = l0Mode, asyncCompact = true)
+      .awaitTermination()
+    CdcStream.drainCompaction("bench-stream")
     val secs = (System.nanoTime() - t0) / 1e9
     rmTree(dir)
     secs

@@ -130,7 +130,8 @@ object CdcStream {
       expireEvery: Int = 0,
       expireRetain: Int = 10,
       l0Mode: Boolean = false,
-      asyncCompact: Boolean = false
+      asyncCompact: Boolean = false,
+      l0FlushBytes: Long = 0L
   ): StreamingQuery = {
     // async mode: flushL0/compactTiered run on a background thread instead
     // of inside foreachBatch — ingest never stalls behind a major. Safe
@@ -141,7 +142,8 @@ object CdcStream {
         compactors.remove(queryId).foreach(_.close())
         val c = new Compactor(table, sizeRatio = 1.0,
           maxDeltaFiles = compactAtDeltas,
-          flushL0MinFiles = if (l0Mode) compactAtDeltas else 0)
+          flushL0MinFiles = if (l0Mode) compactAtDeltas else 0,
+          flushL0MinBytes = l0FlushBytes)
         compactors.put(queryId, c)
         Some(c)
       } else None
@@ -172,7 +174,7 @@ object CdcStream {
         applyBatch(table, metrics, batch, queryId, batchId, saltPartitions,
           compactAtDeltas = compactAtDeltas, deadLetters = deadLetters,
           expireEvery = expireEvery, expireRetain = expireRetain,
-          l0Mode = l0Mode, compactor = compactor)
+          l0Mode = l0Mode, compactor = compactor, l0FlushBytes = l0FlushBytes)
         ()
       }
 
@@ -222,7 +224,8 @@ object CdcStream {
       expireEvery: Int = 0,
       expireRetain: Int = 10,
       l0Mode: Boolean = false,
-      compactor: Option[Compactor] = None
+      compactor: Option[Compactor] = None,
+      l0FlushBytes: Long = 0L
   ): CommitStats = {
     if (table.fence(queryId) >= batchId) {
       // Redelivered epoch — exactly-once no-op for the DATA. But a crash in
@@ -294,7 +297,7 @@ object CdcStream {
           // L0 files pile up (the L0 read-amplification bound), then let
           // tiered compaction manage the resulting deltas as in classic mode
           if (stats.applied && l0Mode && compactAtDeltas > 0)
-            LakeMerge.flushL0(table, minFiles = compactAtDeltas)
+            LakeMerge.flushL0(table, minFiles = compactAtDeltas, minBytes = l0FlushBytes)
           // bounded read amplification via SIZE-TIERED compaction: a bucket
           // is folded when its delta bytes reach its base bytes (each
           // rewrite at least doubles the base → O(log) rewrites per key

@@ -24,12 +24,21 @@ import graft.lake.LakeTable
   * A failed pass latches its error and rethrows on the next [[poke]] /
   * [[drain]] — compaction failure must surface on the ingest path, not
   * silently stop bounding read amplification.
+  *
+  * Two compactors racing on ONE table (e.g. two writer streams each with
+  * their own): if both rewrite the same files, the loser's commit re-adds
+  * its merged output as additional files (its replace-set is already gone).
+  * That duplicates ROWS transiently, never loses them — LWW resolution is
+  * idempotent (duplicate winners collapse to the same row), so reads stay
+  * correct and the next pass folds the redundancy away. Verified at job
+  * level by AsyncCompactionSpec's two-concurrent-streams test.
   */
 final class Compactor(
     table: LakeTable,
     sizeRatio: Double = 1.0,
     maxDeltaFiles: Int = 16,
-    flushL0MinFiles: Int = 0 // 0 = never flush L0 (classic mode)
+    flushL0MinFiles: Int = 0, // 0 = never flush L0 (classic mode)
+    flushL0MinBytes: Long = 0L // additional bytes trigger (0 = count-only)
 ) extends AutoCloseable {
 
   private val exec = Executors.newSingleThreadExecutor { r =>
@@ -53,8 +62,15 @@ final class Compactor(
         // release the coalescing slot BEFORE the pass: a poke arriving
         // mid-pass queues exactly one follow-up that sees the newest state
         queued.set(false)
+        // the executor thread was forked from the STREAMING thread on the
+        // first poke, so Spark's InheritableThreadLocal job-group leaks in:
+        // without an own group, StreamingQuery.stop() cancels the
+        // compactor's in-flight jobs and a healthy pass dies as "failed"
+        table.spark.sparkContext.setJobGroup("graft-compactor",
+          "background compaction", interruptOnCancel = false)
         try {
-          if (flushL0MinFiles > 0) LakeMerge.flushL0(table, minFiles = flushL0MinFiles)
+          if (flushL0MinFiles > 0)
+            LakeMerge.flushL0(table, minFiles = flushL0MinFiles, minBytes = flushL0MinBytes)
           LakeMerge.compactTiered(table, sizeRatio, maxDeltaFiles)
           passesDone += 1
         } catch { case e: Throwable => failure = e }

@@ -263,13 +263,24 @@ object LakeMerge {
   /** Re-bucket accumulated L0 files into ordinary per-bucket delta files —
     * the amortized exchange the shuffle-free ingest path deferred. One
     * write-aligned LWW pass over the L0 files only (never the table);
-    * atomic swap replaces exactly those files. Runs when at least
-    * `minFiles` L0 files have piled up (the L0 read-amplification bound:
-    * a resolved read opens at most that many bucket-spanning files). */
-  def flushL0(table: LakeTable, minFiles: Int = 1): Boolean = {
+    * atomic swap replaces exactly those files.
+    *
+    * Two triggers, either fires the flush:
+    *  - `minFiles` L0 files piled up — the read-amplification bound (a
+    *    resolved read opens at most that many bucket-spanning files);
+    *  - `minBytes` accumulated L0 bytes (0 = disabled) — the amortization
+    *    bound: flush cost is one exchange of the flushed BYTES, so a bytes
+    *    trigger keeps the per-flush exchange near-constant-cost regardless
+    *    of how batch sizes swing, where a pure file-count trigger flushes
+    *    tiny volumes under small batches (per-flush job overhead dominates)
+    *    and lets huge batches pile up gigabytes (memory-spiky flushes). */
+  def flushL0(table: LakeTable, minFiles: Int = 1, minBytes: Long = 0L): Boolean = {
     val snap = table.snapshot
     val l0 = table.filesOf(snap).filter(_.kind == "l0")
-    if (l0.isEmpty || l0.size < math.max(1, minFiles)) return false
+    if (l0.isEmpty) return false
+    val due = l0.size >= math.max(1, minFiles) ||
+      (minBytes > 0L && l0.map(_.bytes).sum >= minBytes)
+    if (!due) return false
     val merged = lwwWriteShape(table.readSubset(l0), snap.numBuckets,
       snap.schema.fieldNames.toSeq, saltPartitions = 4)
     val staged = table.stage(merged, snap.schemaId, kind = "delta")

@@ -78,6 +78,31 @@ class AsyncCompactionSpec extends SparkSpec {
     }
   }
 
+  test("L0 flush bytes trigger: fires on accumulated volume below the file-count bound") {
+    val root = tmpDir("l0bytes")
+    val t = LakeTable.create(spark, s"$root/table", CdcStream.binlogSchema, numBuckets = 4)
+    // two L0 appends — far below a count trigger of 100
+    (0 until 2).foreach { b =>
+      LakeMerge.mergeBatch(t,
+        EventGen.eventsRange(spark, b * 500L, (b + 1) * 500L, nRepos = 20, pathsPerRepo = 5),
+        Some(("l0b", b.toLong)), l0Mode = true)
+    }
+    val l0Bytes = t.files.filter(_.kind == "l0").map(_.bytes).sum
+    assert(l0Bytes > 0)
+    // below both thresholds: no flush
+    assert(!LakeMerge.flushL0(t, minFiles = 100, minBytes = l0Bytes * 10))
+    assert(t.files.exists(_.kind == "l0"))
+    // bytes threshold reached (count still far away): flush fires
+    assert(LakeMerge.flushL0(t, minFiles = 100, minBytes = l0Bytes))
+    assert(!t.files.exists(_.kind == "l0"), "flush must re-bucket every L0 file")
+    // resolved state unaffected by when the flush happened
+    val oracle = MergeEngine.foldOracle(
+      EventGen.events(spark, 1000L, nRepos = 20, pathsPerRepo = 5)
+        .orderBy("lsn").as[ChangeEvent].collect().toSeq)
+    assert(tableState(t) == oracle.map { case (k, e) =>
+      k -> org.apache.commons.codec.digest.DigestUtils.sha256Hex(e.content) })
+  }
+
   test("two concurrent writer streams + background compaction: deterministic state, both fences, no lost rows") {
     val dir = tmpDir("twowriters")
     // one deterministic stream, split into two disjoint binlogs (first /
