@@ -80,6 +80,80 @@ object Mart {
       .select(col("repo").as("doc_key"), col("content").as("doc_json"),
         floor(col("lsn") / 2).cast("long").as("publish_epoch"))
 
+  /** Incrementally refresh a grouped mart query from the source table's
+    * CHANGELOG instead of recomputing every group (the reference rebuilds
+    * its reports from a full BigQuery scan each run,
+    * `modules/tech_report_pipeline.py:156` — at 10^10 rows a full
+    * re-aggregate per publish epoch is the scale cliff this avoids).
+    *
+    * Which groups can have changed between source versions v0 → v1?
+    * Exactly the groups touched by a changed KEY — in its NEW state (the
+    * group it now aggregates into) or its OLD state at v0 (the group it
+    * left: an update can MOVE a key between groups, shrinking one and
+    * growing the other — recomputing only new-side groups would leave the
+    * abandoned group's document stale). So:
+    *
+    *  1. changed keys = distinct (repo, path) in `readChangesBetween(v0, v1)`
+    *     — O(changes), never O(table);
+    *  2. affected groups = their group values in the resolved state at v0
+    *     ∪ at v1 (time travel supplies v0 — it must still be retained,
+    *     else fail loudly and re-baseline with a full [[publish]]);
+    *  3. recompute `aggregate` over ONLY current-state rows of affected
+    *     groups (semi-join restriction; one scan, no full re-aggregate)
+    *     and publish — LWW overwrites exactly those documents;
+    *  4. an affected group with NO recomputed row has vanished (all its
+    *     rows deleted or moved away): tombstone its document, else it
+    *     would serve stale aggregates forever.
+    *
+    * Unaffected documents keep their prior publish epoch — the proof of
+    * incrementality the tests assert.
+    *
+    * @param groupCols grouping columns of the query = the doc key columns
+    * @param aggregate the query body: resolved-state rows → one row per
+    *                  group present in its input (any groupBy-shaped agg)
+    */
+  def refreshIncremental(
+      mart: LakeTable,
+      source: LakeTable,
+      fromVersion: Int,
+      toVersion: Int,
+      groupCols: Seq[String],
+      aggregate: DataFrame => DataFrame,
+      queryId: String,
+      epoch: Long
+  ): CommitStats = {
+    require(groupCols.nonEmpty, "incremental refresh needs grouping columns")
+    val keyCols = MergeEngine.keyCols
+    val changes = source.readChangesBetween(fromVersion, toVersion)
+    val changedKeys = changes.select(keyCols.map(col): _*).distinct()
+
+    val oldState = MergeEngine.liveView(
+      MergeEngine.dedupBatch(source.readVersion(fromVersion)))
+    val newState = LakeMerge.readState(source)
+    def groupsOf(state: DataFrame): DataFrame =
+      state.join(changedKeys, keyCols, "left_semi")
+        .select(groupCols.map(col): _*).distinct()
+    val affected = groupsOf(oldState).union(groupsOf(newState)).distinct()
+
+    val restricted = newState.join(affected, groupCols, "left_semi")
+    val recomputed = aggregate(restricted)
+    val stats = publish(mart, recomputed, groupCols, queryId, epoch)
+
+    // vanished groups: affected but absent from the recompute → tombstone
+    val gone = affected.join(
+      recomputed.select(groupCols.map(col): _*).distinct(), groupCols, "left_anti")
+    val dels = gone.select(
+      sha2(concat_ws("-", groupCols.map(c => col(c).cast("string")): _*), 256).as("repo"),
+      lit(queryId).as("path"),
+      format_string("e%012d", lit(2 * epoch + 1)).as("commit"),
+      lit(2 * epoch + 1).as("lsn"),
+      lit("D").as("op"),
+      lit(null).cast("string").as("lang"),
+      lit(null).cast("string").as("content"))
+    LakeMerge.mergeBatch(mart, dels, Some((s"$queryId-gone", epoch)))
+    stats
+  }
+
   /** Delete all documents of a query (the reference's companion deletion
     * pipeline, `modules/tech_report_deletion.py`): tombstone each current
     * doc at the given epoch. */

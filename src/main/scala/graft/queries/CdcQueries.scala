@@ -98,6 +98,34 @@ object CdcQueries {
         .orderBy(col("epoch_id"))
     }),
 
+    // Changelog-driven INCREMENTAL mart refresh: full publish at epoch 0,
+    // a second merge epoch changes some keys, refreshIncremental recomputes
+    // ONLY the affected lang groups at epoch 1. The oracle recomputes both
+    // the aggregates (over final LWW state) AND the expected publish epoch
+    // per group — affected = langs of changed keys in the old state ∪ the
+    // new state — so the incrementality itself is hash-verified, not just
+    // the values.
+    "q_mart_incremental" -> ((s, _) => {
+      val full = EventGen.events(s, 6000L, nRepos = 40, pathsPerRepo = 5,
+        langFromLsn = 0L)
+      full.write.mode("overwrite").parquet(s"$ExportRoot/q_mart_incremental")
+      val dir = java.nio.file.Files.createTempDirectory("graft-martincr").toString
+      val table = LakeTable.create(s, s"$dir/table", CdcStream.binlogSchema, numBuckets = 4)
+      LakeMerge.mergeBatch(table, full.where(col("lsn") < 3000L), Some(("ingest", 0L)))
+      val mart = graft.cdc.Mart.martTable(s, s"$dir/mart")
+      val agg = (state: DataFrame) =>
+        state.groupBy(col("lang")).agg(count(lit(1)).as("n_files"))
+      graft.cdc.Mart.publish(mart, agg(LakeMerge.readState(table)), Seq("lang"), "bylang", 0L)
+      val v0 = table.currentVersion
+      LakeMerge.mergeBatch(table, full.where(col("lsn") >= 3000L), Some(("ingest", 1L)))
+      graft.cdc.Mart.refreshIncremental(mart, table, v0, table.currentVersion,
+        Seq("lang"), agg, "bylang", epoch = 1L)
+      graft.cdc.Mart.readDocs(mart, "bylang").select(
+        get_json_object(col("doc_json"), "$.lang").as("lang"),
+        get_json_object(col("doc_json"), "$.n_files").cast("long").as("n_files"),
+        col("publish_epoch"))
+    }),
+
     // Schema evolution through the lake: commit narrow batch, evolve, commit
     // wide batch, read reconciled (additive column + widened type). The two
     // batches are contiguous slices of ONE seeded stream (lang null before
@@ -150,6 +178,25 @@ object CdcQueries {
     "q_schema_evolution" -> lwwOracle(
       s"$ExportRoot/q_schema_evolution/*.parquet",
       "lang, count(*) AS n_rows, max(lsn) AS max_lsn",
-      tail = "\nGROUP BY lang")
+      tail = "\nGROUP BY lang"),
+
+    "q_mart_incremental" ->
+      s"""WITH ev AS (SELECT * FROM read_parquet('$ExportRoot/q_mart_incremental/*.parquet')),
+         |new_state AS (
+         |  SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY repo, path
+         |                                              ORDER BY "commit" DESC, lsn DESC) rn
+         |                 FROM ev) WHERE rn = 1 AND op <> 'D'),
+         |old_state AS (
+         |  SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY repo, path
+         |                                              ORDER BY "commit" DESC, lsn DESC) rn
+         |                 FROM ev WHERE lsn < 3000) WHERE rn = 1 AND op <> 'D'),
+         |changed AS (SELECT DISTINCT repo, path FROM ev WHERE lsn >= 3000),
+         |affected AS (
+         |  SELECT DISTINCT o.lang FROM old_state o JOIN changed c USING (repo, path)
+         |  UNION
+         |  SELECT DISTINCT n.lang FROM new_state n JOIN changed c USING (repo, path))
+         |SELECT s.lang, count(*) AS n_files,
+         |       CAST(CASE WHEN s.lang IN (SELECT lang FROM affected) THEN 1 ELSE 0 END AS BIGINT) AS publish_epoch
+         |FROM new_state s GROUP BY s.lang""".stripMargin
   )
 }

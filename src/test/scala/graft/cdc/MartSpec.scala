@@ -90,4 +90,86 @@ class MartSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(viaSql == viaDf && viaSql.nonEmpty)
   }
+
+  test("incremental refresh: only affected groups republished, vanished group tombstoned, result equals full rebuild") {
+    val dir = tmpDir("mart-incr")
+    val table = setupState(dir)
+    val mart = Mart.martTable(spark, s"$dir/mart")
+    val agg = (state: org.apache.spark.sql.DataFrame) =>
+      state.groupBy($"repo").agg(count(lit(1)).as("n_paths"), max($"lsn").as("max_lsn"))
+
+    Mart.publish(mart, agg(LakeMerge.readState(table)), Seq("repo"), "byrepo", 0L)
+    val v0 = table.currentVersion
+    val docs0 = Mart.readDocs(mart, "byrepo").collect()
+      .map(r => r.getAs[String]("doc_key") -> r.getAs[Long]("publish_epoch")).toMap
+
+    // the change batch touches exactly TWO repos: one path updated in
+    // repo_00001; EVERY live path of repo_00002 tombstoned (group vanishes)
+    val doomed = LakeMerge.readState(table).where($"repo" === "repo_00002")
+      .select($"path").as[String].collect().toSeq
+    assert(doomed.nonEmpty, "fixture: repo_00002 must have live paths")
+    val upd = Seq(("repo_00001", "src/00/file_0000.scala", "c999999999999", 999999L, "U", "scala", "new content"))
+    val dels = doomed.map(p => ("repo_00002", p, "c999999999999", 999998L - doomed.indexOf(p), "D", null: String, null: String))
+    LakeMerge.mergeBatch(table,
+      (upd ++ dels).toDF("repo", "path", "commit", "lsn", "op", "lang", "content"),
+      Some(("ingest", 9L)))
+
+    Mart.refreshIncremental(mart, table, v0, table.currentVersion,
+      Seq("repo"), agg, "byrepo", epoch = 1L)
+    val docs1 = Mart.readDocs(mart, "byrepo").collect()
+      .map(r => (r.getAs[String]("doc_key"),
+        (r.getAs[String]("doc_json"), r.getAs[Long]("publish_epoch")))).toMap
+
+    // equality with a from-scratch rebuild over the final state
+    val rebuilt = Mart.martTable(spark, s"$dir/mart-rebuild")
+    Mart.publish(rebuilt, agg(LakeMerge.readState(table)), Seq("repo"), "byrepo", 1L)
+    val full = Mart.readDocs(rebuilt, "byrepo").collect()
+      .map(r => r.getAs[String]("doc_key") -> r.getAs[String]("doc_json")).toMap
+    assert(docs1.view.mapValues(_._1).toMap == full,
+      "incremental refresh diverged from full rebuild")
+
+    // incrementality: exactly one doc republished at epoch 1 (repo_00001);
+    // every other surviving doc kept its epoch-0 publish
+    val republished = docs1.filter(_._2._2 == 1L).keySet
+    assert(republished.size == 1, s"expected 1 refreshed doc, got ${republished.size}")
+    assert(docs1.filter(_._2._2 == 0L).keySet.subsetOf(docs0.keySet))
+    // the vanished group's doc is gone (tombstoned, not stale)
+    assert(docs1.size == docs0.size - 1)
+  }
+
+  test("incremental refresh recomputes the group a key MOVED OUT of") {
+    val dir = tmpDir("mart-move")
+    val table = setupState(dir)
+    val mart = Mart.martTable(spark, s"$dir/mart")
+    val agg = (state: org.apache.spark.sql.DataFrame) =>
+      state.groupBy($"lang").agg(count(lit(1)).as("n_files"))
+
+    Mart.publish(mart, agg(LakeMerge.readState(table)), Seq("lang"), "bylang", 0L)
+    val v0 = table.currentVersion
+    // move ONE key from its current lang to another
+    val victim = LakeMerge.readState(table).where($"lang" === "scala")
+      .select($"repo", $"path").limit(1).as[(String, String)].collect().head
+    LakeMerge.mergeBatch(table,
+      Seq((victim._1, victim._2, "c999999999999", 999999L, "U", "go", "moved"))
+        .toDF("repo", "path", "commit", "lsn", "op", "lang", "content"),
+      Some(("ingest", 9L)))
+
+    Mart.refreshIncremental(mart, table, v0, table.currentVersion,
+      Seq("lang"), agg, "bylang", epoch = 1L)
+
+    val expect = agg(LakeMerge.readState(table)).collect()
+      .map(r => Option(r.getAs[String]("lang")) -> r.getAs[Long]("n_files")).toMap
+    val got = Mart.readDocs(mart, "bylang").collect().map { r =>
+      val j = r.getAs[String]("doc_json")
+      val lang = "\"lang\":\"([a-z]+)\"".r.findFirstMatchIn(j).map(_.group(1))
+      val n = "\"n_files\":([0-9]+)".r.findFirstMatchIn(j).get.group(1).toLong
+      (lang, (n, r.getAs[Long]("publish_epoch")))
+    }.toMap
+    assert(got.view.mapValues(_._1).toMap == expect,
+      "doc contents diverged from the true aggregate after a group move")
+    // BOTH sides of the move were refreshed: the shrunk source group and
+    // the grown target group carry the new epoch; bystanders keep epoch 0
+    assert(got(Some("scala"))._2 == 1L && got(Some("go"))._2 == 1L)
+    assert(got.exists(_._2._2 == 0L), "some group should be untouched")
+  }
 }
