@@ -128,20 +128,26 @@ object Demo {
     log(s"lineage rows: ${m.length}; total rows accounted: ${m.map(_.getLong(1)).sum}")
     m.take(3).foreach(r => log(s"  epoch ${r.getLong(0)}: rows=${r.getLong(1)} keys=${r.getLong(2)} dels=${r.getLong(3)} lsn=[${r.getLong(4)},${r.getLong(5)}]"))
 
-    // 9. L0 (shuffle-free) ingest mode: replay the same binlog through
-    // zero-exchange appends + mid-stream flushes; the resolved state must
-    // equal the classic table's pre-evolve oracle byte-for-byte
+    // 9. L0 (shuffle-free) ingest mode with BACKGROUND compaction: replay
+    // the same binlog through zero-exchange appends, flushes/compactions on
+    // the compactor thread; the resolved state must equal the classic
+    // table's pre-evolve oracle byte-for-byte after the drain
     val tableL0 = LakeTable.create(spark, s"$dir/table-l0", CdcStream.binlogSchema, numBuckets = 16)
     val metricsL0 = CdcStream.metricsTable(spark, s"$dir/metrics-l0")
     val qL0 = CdcStream.start(spark, tableL0, metricsL0, s"$dir/binlog", s"$dir/ckpt-l0",
-      queryId = "demo-l0", maxFilesPerTrigger = 3, compactAtDeltas = 4, l0Mode = true)
+      queryId = "demo-l0", maxFilesPerTrigger = 3, compactAtDeltas = 4, l0Mode = true,
+      asyncCompact = true)
     qL0.awaitTermination()
+    val passes = CdcStream.compactorOf("demo-l0").map { c => c.drain(); c.passes }.getOrElse(0L)
+    CdcStream.drainCompaction("demo-l0")
     val gotL0 = LakeMerge.readState(tableL0)
       .select($"repo", $"path", sha2($"content", 256))
       .as[(String, String, String)].collect()
       .map(x => (x._1, x._2) -> x._3).toMap
     assert(gotL0 == oracle, "L0-mode state != fold oracle")
-    log(s"L0-mode replay: ${gotL0.size} keys, sha256 equality vs fold oracle: MATCH " +
+    assert(passes > 0L, "background compactor never ran")
+    log(s"L0-mode replay (async compaction, $passes background passes): " +
+      s"${gotL0.size} keys, sha256 equality vs fold oracle: MATCH " +
       s"(${tableL0.files.count(_.kind == "l0")} unflushed L0 files remain)")
 
     log("DEMO OK")

@@ -60,6 +60,46 @@ class PlanSpec extends SparkSpec {
     assert(collectAll(plan) { case e: ShuffleExchangeExec => e }.size <= 1)
   }
 
+  test("IVF index probe: centroids broadcast; the stored inverted file shuffles once at most") {
+    import org.apache.spark.sql.functions.col
+    val root = tmpDir("planspec-ivf")
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val idx = graft.ops.IvfIndex.create(spark, root,
+      e.where(col("vec_id") >= 20).select(col("vec_id"), col("embedding")),
+      k = 4, iters = 1)
+    val probe = idx.search(
+      e.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")),
+      nprobe = 2, topK = 5)
+    val plan = executed(probe)
+    assert(collectAll(plan) { case b: BroadcastExchangeExec => b }.nonEmpty,
+      "probe side must broadcast against the inverted file")
+    assert(collectAll(plan) { case s: SortMergeJoinExec => s }.isEmpty,
+      "the probe join must not be a sort-merge join")
+    // exchanges: only the per-query top-k ranking may shuffle (plus the
+    // tiny centroid-ranking window) — the inverted file itself never does
+    assert(collectAll(plan) { case e2: ShuffleExchangeExec => e2 }.size <= 2)
+  }
+
+  test("mart incremental readDocs: one exchange, path filter pushed to the scan") {
+    // the consumer-facing read of an incrementally-refreshed mart must be
+    // the standard LWW shape: one exchange, query-id filter at the scan
+    import org.apache.spark.sql.functions._
+    val root = tmpDir("planspec-mart")
+    val mart = graft.cdc.Mart.martTable(spark, s"$root/mart")
+    val rows = spark.range(10).select(
+      concat(lit("k"), col("id").cast("string")).as("g"), col("id").as("n"))
+    graft.cdc.Mart.publish(mart, rows, Seq("g"), "q1", 0L)
+    val docs = graft.cdc.Mart.readDocs(mart, "q1")
+    assert(shuffles(docs) == 1)
+    val pushed = collectAll(executed(docs)) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metadata.getOrElse("PushedFilters", "")
+    }
+    assert(pushed.exists(_.contains("EqualTo(path,q1)")),
+      s"query-id filter must reach the parquet scan, got $pushed")
+  }
+
   test("windowed rates scan prunes to the three referenced columns") {
     val scans = collectAll(executed(q("q_windowed_rates"))) {
       case f: org.apache.spark.sql.execution.FileSourceScanExec => f.requiredSchema.fieldNames.toSet
