@@ -314,9 +314,13 @@ object CdcStream {
       // it must not reclaim the compactor's staged-but-uncommitted files
       // (the expireSnapshots concurrency contract); inline mode keeps the
       // exact single-writer sweep.
+      // the async guard must exceed the compactor's longest stage→commit
+      // window (a 100-TB-scale major can hold staged-uncommitted files for
+      // minutes); 10 min bounds it with margin — the cost is only that
+      // crash orphans linger that long before the sweep reclaims them
       if (stats.applied && expireEvery > 0 && batchId % expireEvery == 0)
         table.expireSnapshots(retainLast = expireRetain,
-          minAgeMs = if (compactor.isDefined) 120000L else 0L)
+          minAgeMs = if (compactor.isDefined) 600000L else 0L)
 
       if (stats.applied)
         recordLineage(metrics, lineage, queryId, batchId, stats, t0)

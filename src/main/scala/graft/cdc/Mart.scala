@@ -58,10 +58,17 @@ object Mart {
       epoch: Long
   ): CommitStats = {
     require(keyCols.nonEmpty, "mart documents need at least one key column")
-    // lsn = 2*epoch (publish) / 2*epoch+1 (delete): a delete issued at the
-    // same epoch as the last publish orders STRICTLY after it, so LWW
-    // survival is deterministic — (commit, lsn) stays unique per doc
-    val docs = result.select(
+    LakeMerge.mergeBatch(mart, docRows(result, keyCols, queryId, epoch),
+      Some((queryId, epoch)))
+  }
+
+  /** One published document per result row. lsn = 2*epoch (publish) /
+    * 2*epoch+1 (delete): a delete issued at the same epoch as the last
+    * publish orders STRICTLY after it, so LWW survival is deterministic —
+    * (commit, lsn) stays unique per doc. */
+  private def docRows(result: DataFrame, keyCols: Seq[String],
+      queryId: String, epoch: Long): DataFrame =
+    result.select(
       sha2(concat_ws("-", keyCols.map(c => col(c).cast("string")): _*), 256).as("repo"),
       lit(queryId).as("path"),
       format_string("e%012d", lit(2 * epoch)).as("commit"),
@@ -70,8 +77,6 @@ object Mart {
       lit(null).cast("string").as("lang"),
       to_json(struct(result.columns.map(col).toSeq: _*)).as("content")
     )
-    LakeMerge.mergeBatch(mart, docs, Some((queryId, epoch)))
-  }
 
   /** Read the current documents of a mart query: (doc_key, json). */
   def readDocs(mart: LakeTable, queryId: String): DataFrame =
@@ -127,6 +132,16 @@ object Mart {
     val changes = source.readChangesBetween(fromVersion, toVersion)
     val changedKeys = changes.select(keyCols.map(col): _*).distinct()
 
+    // group-column joins must be NULL-SAFE (<=>): a null group value (e.g.
+    // lang IS NULL is a legitimate group — publish keys it as the empty
+    // string) never equals itself under plain equality, so an equi-join
+    // would silently drop null-group rows from the recompute and then
+    // tombstone that group's LIVE document as "vanished"
+    def semiOnGroups(left: DataFrame, right: DataFrame, joinType: String): DataFrame = {
+      val l = left.alias("l"); val r = right.alias("r")
+      l.join(r, groupCols.map(c => col(s"l.$c") <=> col(s"r.$c")).reduce(_ && _), joinType)
+    }
+
     val oldState = MergeEngine.liveView(
       MergeEngine.dedupBatch(source.readVersion(fromVersion)))
     val newState = LakeMerge.readState(source)
@@ -135,13 +150,16 @@ object Mart {
         .select(groupCols.map(col): _*).distinct()
     val affected = groupsOf(oldState).union(groupsOf(newState)).distinct()
 
-    val restricted = newState.join(affected, groupCols, "left_semi")
+    val restricted = semiOnGroups(newState, affected, "left_semi")
     val recomputed = aggregate(restricted)
-    val stats = publish(mart, recomputed, groupCols, queryId, epoch)
 
-    // vanished groups: affected but absent from the recompute → tombstone
-    val gone = affected.join(
-      recomputed.select(groupCols.map(col): _*).distinct(), groupCols, "left_anti")
+    // vanished groups: affected but absent from the recompute → tombstone.
+    // Published docs and tombstones go in ONE fenced merge commit, so a
+    // crashed refresh can never leave a vanished-group doc stale while the
+    // republished ones already landed — replay of the epoch is a no-op,
+    // a crash before the commit leaves the mart at the previous epoch.
+    val gone = semiOnGroups(affected,
+      recomputed.select(groupCols.map(col): _*).distinct(), "left_anti")
     val dels = gone.select(
       sha2(concat_ws("-", groupCols.map(c => col(c).cast("string")): _*), 256).as("repo"),
       lit(queryId).as("path"),
@@ -150,8 +168,9 @@ object Mart {
       lit("D").as("op"),
       lit(null).cast("string").as("lang"),
       lit(null).cast("string").as("content"))
-    LakeMerge.mergeBatch(mart, dels, Some((s"$queryId-gone", epoch)))
-    stats
+    LakeMerge.mergeBatch(mart,
+      docRows(recomputed, groupCols, queryId, epoch).unionByName(dels),
+      Some((queryId, epoch)))
   }
 
   /** Delete all documents of a query (the reference's companion deletion

@@ -44,7 +44,13 @@ final class IvfIndex private (
   /** Assign `vectors` (vec_id, embedding) to their nearest stored centroid
     * and append them to the inverted file. `fence` = (queryId, epochId)
     * makes per-merge-epoch maintenance exactly-once: a redelivered epoch is
-    * skipped. Returns false when fenced off. */
+    * skipped. Returns false when fenced off.
+    *
+    * Contract: the inverted file is append-only — feeding a vec_id that is
+    * already indexed appends a second posting (both would then surface in
+    * probes). Use the epoch fence for crash-replay dedup; for a corpus with
+    * UPDATES, derive `vectors` from the source table's changelog winners so
+    * each maintenance epoch carries a key at most once, or rebuild. */
   def append(vectors: DataFrame, fence: Option[(String, Long)] = None): Boolean = {
     if (fence.exists { case (q, e) => assignTable.fence(q) >= e }) return false
     val assigned = SimilarityQueries

@@ -137,6 +137,52 @@ class MartSpec extends SparkSpec {
     assert(docs1.size == docs0.size - 1)
   }
 
+  test("incremental refresh handles a NULL group value (null-safe group joins)") {
+    val dir = tmpDir("mart-nullgrp")
+    val table = LakeTable.create(spark, s"$dir/table", CdcStream.binlogSchema, numBuckets = 4)
+    // NULL is a real group in this mart: plant two keys whose winners have
+    // lang IS NULL alongside the generated non-null population
+    LakeMerge.mergeBatch(table,
+      EventGen.events(spark, 4000L, nRepos = 30, pathsPerRepo = 5, langFromLsn = 0L)
+        .unionByName(Seq(
+          ("repo_nl", "a.txt", "c999999999990", 899990L, "U", null: String, "no lang a"),
+          ("repo_nl", "b.txt", "c999999999990", 899991L, "U", null: String, "no lang b"))
+          .toDF("repo", "path", "commit", "lsn", "op", "lang", "content")),
+      Some(("ingest", 0L)))
+    val mart = Mart.martTable(spark, s"$dir/mart")
+    val agg = (state: org.apache.spark.sql.DataFrame) =>
+      state.groupBy($"lang").agg(count(lit(1)).as("n_files"))
+    Mart.publish(mart, agg(LakeMerge.readState(table)), Seq("lang"), "bylang", 0L)
+    val v0 = table.currentVersion
+
+    // change a key whose winner stays in the NULL-lang group
+    val victim = LakeMerge.readState(table).where($"lang".isNull)
+      .select($"repo", $"path").limit(1).as[(String, String)].collect().head
+    LakeMerge.mergeBatch(table,
+      Seq((victim._1, victim._2, "c999999999999", 999999L, "U", null: String, "still-null-lang"))
+        .toDF("repo", "path", "commit", "lsn", "op", "lang", "content"),
+      Some(("ingest", 9L)))
+
+    Mart.refreshIncremental(mart, table, v0, table.currentVersion,
+      Seq("lang"), agg, "bylang", epoch = 1L)
+
+    val expect = agg(LakeMerge.readState(table)).collect()
+      .map(r => Option(r.getAs[String]("lang")) -> r.getAs[Long]("n_files")).toMap
+    val got = Mart.readDocs(mart, "bylang").collect().map { r =>
+      val j = r.getAs[String]("doc_json")
+      val lang = "\"lang\":\"([a-z]+)\"".r.findFirstMatchIn(j).map(_.group(1))
+      val n = "\"n_files\":([0-9]+)".r.findFirstMatchIn(j).get.group(1).toLong
+      (lang, (n, r.getAs[Long]("publish_epoch")))
+    }.toMap
+    // the null-group doc must SURVIVE, be refreshed (it was affected), and
+    // carry the correct count — under plain equi-joins it was excluded from
+    // the recompute and tombstoned as "vanished"
+    assert(got.contains(None), s"null-lang doc was lost: ${got.keySet}")
+    assert(got(None)._1 == expect(None), "null-lang count wrong after refresh")
+    assert(got(None)._2 == 1L, "null-lang doc should have been republished")
+    assert(got.view.mapValues(_._1).toMap == expect)
+  }
+
   test("incremental refresh recomputes the group a key MOVED OUT of") {
     val dir = tmpDir("mart-move")
     val table = setupState(dir)
