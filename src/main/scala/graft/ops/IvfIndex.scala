@@ -63,6 +63,38 @@ final class IvfIndex private (
     true
   }
 
+  /** Maintain the index from a CDC source table's CHANGELOG: take the LWW
+    * winners of the commits in (fromVersion, toVersion], derive (vec_id,
+    * embedding) rows via the caller's column expressions, drop keys the
+    * index already holds (anti-join — makes overlapping version ranges
+    * safe on top of the epoch fence), and append the remainder.
+    *
+    * Insert-only maintenance: an UPDATED document keeps its original
+    * posting (the anti-join skips the new embedding) and a DELETED one
+    * stays indexed — acceptable for append-mostly corpora between index
+    * rebuilds; an LWW-resolving inverted file (postings as CDC rows) is
+    * the upgrade path if updates must be visible without rebuild.
+    *
+    * @param vecId     expression over the source's live columns yielding a
+    *                  unique long id (e.g. `xxhash64(col("repo"), col("path"))`)
+    * @param embedding expression yielding the `array<float>` vector */
+  def syncFromChangelog(
+      source: graft.lake.LakeTable,
+      fromVersion: Int,
+      toVersion: Int,
+      vecId: org.apache.spark.sql.Column,
+      embedding: org.apache.spark.sql.Column,
+      fence: Option[(String, Long)] = None
+  ): Boolean = {
+    if (fence.exists { case (q, e) => assignTable.fence(q) >= e }) return false
+    val winners = graft.cdc.MergeEngine.liveView(
+      graft.cdc.MergeEngine.dedupBatch(source.readChangesBetween(fromVersion, toVersion)))
+    val vecs = winners.select(vecId.cast("long").as("vec_id"), embedding.as("embedding"))
+      .where(col("embedding").isNotNull)
+    val fresh = vecs.join(assignments.select(col("vec_id")), Seq("vec_id"), "left_anti")
+    append(fresh, fence)
+  }
+
   /** Top-`topK` per query over the stored index: rank cells per query
     * against the broadcast centroids, probe the best `nprobe`, score only
     * stored vectors in probed cells. With nprobe = k this returns exactly

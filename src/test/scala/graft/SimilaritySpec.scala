@@ -89,4 +89,61 @@ class SimilaritySpec extends SparkSpec {
     assert(reloaded.assignTable.fence("maint") == 1L)
     assert(reloaded.assignTable.currentVersion >= 3)
   }
+
+  test("syncFromChangelog: new keys indexed once, updates/redelivery don't duplicate postings") {
+    import graft.cdc.{CdcStream, EventGen, LakeMerge}
+    import graft.lake.LakeTable
+    val dir = tmpDir("ivfsync")
+    // deterministic embedding derived from the live row's key (stable
+    // under content updates, so an updated key maps to the same vector —
+    // matching the insert-only contract this test pins)
+    val vecId = xxhash64(col("repo"), col("path"))
+    val emb = array((0 until 8).map(i =>
+      (xxhash64(col("repo"), col("path"), lit(i)) / lit(9.223372036854776e18)).cast("float")): _*)
+
+    val source = LakeTable.create(spark, s"$dir/src", CdcStream.binlogSchema, numBuckets = 4)
+    LakeMerge.mergeBatch(source,
+      EventGen.events(spark, 1000L, nRepos = 20, pathsPerRepo = 5), Some(("ing", 0L)))
+    val live0 = LakeMerge.readState(source)
+    val idx = graft.ops.IvfIndex.create(spark, s"$dir/idx",
+      live0.select(vecId.as("vec_id"), emb.as("embedding")), k = 4, iters = 1)
+    val v0 = source.currentVersion
+    val n0 = idx.assignments.count()
+
+    // epoch 1: updates to EXISTING keys + two brand-new keys
+    LakeMerge.mergeBatch(source,
+      EventGen.eventsRange(spark, 1000L, 1200L, nRepos = 20, pathsPerRepo = 5)
+        .unionByName(Seq(
+          ("brand_new_1", "p", "c999999999999", 999999L, "U", null, "fresh one"),
+          ("brand_new_2", "p", "c999999999999", 999998L, "U", null, "fresh two"))
+          .toDF("repo", "path", "commit", "lsn", "op", "lang", "content")),
+      Some(("ing", 1L)))
+
+    assert(idx.syncFromChangelog(source, v0, source.currentVersion,
+      vecId, emb, fence = Some(("sync", 1L))))
+    assert(!idx.syncFromChangelog(source, v0, source.currentVersion,
+      vecId, emb, fence = Some(("sync", 1L))), "replayed sync epoch must fence")
+
+    // appended = changelog live winners NOT already indexed: the two brand
+    // -new keys plus keys whose v0 winner was a tombstone that epoch 1
+    // revived. Updated already-indexed keys must NOT duplicate postings.
+    val initialIds = live0.select(vecId).as[Long].collect().toSet
+    val winnerIds = graft.cdc.MergeEngine.liveView(graft.cdc.MergeEngine.dedupBatch(
+      source.readChangesBetween(v0, source.currentVersion)))
+      .select(vecId).as[Long].collect().toSet
+    val ids = idx.assignments.select("vec_id").as[Long].collect().toSet
+    assert(ids == initialIds ++ winnerIds, "indexed set != initial ∪ changelog winners")
+    assert(ids.size.toLong == idx.assignments.count(), "duplicate postings in the inverted file")
+    assert(idx.assignments.count() > n0, "new keys must have been appended")
+    val newIds = Seq(("brand_new_1", "p"), ("brand_new_2", "p")).map { case (r, p) =>
+      spark.range(1).select(xxhash64(lit(r), lit(p))).as[Long].collect().head
+    }
+    assert(newIds.forall(ids.contains), "new keys missing from the index")
+    // and the new postings landed in their correct cells
+    val scratch = assignCells(
+      idx.assignments.select(col("vec_id"), col("embedding")), idx.centroids)
+      .select("vec_id", "cid").as[(Long, Int)].collect().toMap
+    val stored = idx.assignments.select("vec_id", "cid").as[(Long, Int)].collect().toMap
+    assert(stored == scratch)
+  }
 }
