@@ -204,6 +204,9 @@ object Bench {
     val effNorm = median(runs.map(r => r("merge").eff / r("shuffle").eff))
 
     // ---- phase 2: headline operator queries at full parallelism ----
+    // timing-only run: skip the CDC queries' oracle-input parquet exports
+    // (they exist for the driver's DuckDB compare, not for throughput)
+    sys.props("graft.skipOracleExport") = "true"
     val spark = session(Runtime.getRuntime.availableProcessors())
     val qmap = SparkEntry.queries
     // UNTIMED warmup: this parent JVM ran no queries during phase 1 (they
