@@ -148,29 +148,38 @@ object Mart {
     def groupsOf(state: DataFrame): DataFrame =
       state.join(changedKeys, keyCols, "left_semi")
         .select(groupCols.map(col): _*).distinct()
-    val affected = groupsOf(oldState).union(groupsOf(newState)).distinct()
+    // affected and recomputed are each referenced twice below; both are
+    // tiny (one row per affected group) but every re-evaluation would
+    // re-scan the FULL source state — persist them so the refresh costs
+    // two state scans total (old + new), not four
+    val affected = groupsOf(oldState).union(groupsOf(newState)).distinct().persist()
 
     val restricted = semiOnGroups(newState, affected, "left_semi")
-    val recomputed = aggregate(restricted)
-
-    // vanished groups: affected but absent from the recompute → tombstone.
-    // Published docs and tombstones go in ONE fenced merge commit, so a
-    // crashed refresh can never leave a vanished-group doc stale while the
-    // republished ones already landed — replay of the epoch is a no-op,
-    // a crash before the commit leaves the mart at the previous epoch.
-    val gone = semiOnGroups(affected,
-      recomputed.select(groupCols.map(col): _*).distinct(), "left_anti")
-    val dels = gone.select(
-      sha2(concat_ws("-", groupCols.map(c => col(c).cast("string")): _*), 256).as("repo"),
-      lit(queryId).as("path"),
-      format_string("e%012d", lit(2 * epoch + 1)).as("commit"),
-      lit(2 * epoch + 1).as("lsn"),
-      lit("D").as("op"),
-      lit(null).cast("string").as("lang"),
-      lit(null).cast("string").as("content"))
-    LakeMerge.mergeBatch(mart,
-      docRows(recomputed, groupCols, queryId, epoch).unionByName(dels),
-      Some((queryId, epoch)))
+    val recomputed = aggregate(restricted).persist()
+    try {
+      // vanished groups: affected but absent from the recompute → tombstone.
+      // Published docs and tombstones go in ONE fenced merge commit, so a
+      // crashed refresh can never leave a vanished-group doc stale while the
+      // republished ones already landed — replay of the epoch is a no-op,
+      // a crash before the commit leaves the mart at the previous epoch.
+      val gone = semiOnGroups(affected,
+        recomputed.select(groupCols.map(col): _*).distinct(), "left_anti")
+      val dels = gone.select(
+        sha2(concat_ws("-", groupCols.map(c => col(c).cast("string")): _*), 256).as("repo"),
+        lit(queryId).as("path"),
+        format_string("e%012d", lit(2 * epoch + 1)).as("commit"),
+        lit(2 * epoch + 1).as("lsn"),
+        lit("D").as("op"),
+        lit(null).cast("string").as("lang"),
+        lit(null).cast("string").as("content"))
+      LakeMerge.mergeBatch(mart,
+        docRows(recomputed, groupCols, queryId, epoch).unionByName(dels),
+        Some((queryId, epoch)))
+    } finally {
+      recomputed.unpersist()
+      affected.unpersist()
+      ()
+    }
   }
 
   /** Delete all documents of a query (the reference's companion deletion
