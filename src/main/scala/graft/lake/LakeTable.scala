@@ -738,6 +738,29 @@ final class LakeTable private (val root: String, val spark: SparkSession) {
     }
     n
   }
+
+  /** Per-bucket health stats of the current snapshot, from METADATA ONLY
+    * (no Spark jobs, no file reads — operability surface for monitoring
+    * read amplification and compaction debt at 10^5-file scale):
+    * (bucket, base_files, delta_files, l0_files, base_bytes, delta_bytes,
+    * read_amp) where read_amp = file sets a resolved read of the bucket
+    * opens (base + deltas + table-wide L0 overlay). */
+  def describe(): DataFrame = {
+    val snap = snapshot
+    val fs = filesOf(snap)
+    val l0 = fs.count(_.kind == "l0")
+    val rows = fs.filter(_.bucket != LakeTable.L0Bucket).groupBy(_.bucket)
+      .toSeq.sortBy(_._1).map { case (b, bf) =>
+        val base = bf.filter(_.kind == "base")
+        val deltas = bf.filter(_.kind == "delta")
+        (b, base.size.toLong, deltas.size.toLong, l0.toLong,
+          base.map(_.bytes).sum, deltas.map(_.bytes).sum,
+          (base.size + deltas.size + l0).toLong)
+      }
+    import spark.implicits._
+    rows.toDF("bucket", "base_files", "delta_files", "l0_files",
+      "base_bytes", "delta_bytes", "read_amp")
+  }
 }
 
 object LakeTable {

@@ -455,6 +455,33 @@ class LakeTableSpec extends SparkSpec {
     assert(rows.length == 1 && rows(0).getAs[String]("content") == "v7")
   }
 
+  test("describe() reports per-bucket health from metadata only (zero Spark jobs)") {
+    val root = tmpDir("lake")
+    val cdcSchema = graft.cdc.CdcStream.binlogSchema
+    val t = LakeTable.create(spark, root, cdcSchema, numBuckets = 4)
+    val mk = (lo: Int, hi: Int) => (lo until hi)
+      .map(i => (s"repo_$i", "p", "c1", i.toLong, "U", null: String, s"v$i"))
+      .toDF(cdcSchema.fieldNames.toSeq: _*)
+    graft.cdc.LakeMerge.mergeBatch(t, mk(0, 40), Some(("d", 0L)))
+    graft.cdc.LakeMerge.mergeBatch(t, mk(40, 80), Some(("d", 1L)), l0Mode = true)
+    val sc = spark.sparkContext
+    val before = sc.statusTracker.getJobIdsForGroup(null).length
+    val plan = t.describe() // built driver-side: must not launch jobs
+    assert(sc.statusTracker.getJobIdsForGroup(null).length == before)
+    val rows = plan.collect().map(r => r.getAs[Int]("bucket") -> r).toMap
+    val fs = t.files
+    assert(rows.keySet == fs.filter(_.bucket >= 0).map(_.bucket).toSet)
+    rows.foreach { case (b, r) =>
+      val bf = fs.filter(_.bucket == b)
+      assert(r.getAs[Long]("delta_files") == bf.count(_.kind == "delta"))
+      assert(r.getAs[Long]("l0_files") == fs.count(_.kind == "l0"))
+      assert(r.getAs[Long]("delta_bytes") == bf.filter(_.kind == "delta").map(_.bytes).sum)
+      assert(r.getAs[Long]("read_amp") ==
+        bf.size + fs.count(_.kind == "l0"))
+    }
+    assert(fs.exists(_.kind == "l0"), "fixture must include L0 files")
+  }
+
   test("gcOrphans removes unreferenced staging dirs, keeps referenced files") {
     val root = tmpDir("lake")
     val t = LakeTable.create(spark, root, baseSchema, numBuckets = 2)
