@@ -128,6 +128,10 @@ object Mart {
       epoch: Long
   ): CommitStats = {
     require(groupCols.nonEmpty, "incremental refresh needs grouping columns")
+    // a replayed epoch is a no-op at the merge fence anyway; exit before
+    // paying the state scans
+    if (mart.fence(queryId) >= epoch)
+      return CommitStats(applied = false, epoch, mart.snapshot.snapshotId, 0L, 0, 0L)
     val keyCols = MergeEngine.keyCols
     val changes = source.readChangesBetween(fromVersion, toVersion)
     val changedKeys = changes.select(keyCols.map(col): _*).distinct()
@@ -179,6 +183,69 @@ object Mart {
       recomputed.unpersist()
       affected.unpersist()
       ()
+    }
+  }
+
+  /** Self-tracking catch-up: bring a mart query up to date with its source
+    * table, choosing full publish vs incremental refresh automatically —
+    * the convenience that turns a mart into a STREAMING-MAINTAINED view
+    * (call after each drain, or on a schedule; exactly-once throughout).
+    *
+    *  - The last refreshed source version is recorded in the mart's
+    *    snapshot properties (`mart.refreshedVersion.<queryId>`), committed
+    *    AFTER the refresh merge: a crash between them re-runs the same
+    *    range, where the merge fence (epoch = target source version,
+    *    monotone) turns the replay into a no-op and only the property
+    *    commit is redone.
+    *  - First call (no recorded version) = full [[publish]].
+    *  - A ROLLBACK inside the pending range makes the changelog
+    *    unreadable (rows un-happened); catch-up detects that and
+    *    RE-BASELINES with a full publish instead of failing.
+    *
+    * @return Some(stats) when work was done, None when already current */
+  def catchUp(
+      mart: LakeTable,
+      source: LakeTable,
+      groupCols: Seq[String],
+      aggregate: DataFrame => DataFrame,
+      queryId: String
+  ): Option[CommitStats] = {
+    val key = s"mart.refreshedVersion.$queryId"
+    val from = mart.snapshot.properties.get(key).map(_.toInt)
+    val to = source.currentVersion
+    def record(): Unit = {
+      mart.commit(s => s.copy(
+        properties = s.properties.updated(key, to.toString),
+        opKind = "metadata",
+        summary = Map("operation" -> "mart-catchup", "query" -> queryId,
+          "source-version" -> to.toString)))
+      ()
+    }
+    from match {
+      case Some(f) if f >= to => None
+      case Some(f) =>
+        val stats =
+          try refreshIncremental(mart, source, f, to, groupCols, aggregate,
+            queryId, epoch = to.toLong)
+          catch {
+            case e: IllegalStateException if e.getMessage != null &&
+                e.getMessage.contains("rollback") =>
+              // rows un-happened inside the range: re-baseline from a full
+              // scan — affected-groups reasoning is unsound across it. A
+              // rollback can also VANISH groups, so tombstone every current
+              // doc at epoch to-1 (lsn 2·to-1): republished docs win over
+              // it (2·to), stale ones lose to it — no stale group survives
+              deleteDocs(mart, queryId, epoch = (to - 1).toLong)
+              publish(mart, aggregate(LakeMerge.readState(source)), groupCols,
+                queryId, epoch = to.toLong)
+          }
+        record()
+        Some(stats)
+      case None =>
+        val stats = publish(mart, aggregate(LakeMerge.readState(source)),
+          groupCols, queryId, epoch = to.toLong)
+        record()
+        Some(stats)
     }
   }
 

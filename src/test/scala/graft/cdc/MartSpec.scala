@@ -137,6 +137,53 @@ class MartSpec extends SparkSpec {
     assert(docs1.size == docs0.size - 1)
   }
 
+  test("catchUp: full publish first, incremental after, no-op when current, re-baseline across rollback") {
+    val dir = tmpDir("mart-catchup")
+    val table = LakeTable.create(spark, s"$dir/table", CdcStream.binlogSchema, numBuckets = 4)
+    val mart = Mart.martTable(spark, s"$dir/mart")
+    val agg = (state: org.apache.spark.sql.DataFrame) =>
+      state.groupBy($"lang").agg(count(lit(1)).as("n_files"))
+    def expect: Map[Option[String], Long] = agg(LakeMerge.readState(table)).collect()
+      .map(r => Option(r.getAs[String]("lang")) -> r.getAs[Long]("n_files")).toMap
+    def got: Map[Option[String], Long] = Mart.readDocs(mart, "bylang").collect().map { r =>
+      val j = r.getAs[String]("doc_json")
+      ("\"lang\":\"([a-z]+)\"".r.findFirstMatchIn(j).map(_.group(1)),
+        "\"n_files\":([0-9]+)".r.findFirstMatchIn(j).get.group(1).toLong)
+    }.toMap
+
+    // 1. first catch-up = full publish
+    LakeMerge.mergeBatch(table,
+      EventGen.events(spark, 2000L, nRepos = 20, pathsPerRepo = 5, langFromLsn = 0L),
+      Some(("ing", 0L)))
+    assert(Mart.catchUp(mart, table, Seq("lang"), agg, "bylang").isDefined)
+    assert(got == expect)
+    // 2. already current → None
+    assert(Mart.catchUp(mart, table, Seq("lang"), agg, "bylang").isEmpty)
+    // 3. new data → incremental refresh
+    LakeMerge.mergeBatch(table,
+      EventGen.eventsRange(spark, 2000L, 4000L, nRepos = 20, pathsPerRepo = 5, langFromLsn = 0L),
+      Some(("ing", 1L)))
+    assert(Mart.catchUp(mart, table, Seq("lang"), agg, "bylang").isDefined)
+    assert(got == expect)
+    val vBeforePy = table.currentVersion
+
+    // 4. a group appears, is caught up, then the source ROLLS it back:
+    // catch-up must re-baseline and the stale group's doc must vanish
+    LakeMerge.mergeBatch(table,
+      Seq(("pyrepo", "p", "c999999999999", 999999L, "U", "zz", "sentinel!"))
+        .toDF("repo", "path", "commit", "lsn", "op", "lang", "content"),
+      Some(("ing", 2L)))
+    assert(Mart.catchUp(mart, table, Seq("lang"), agg, "bylang").isDefined)
+    assert(got.contains(Some("zz")))
+    table.rollback(vBeforePy)
+    assert(Mart.catchUp(mart, table, Seq("lang"), agg, "bylang").isDefined,
+      "rollback must trigger a re-baseline, not a no-op")
+    assert(!got.contains(Some("zz")), "stale group doc survived the re-baseline")
+    assert(got == expect)
+    // and it is current again afterwards
+    assert(Mart.catchUp(mart, table, Seq("lang"), agg, "bylang").isEmpty)
+  }
+
   test("incremental refresh handles a NULL group value (null-safe group joins)") {
     val dir = tmpDir("mart-nullgrp")
     val table = LakeTable.create(spark, s"$dir/table", CdcStream.binlogSchema, numBuckets = 4)
