@@ -78,6 +78,21 @@ object CdcStream {
       .when(!col("op").isin("I", "U", "D"), "bad-op")
       .otherwise("null-content")
 
+  /** A reporting view maintained CONTINUOUSLY by the ingest stream: after
+    * every applied micro-batch, [[Mart.catchUp]] incrementally refreshes
+    * the mart from exactly the versions that batch committed — the
+    * streaming analog of the reference's separate scheduled reporting job
+    * (`modules/tech_report_pipeline.py`), with the same exactly-once
+    * guarantees as the data path (version-fenced refresh epochs).
+    *
+    * @param aggregate the view body: resolved live state → one row per
+    *                  group (any groupBy over `groupCols`) */
+  final case class MartFeed(
+      mart: graft.lake.LakeTable,
+      groupCols: Seq[String],
+      aggregate: DataFrame => DataFrame,
+      queryId: String)
+
   /** Live background compactors, keyed by queryId — so callers (soak,
     * tests, operators) can drain/close after the stream stops. */
   private val compactors = scala.collection.concurrent.TrieMap[String, Compactor]()
@@ -131,7 +146,8 @@ object CdcStream {
       expireRetain: Int = 10,
       l0Mode: Boolean = false,
       asyncCompact: Boolean = false,
-      l0FlushBytes: Long = 0L
+      l0FlushBytes: Long = 0L,
+      martFeeds: Seq[MartFeed] = Nil
   ): StreamingQuery = {
     // async mode: flushL0/compactTiered run on a background thread instead
     // of inside foreachBatch — ingest never stalls behind a major. Safe
@@ -174,7 +190,8 @@ object CdcStream {
         applyBatch(table, metrics, batch, queryId, batchId, saltPartitions,
           compactAtDeltas = compactAtDeltas, deadLetters = deadLetters,
           expireEvery = expireEvery, expireRetain = expireRetain,
-          l0Mode = l0Mode, compactor = compactor, l0FlushBytes = l0FlushBytes)
+          l0Mode = l0Mode, compactor = compactor, l0FlushBytes = l0FlushBytes,
+          martFeeds = martFeeds)
         ()
       }
 
@@ -225,7 +242,8 @@ object CdcStream {
       expireRetain: Int = 10,
       l0Mode: Boolean = false,
       compactor: Option[Compactor] = None,
-      l0FlushBytes: Long = 0L
+      l0FlushBytes: Long = 0L,
+      martFeeds: Seq[MartFeed] = Nil
   ): CommitStats = {
     if (table.fence(queryId) >= batchId) {
       // Redelivered epoch — exactly-once no-op for the DATA. But a crash in
@@ -246,6 +264,11 @@ object CdcStream {
               .flatMap(s => scala.util.Try(s.toLong).toOption)
               .getOrElse(-1L)),
           System.nanoTime())
+      }
+      // a crash AFTER the data commit may also have lost a mart refresh;
+      // catch the feeds up from the redelivered epoch's vantage too
+      martFeeds.foreach { f =>
+        Mart.catchUp(f.mart, table, f.groupCols, f.aggregate, f.queryId)
       }
       return CommitStats(applied = false, batchId, table.snapshot.snapshotId, 0, 0, 0)
     }
@@ -324,6 +347,13 @@ object CdcStream {
 
       if (stats.applied)
         recordLineage(metrics, lineage, queryId, batchId, stats, t0)
+      // continuously-maintained reporting views: each feed incrementally
+      // catches up to the versions this batch just committed (a crash
+      // between the data commit and this refresh self-heals — the next
+      // batch's catch-up covers the missed range too)
+      martFeeds.foreach { f =>
+        Mart.catchUp(f.mart, table, f.groupCols, f.aggregate, f.queryId)
+      }
       stats
     } finally {
       batch.unpersist()

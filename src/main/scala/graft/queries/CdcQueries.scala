@@ -136,6 +136,31 @@ object CdcQueries {
         col("publish_epoch"))
     }),
 
+    // STREAMING-maintained reporting view: the binlog tail carries a
+    // MartFeed, so every micro-batch incrementally catches the mart up
+    // (Mart.catchUp: version-fenced refresh epochs). The oracle recomputes
+    // the view body over the exported binlog's LWW winners — the streamed
+    // view must equal the from-scratch aggregate.
+    "q_mart_streaming" -> ((s, _) => {
+      val dir = s"$ExportRoot/q_mart_streaming"
+      Fs.rmTree(java.nio.file.Paths.get(dir))
+      EventGen.writeBinlog(s, s"$dir/binlog", 12000L, segments = 4,
+        nRepos = 60, pathsPerRepo = 6, langFromLsn = 0L)
+      val table = LakeTable.create(s, s"$dir/table", CdcStream.binlogSchema, numBuckets = 4)
+      val metrics = CdcStream.metricsTable(s, s"$dir/metrics")
+      val mart = graft.cdc.Mart.martTable(s, s"$dir/mart")
+      val feed = CdcStream.MartFeed(mart, Seq("lang"),
+        st => st.groupBy(col("lang")).agg(count(lit(1)).as("n_files"),
+          max(col("lsn")).as("max_lsn")), "bylang")
+      CdcStream.start(s, table, metrics, s"$dir/binlog", s"$dir/ckpt",
+        queryId = "mart-stream", maxFilesPerTrigger = 1, martFeeds = Seq(feed))
+        .awaitTermination()
+      graft.cdc.Mart.readDocs(mart, "bylang").select(
+        get_json_object(col("doc_json"), "$.lang").as("lang"),
+        get_json_object(col("doc_json"), "$.n_files").cast("long").as("n_files"),
+        get_json_object(col("doc_json"), "$.max_lsn").cast("long").as("max_lsn"))
+    }),
+
     // Schema evolution through the lake: commit narrow batch, evolve, commit
     // wide batch, read reconciled (additive column + widened type). The two
     // batches are contiguous slices of ONE seeded stream (lang null before
@@ -188,6 +213,11 @@ object CdcQueries {
     "q_schema_evolution" -> lwwOracle(
       s"$ExportRoot/q_schema_evolution/*.parquet",
       "lang, count(*) AS n_rows, max(lsn) AS max_lsn",
+      tail = "\nGROUP BY lang"),
+
+    "q_mart_streaming" -> lwwOracle(
+      s"$ExportRoot/q_mart_streaming/binlog/segment-*.parquet",
+      "lang, count(*) AS n_files, max(lsn) AS max_lsn",
       tail = "\nGROUP BY lang"),
 
     "q_mart_incremental" ->
