@@ -187,10 +187,21 @@ object ScaleRun {
 
     val table = LakeTable.create(spark, s"$dir/table", CdcStream.binlogSchema, buckets)
     val metrics = CdcStream.metricsTable(spark, s"$dir/metrics")
+    // GRAFT_STREAM_FEED=true attaches a continuously-maintained reporting
+    // view (per-lang counts) — measures MartFeed's per-epoch overhead on
+    // the same harness
+    val feeds =
+      if (sys.env.getOrElse("GRAFT_STREAM_FEED", "false").toBoolean)
+        Seq(CdcStream.MartFeed(
+          graft.cdc.Mart.martTable(spark, s"$dir/mart"), Seq("lang"),
+          st => st.groupBy(col("lang")).agg(count(lit(1)).as("n_files")),
+          "bylang"))
+      else Nil
     val t0 = System.nanoTime()
     CdcStream.start(spark, table, metrics, binlog, s"$dir/ckpt",
       queryId = "bench-stream", maxFilesPerTrigger = perTrigger,
-      compactAtDeltas = 4, l0Mode = l0Mode, asyncCompact = true)
+      compactAtDeltas = 4, l0Mode = l0Mode, asyncCompact = true,
+      martFeeds = feeds)
       .awaitTermination()
     CdcStream.drainCompaction("bench-stream")
     val secs = (System.nanoTime() - t0) / 1e9

@@ -221,24 +221,41 @@ object Mart {
           "source-version" -> to.toString)))
       ()
     }
+    // re-baseline: correct from ANY prior mart state — tombstone every
+    // current doc at epoch to-1 (lsn 2·to-1), then full publish at to:
+    // republished docs win over the sweep (2·to), stale group docs lose to
+    // it — no stale group survives, no changelog needed
+    def rebaseline(): CommitStats = {
+      deleteDocs(mart, queryId, epoch = (to - 1).toLong)
+      publish(mart, aggregate(LakeMerge.readState(source)), groupCols,
+        queryId, epoch = to.toLong)
+    }
     from match {
       case Some(f) if f >= to => None
       case Some(f) =>
         val stats =
-          try refreshIncremental(mart, source, f, to, groupCols, aggregate,
-            queryId, epoch = to.toLong)
-          catch {
-            case e: IllegalStateException if e.getMessage != null &&
-                e.getMessage.contains("rollback") =>
-              // rows un-happened inside the range: re-baseline from a full
-              // scan — affected-groups reasoning is unsound across it. A
-              // rollback can also VANISH groups, so tombstone every current
-              // doc at epoch to-1 (lsn 2·to-1): republished docs win over
-              // it (2·to), stale ones lose to it — no stale group survives
-              deleteDocs(mart, queryId, epoch = (to - 1).toLong)
-              publish(mart, aggregate(LakeMerge.readState(source)), groupCols,
-                queryId, epoch = to.toLong)
-          }
+          if (!incrementalWorthIt(source, f, to))
+            // COST-BASED choice, from file METADATA only: incremental
+            // refresh pays ~2 full LWW state resolves (old + new) to
+            // restrict the recompute — a win only when the changed volume
+            // is a small fraction of the table. Huge batches (bulk loads,
+            // initial replays) re-baseline instead: one resolve + one full
+            // aggregate. Measured on the 32M stream bench: per-epoch
+            // batches of ~25% of the table made always-incremental ~2.4×
+            // slower than the data path itself.
+            rebaseline()
+          else
+            try refreshIncremental(mart, source, f, to, groupCols, aggregate,
+              queryId, epoch = to.toLong)
+            catch {
+              case e: IllegalStateException if e.getMessage != null &&
+                  (e.getMessage.contains("rollback") ||
+                    e.getMessage.contains("not available")) =>
+                // rollback in the range (rows un-happened) or the range's
+                // history already expired: the changelog can't drive a
+                // sound incremental refresh — re-baseline from the scan
+                rebaseline()
+            }
         record()
         Some(stats)
       case None =>
@@ -247,6 +264,32 @@ object Mart {
         record()
         Some(stats)
     }
+  }
+
+  /** Incremental refresh is worth it when the bytes appended in
+    * (fromVersion, toVersion] are a small fraction of the table's current
+    * bytes — both read straight from snapshot/manifest metadata (zero
+    * jobs). A rollback in the range makes the decision moot (the refresh
+    * itself will re-baseline); conservative on unreadable versions. */
+  private def incrementalWorthIt(
+      source: LakeTable, fromVersion: Int, toVersion: Int,
+      maxChangedFraction: Double = 0.25): Boolean = {
+    try {
+      val changedBytes = (fromVersion + 1 to toVersion).flatMap { v =>
+        val snap = source.snapshotAt(v)
+        if (snap.opKind == "append") {
+          // per-version diff against the PARENT (a file appended at v stays
+          // referenced by later snapshots — diffing them all against
+          // fromVersion would count it once per subsequent version)
+          val parent = source.filesOf(source.snapshotAt(v - 1)).map(_.path).toSet
+          source.filesOf(snap).filterNot(f => parent.contains(f.path)).map(_.bytes)
+        } else Nil
+      }.sum
+      val tableBytes = math.max(1L, source.files.map(_.bytes).sum)
+      if (sys.env.contains("GRAFT_TRACE"))
+        System.err.println(s"[catchup] changedBytes=$changedBytes tableBytes=$tableBytes from=$fromVersion to=$toVersion")
+      changedBytes.toDouble / tableBytes <= maxChangedFraction
+    } catch { case scala.util.control.NonFatal(_) => true }
   }
 
   /** Delete all documents of a query (the reference's companion deletion

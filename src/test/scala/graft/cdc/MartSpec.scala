@@ -151,20 +151,36 @@ class MartSpec extends SparkSpec {
         "\"n_files\":([0-9]+)".r.findFirstMatchIn(j).get.group(1).toLong)
     }.toMap
 
-    // 1. first catch-up = full publish
+    // 1. first catch-up = full publish. (Base table must be big enough in
+    // BYTES that a 10-row batch's parquet file-overhead floor (~8 KB) sits
+    // below the cost gate's changed-fraction threshold — and the write path
+    // dedups to winners, so bytes scale with KEY CARDINALITY, not events.)
     LakeMerge.mergeBatch(table,
-      EventGen.events(spark, 2000L, nRepos = 20, pathsPerRepo = 5, langFromLsn = 0L),
+      EventGen.events(spark, 20000L, nRepos = 200, pathsPerRepo = 10, langFromLsn = 0L),
       Some(("ing", 0L)))
     assert(Mart.catchUp(mart, table, Seq("lang"), agg, "bylang").isDefined)
     assert(got == expect)
     // 2. already current → None
     assert(Mart.catchUp(mart, table, Seq("lang"), agg, "bylang").isEmpty)
-    // 3. new data → incremental refresh
+    // 3. a SMALL targeted batch (new keys, all lang 'scala') → the cost
+    // model picks the INCREMENTAL path and only the scala group is
+    // republished; every other group's doc keeps its earlier epoch
+    val epochsBefore = Mart.readDocs(mart, "bylang")
+      .select($"publish_epoch").as[Long].collect().toSet
     LakeMerge.mergeBatch(table,
-      EventGen.eventsRange(spark, 2000L, 4000L, nRepos = 20, pathsPerRepo = 5, langFromLsn = 0L),
+      (0 until 10).map(i => (s"small_$i", "p", "c999999999990", 900000L + i, "U", "scala", s"tiny $i"))
+        .toDF("repo", "path", "commit", "lsn", "op", "lang", "content"),
       Some(("ing", 1L)))
     assert(Mart.catchUp(mart, table, Seq("lang"), agg, "bylang").isDefined)
     assert(got == expect)
+    val epochsAfter = Mart.readDocs(mart, "bylang").collect().map { r =>
+      ("\"lang\":\"([a-z]+)\"".r.findFirstMatchIn(r.getAs[String]("doc_json")).map(_.group(1)),
+        r.getAs[Long]("publish_epoch"))
+    }.toMap
+    val scalaEpoch = epochsAfter(Some("scala"))
+    assert(!epochsBefore.contains(scalaEpoch), "scala group must have been republished")
+    assert(epochsAfter.exists { case (l, e) => l != Some("scala") && epochsBefore.contains(e) },
+      "a bystander group's doc was republished — incremental path not taken")
     val vBeforePy = table.currentVersion
 
     // 4. a group appears, is caught up, then the source ROLLS it back:
