@@ -198,17 +198,22 @@ class CdcStreamSpec extends SparkSpec {
       state.groupBy($"lang").agg(count(lit(1)).as("n_files"))
     val feed = CdcStream.MartFeed(mart, Seq("lang"), agg, "bylang")
 
-    // phase 1: continuous run, kill after a couple of epochs
+    // phase 1: continuous run under the RICHEST combination — L0 ingest +
+    // background compaction + the feed — kill after a couple of epochs
+    // (classic-mode feeds are covered by the oracled q_mart_streaming)
     val q1 = CdcStream.start(spark, table, metrics, binlog, s"$dir/ckpt",
       queryId = "feed", maxFilesPerTrigger = 1, availableNow = false,
-      martFeeds = Seq(feed))
+      l0Mode = true, asyncCompact = true, martFeeds = Seq(feed))
     var waited = 0
     while (table.fence("feed") < 1L && waited < 600) { Thread.sleep(100); waited += 1 }
     q1.stop()
+    CdcStream.drainCompaction("feed")
     // phase 2: restart, drain the rest
     val q2 = CdcStream.start(spark, table, metrics, binlog, s"$dir/ckpt",
-      queryId = "feed", maxFilesPerTrigger = 3, martFeeds = Seq(feed))
+      queryId = "feed", maxFilesPerTrigger = 3, l0Mode = true,
+      asyncCompact = true, martFeeds = Seq(feed))
     q2.awaitTermination()
+    CdcStream.drainCompaction("feed")
 
     // the view equals a from-scratch rebuild over the final state
     val rebuilt = Mart.martTable(spark, s"$dir/rebuild")
