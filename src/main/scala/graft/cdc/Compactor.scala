@@ -53,6 +53,10 @@ final class Compactor(
   /** Number of completed background passes (observability/tests). */
   def passes: Long = passesDone
 
+  /** Whether a pass has failed (latched; the error rethrows on the next
+    * [[poke]]/[[drain]]). */
+  def hasFailed: Boolean = failure != null
+
   /** Request a compaction pass; returns immediately. Coalesces: while a
     * pass runs, all pokes fold into a single queued follow-up. */
   def poke(): Unit = {
@@ -86,9 +90,14 @@ final class Compactor(
   }
 
   override def close(): Unit = {
-    drain()
-    exec.shutdown()
-    ()
+    // drain rethrows a latched pass failure — the executor thread must be
+    // released regardless, or a failed compactor leaks its thread forever
+    // (and, removed from the stream registry, could never be shut down)
+    try drain()
+    finally {
+      exec.shutdown()
+      ()
+    }
   }
 
   private def rethrowIfFailed(): Unit = {

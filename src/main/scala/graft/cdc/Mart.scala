@@ -148,7 +148,14 @@ object Mart {
 
     val oldState = MergeEngine.liveView(
       MergeEngine.dedupBatch(source.readVersion(fromVersion)))
-    val newState = LakeMerge.readState(source)
+    // resolve the NEW state at toVersion, not at the current snapshot: the
+    // public API permits toVersion < currentVersion, and mixing a
+    // (from, to] changelog with a LATER state would recompute affected
+    // groups over post-toVersion rows (mixed-version aggregates) while
+    // groups changed after toVersion stayed stale. readVersion(current)
+    // plans the identical scan when to == currentVersion — no cost.
+    val newState = MergeEngine.liveView(
+      MergeEngine.dedupBatch(source.readVersion(toVersion)))
     def groupsOf(state: DataFrame): DataFrame =
       state.join(changedKeys, keyCols, "left_semi")
         .select(groupCols.map(col): _*).distinct()
@@ -221,14 +228,37 @@ object Mart {
           "source-version" -> to.toString)))
       ()
     }
-    // re-baseline: correct from ANY prior mart state — tombstone every
-    // current doc at epoch to-1 (lsn 2·to-1), then full publish at to:
-    // republished docs win over the sweep (2·to), stale group docs lose to
-    // it — no stale group survives, no changelog needed
+    // re-baseline: correct from ANY prior mart state — republish the full
+    // result at epoch to, and tombstone exactly the VANISHED docs (current
+    // doc keys absent from the new result; anti-join on the doc key) at
+    // lsn 2·to-1 so they lose to any future republish. One fenced merge
+    // commit carries both, so a reader can never observe an empty mart
+    // between a sweep and a republish, and a crash leaves the mart at the
+    // previous epoch (replay of the epoch is a no-op) — the same atomicity
+    // contract as refreshIncremental. Tombstone volume is O(vanished), not
+    // O(docs) (round-4 advice: the tombstone-every-doc sweep wrote O(docs)
+    // rows per re-baseline that only compaction folded away).
     def rebaseline(): CommitStats = {
-      deleteDocs(mart, queryId, epoch = (to - 1).toLong)
-      publish(mart, aggregate(LakeMerge.readState(source)), groupCols,
-        queryId, epoch = to.toLong)
+      val result = aggregate(LakeMerge.readState(source))
+      // referenced twice (merge + vanished anti-join) and tiny (one row per
+      // group) — persist so the full source-state aggregate runs once
+      val docs = docRows(result, groupCols, queryId, epoch = to.toLong).persist()
+      try {
+        val gone = readDocs(mart, queryId)
+          .join(docs.select(col("repo").as("doc_key")), Seq("doc_key"), "left_anti")
+        val dels = gone.select(
+          col("doc_key").as("repo"),
+          lit(queryId).as("path"),
+          format_string("e%012d", lit(2L * to - 1)).as("commit"),
+          lit(2L * to - 1).as("lsn"),
+          lit("D").as("op"),
+          lit(null).cast("string").as("lang"),
+          lit(null).cast("string").as("content"))
+        LakeMerge.mergeBatch(mart, docs.unionByName(dels), Some((queryId, to.toLong)))
+      } finally {
+        docs.unpersist()
+        ()
+      }
     }
     from match {
       case Some(f) if f >= to => None

@@ -26,8 +26,16 @@ object CdcQueries {
   /** Deterministic export location for the oracle's `read_parquet`. The
     * driver runs Verify and the DuckDB compare on the same host, so an
     * absolute tmp path is shared state between them (same mechanism as the
-    * sfDir parquet views, minus the pre-registration). */
-  private val ExportRoot = "/tmp/graft-oracle-export"
+    * sfDir parquet views, minus the pre-registration). The oracle SQL below
+    * embeds the SAME resolved root and is dumped per run into
+    * oracle_sql.json, so driver and DuckDB always agree. Two CONCURRENT
+    * Verify/Bench runs on one host would overwrite each other's exports —
+    * give each its own root via GRAFT_ORACLE_EXPORT (env) or
+    * -Dgraft.oracleExportRoot. */
+  private val ExportRoot =
+    sys.env.get("GRAFT_ORACLE_EXPORT")
+      .orElse(sys.props.get("graft.oracleExportRoot"))
+      .getOrElse("/tmp/graft-oracle-export")
 
   /** Bench runs these queries for TIMING, not for the DuckDB compare — the
     * oracle-input export is pure overhead there (measured ~0.4 s on

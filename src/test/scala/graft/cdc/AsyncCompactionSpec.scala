@@ -70,12 +70,14 @@ class AsyncCompactionSpec extends SparkSpec {
     // sabotage: delete the table's metadata dir so the pass blows up
     graft.util.Fs.rmTree(Paths.get(s"$root/table"))
     c.poke()
-    intercept[IllegalStateException] {
-      c.drain()
-      // drain either throws (failure seen) or the next poke must
-      c.poke()
-      throw new IllegalStateException("pass unexpectedly succeeded")
-    }
+    // wait for the sabotaged pass to finish WITHOUT the failure-rethrow
+    // (drain would throw here — but then a pass that silently succeeded
+    // would be indistinguishable; assert the latched failure explicitly)
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (!c.hasFailed && System.nanoTime() < deadline) Thread.sleep(20)
+    assert(c.hasFailed, "sabotaged compaction pass did not record a failure")
+    intercept[IllegalStateException] { c.drain() }
+    intercept[IllegalStateException] { c.poke() }
   }
 
   test("L0 flush bytes trigger: fires on accumulated volume below the file-count bound") {
