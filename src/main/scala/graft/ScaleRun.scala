@@ -178,12 +178,27 @@ object ScaleRun {
     // GRAFT_STREAM_L0=false runs the classic (dedup-on-write) streaming
     // shape instead — the A/B the l0-default recommendation rests on
     val l0Mode = sys.env.getOrElse("GRAFT_STREAM_L0", "true").toBoolean
+    // Compaction scheduling for the timed run. "deferred" (default) runs
+    // NO flush/compaction during the drain and ONE full compact after it —
+    // exactly the terminal work of the merge/mergel0 kernel jobs, so the
+    // stream-vs-kernel ratio isolates the STREAMING machinery (microbatch
+    // planning, offset/commit logs, lineage, fenced commits) instead of
+    // comparing different compaction schedules: the round-4 "continuous"
+    // config flushed every epoch and majored almost every epoch, shuffling
+    // the data ~2.7× vs the kernel's single terminal compact — schedule
+    // cost, not stream cost. "continuous" keeps the round-4 behavior
+    // (read-amplification bounded DURING the run — the long-lived
+    // production schedule, amortized-logarithmic at real epoch counts but
+    // dominated by its constant at 4 toy-bench epochs).
+    val deferred = sys.env.getOrElse("GRAFT_STREAM_COMPACT", "deferred") == "deferred"
     val warm = LakeTable.create(spark, s"$dir/warm", CdcStream.binlogSchema, buckets)
     val warmMetrics = CdcStream.metricsTable(spark, s"$dir/warmMetrics")
     CdcStream.start(spark, warm, warmMetrics, warmBinlog, s"$dir/warmCkpt",
-      queryId = "warm", maxFilesPerTrigger = perTrigger, compactAtDeltas = 4,
-      l0Mode = l0Mode, asyncCompact = true).awaitTermination()
+      queryId = "warm", maxFilesPerTrigger = perTrigger,
+      compactAtDeltas = if (deferred) 0 else 4,
+      l0Mode = l0Mode, asyncCompact = !deferred).awaitTermination()
     CdcStream.drainCompaction("warm")
+    if (deferred) LakeMerge.compact(warm)
 
     val table = LakeTable.create(spark, s"$dir/table", CdcStream.binlogSchema, buckets)
     val metrics = CdcStream.metricsTable(spark, s"$dir/metrics")
@@ -200,10 +215,14 @@ object ScaleRun {
     val t0 = System.nanoTime()
     CdcStream.start(spark, table, metrics, binlog, s"$dir/ckpt",
       queryId = "bench-stream", maxFilesPerTrigger = perTrigger,
-      compactAtDeltas = 4, l0Mode = l0Mode, asyncCompact = true,
-      martFeeds = feeds)
+      compactAtDeltas = if (deferred) 0 else 4, l0Mode = l0Mode,
+      asyncCompact = !deferred, martFeeds = feeds)
       .awaitTermination()
     CdcStream.drainCompaction("bench-stream")
+    // deferred mode: the timed window still ends FULLY COMPACTED (work is
+    // completed, not deferred past the clock) — one full resolve, the same
+    // terminal pass the kernel jobs time
+    if (deferred) LakeMerge.compact(table)
     val secs = (System.nanoTime() - t0) / 1e9
     rmTree(dir)
     secs

@@ -147,7 +147,8 @@ object CdcStream {
       l0Mode: Boolean = false,
       asyncCompact: Boolean = false,
       l0FlushBytes: Long = 0L,
-      martFeeds: Seq[MartFeed] = Nil
+      martFeeds: Seq[MartFeed] = Nil,
+      fastLineage: Option[Boolean] = None
   ): StreamingQuery = {
     // async mode: flushL0/compactTiered run on a background thread instead
     // of inside foreachBatch — ingest never stalls behind a major. Safe
@@ -191,7 +192,7 @@ object CdcStream {
           compactAtDeltas = compactAtDeltas, deadLetters = deadLetters,
           expireEvery = expireEvery, expireRetain = expireRetain,
           l0Mode = l0Mode, compactor = compactor, l0FlushBytes = l0FlushBytes,
-          martFeeds = martFeeds)
+          martFeeds = martFeeds, fastLineage = fastLineage)
         ()
       }
 
@@ -225,10 +226,29 @@ object CdcStream {
     }.toSeq
   }
 
-  /** One fenced micro-batch: validate/route → merge → data commit →
-    * lineage commit. The batch is persisted once and feeds validation,
-    * stats and the merge (the reference's compute-once fan-out,
-    * `modules/transformation.py:100-114`). */
+  /** Commit-summary key carrying the epoch's lineage record INSIDE the data
+    * commit — one metadata swap carries data, fence and lineage, so no
+    * crash window can separate them and sidecar healing recovers the exact
+    * row from table history alone. */
+  val LineageSummaryKey = "lineage"
+
+  /** One fenced micro-batch: validate/route → merge (data commit carries
+    * the lineage record in its summary) → lineage sidecar row (driver-side
+    * file IO, no Spark job).
+    *
+    * Two lineage collection modes:
+    *  - full (default for classic merges): the batch is persisted once and
+    *    an explicit per-partition aggregation computes exact per-INPUT-
+    *    partition offset ranges (the reference's compute-once fan-out,
+    *    `modules/transformation.py:100-114`);
+    *  - fast (default in L0 mode — the throughput-first deployment): the
+    *    global counts are collected by `Dataset.observe` DURING the merge's
+    *    own write job (zero extra pass, zero persist — the full mode's
+    *    cache materialization writes the whole batch through memory twice,
+    *    the dominant per-epoch overhead on a bandwidth-bound box), and the
+    *    offsets come from the staged files' parquet footer stats (in L0
+    *    mode staged files are exactly the write tasks, so these are genuine
+    *    per-task offset ranges). Override with `fastLineage`. */
   def applyBatch(
       table: LakeTable,
       metrics: LakeTable,
@@ -243,27 +263,30 @@ object CdcStream {
       l0Mode: Boolean = false,
       compactor: Option[Compactor] = None,
       l0FlushBytes: Long = 0L,
-      martFeeds: Seq[MartFeed] = Nil
+      martFeeds: Seq[MartFeed] = Nil,
+      fastLineage: Option[Boolean] = None
   ): CommitStats = {
     if (table.fence(queryId) >= batchId) {
-      // Redelivered epoch — exactly-once no-op for the DATA. But a crash in
-      // the window between the data commit and the metrics commit leaves
-      // the lineage row missing; the redelivered batch carries identical
-      // content, so heal the sidecar from it before returning. The commit
-      // that originally fenced this epoch supplies the facts the batch
-      // can't: its snapshot id and the deduped distinct-key count (from the
-      // merge-append summary) — so healed rows are indistinguishable from
-      // never-crashed ones (unless that history has already been expired).
+      // Redelivered epoch — exactly-once no-op for the DATA. A crash in the
+      // window between the data commit and the sidecar row leaves the
+      // lineage row missing; the data commit carries the FULL lineage
+      // record in its summary, so healing is a summary read + driver-side
+      // row write — healed rows are byte-identical to never-crashed ones.
+      // (Pre-upgrade commits lack the summary record: fall back to
+      // recomputing the counts from the redelivered batch, with the commit
+      // supplying the facts the batch can't — snapshot id, distinct keys.)
       if (metrics.fence(queryId) < batchId) {
         val fenced = table.commitForFence(queryId, batchId)
-        recordLineage(metrics, computeLineage(batch), queryId, batchId,
-          CommitStats(applied = true, batchId,
-            fenced.map(_.snapshotId).getOrElse(table.snapshot.snapshotId), 0, 0, 0,
-            distinctKeys = fenced
-              .flatMap(_.summary.get("distinct-keys"))
-              .flatMap(s => scala.util.Try(s.toLong).toOption)
-              .getOrElse(-1L)),
-          System.nanoTime())
+        fenced.flatMap(s => s.summary.get(LineageSummaryKey).map((s, _))) match {
+          case Some((snap, json)) =>
+            recordLineage(metrics, parseLineageJson(json), queryId, batchId,
+              snapshotId = snap.snapshotId,
+              distinctKeys = summaryLong(snap, "distinct-keys"))
+          case None =>
+            recordLineage(metrics, computeLineage(batch), queryId, batchId,
+              snapshotId = fenced.map(_.snapshotId).getOrElse(table.snapshot.snapshotId),
+              distinctKeys = fenced.map(summaryLong(_, "distinct-keys")).getOrElse(-1L))
+        }
       }
       // a crash AFTER the data commit may also have lost a mart refresh;
       // catch the feeds up from the redelivered epoch's vantage too
@@ -273,103 +296,215 @@ object CdcStream {
       return CommitStats(applied = false, batchId, table.snapshot.snapshotId, 0, 0, 0)
     }
     val t0 = System.nanoTime()
-    batch.persist()
-    try {
-      val good = batch.where(isValid).drop(CorruptCol)
-      // ONE pass over the persisted batch computes the whole lineage record
-      // (per-partition offsets, counts, bad records); at 10^10 events the
-      // per-epoch constant of extra full passes matters
-      val lineage = computeLineage(batch)
-      val nBad = lineage.badRecords
-      if (nBad > 0) deadLetters.foreach { dl =>
-        // dead-letter routing is fenced on its own table, so redelivery
-        // cannot double-append
-        if (dl.fence(queryId) < batchId) {
-          // undecodable source line → keep the ORIGINAL text as evidence;
-          // structurally-valid-but-invalid record → its fields as JSON
-          val hasCorrupt = batch.columns.contains(CorruptCol)
-          val parsedCols = struct(batch.columns.filterNot(_ == CorruptCol).map(col).toSeq: _*)
-          val (reason, recordJson) =
-            if (!hasCorrupt) (invalidReason, to_json(parsedCols))
-            else (
-              when(col(CorruptCol).isNotNull, "corrupt-record").otherwise(invalidReason),
-              coalesce(col(CorruptCol), to_json(parsedCols)))
-          val rows = batch.where(!isValid)
-            .select(
-              lit(queryId).as("query_id"),
-              lit(batchId).as("epoch_id"),
-              reason.as("reason"),
-              recordJson.as("record_json"))
-            .withColumn("bucket", lit(0))
-          val staged = dl.stage(rows, 0)
-          dl.appendCommit(staged, fence = Some((queryId, batchId)),
-            summary = Map("operation" -> "dead-letter"))
+    def wallMs(): Long = (System.nanoTime() - t0) / 1000000L
+
+    val fast = fastLineage.getOrElse(l0Mode)
+    val (stats, lineage) =
+      if (fast) {
+        // lineage globals ride the merge job itself: CollectMetrics sits
+        // between the scan and the validity filter, aggregated by Spark as
+        // the rows stream past — no persist, no second pass
+        val obs = org.apache.spark.sql.Observation()
+        val observed = batch.observe(obs,
+          count(when(isValid, 1)).as("rows"),
+          count(when(!isValid, 1)).as("bad"),
+          count(when(isValid && col("op") === "D", 1)).as("dels"),
+          min(when(isValid, col("lsn"))).as("minLsn"),
+          max(when(isValid, col("lsn"))).as("maxLsn"))
+        val good = observed.where(isValid).drop(CorruptCol)
+        var captured: LineageStats = null
+        val st = LakeMerge.mergeBatch(table, good, Some((queryId, batchId)),
+          saltPartitions, l0Mode = l0Mode,
+          extraSummary = staged => {
+            // the stage() write has completed here, so the observation is
+            // resolved; staged footer stats supply the per-file offsets.
+            // `captured` is the ONE canonical record: serialized into the
+            // commit summary AND written to the sidecar, so a healed row is
+            // byte-identical to a never-crashed one
+            captured = lineageFromObservation(obs.get, staged)
+              .copy(wallMs = wallMs())
+            Map(LineageSummaryKey -> lineageJson(captured))
+          })
+        val lin = if (captured != null) captured else LineageStats(Nil, 0, 0, 0, -1, -1)
+        // dead letters are routed AFTER the data commit in fast mode (the
+        // bad count only exists once the merge job ran); fenced on the
+        // dead-letter table itself, so a crash in between redelivers them
+        if (lin.badRecords > 0) routeDeadLetters(batch, deadLetters, queryId, batchId)
+        (st, lin)
+      } else {
+        batch.persist()
+        try {
+          // ONE pass over the persisted batch computes the whole lineage
+          // record (per-partition offsets, counts, bad records); at 10^10
+          // events the per-epoch constant of extra full passes matters
+          val lin0 = computeLineage(batch)
+          if (lin0.badRecords > 0) routeDeadLetters(batch, deadLetters, queryId, batchId)
+          val good = batch.where(isValid).drop(CorruptCol)
+          var captured: LineageStats = null
+          val st = LakeMerge.mergeBatch(table, good, Some((queryId, batchId)),
+            saltPartitions, l0Mode = l0Mode,
+            extraSummary = staged => {
+              captured = lin0.copy(
+                touchedBuckets = staged.map(_.bucket).distinct.size.toLong,
+                wallMs = wallMs())
+              Map(LineageSummaryKey -> lineageJson(captured))
+            })
+          (st, if (captured != null) captured else lin0)
+        } finally {
+          batch.unpersist()
+          ()
         }
       }
 
-      val stats = LakeMerge.mergeBatch(table, good, Some((queryId, batchId)),
-        saltPartitions, l0Mode = l0Mode)
-      // housekeeping: either inline (single-writer serial loop) or poked to
-      // the background Compactor (ingest never stalls behind a major —
-      // VERDICT r3 #2). Both paths run the same flushL0/compactTiered.
-      compactor match {
-        case Some(c) =>
-          if (stats.applied) c.poke()
-        case None =>
-          // L0 mode defers the batch's bucket exchange; flush once enough
-          // L0 files pile up (the L0 read-amplification bound), then let
-          // tiered compaction manage the resulting deltas as in classic mode
-          if (stats.applied && l0Mode && compactAtDeltas > 0)
-            LakeMerge.flushL0(table, minFiles = compactAtDeltas, minBytes = l0FlushBytes)
-          // bounded read amplification via SIZE-TIERED compaction: a bucket
-          // is folded when its delta bytes reach its base bytes (each
-          // rewrite at least doubles the base → O(log) rewrites per key
-          // over the table's lifetime, vs O(batches/k) under a flat
-          // every-k-deltas trigger), or at compactAtDeltas delta files as
-          // the read-amplification cap
-          if (stats.applied && compactAtDeltas > 0)
-            LakeMerge.compactTiered(table, sizeRatio = 1.0, maxDeltaFiles = compactAtDeltas)
-      }
-      // retention: periodically expire history and physically reclaim files
-      // replaced by compaction — without this, continuous ingest grows disk
-      // without bound (every delta stays referenced by some old snapshot
-      // forever). With a background compactor the sweep gets an age guard:
-      // it must not reclaim the compactor's staged-but-uncommitted files
-      // (the expireSnapshots concurrency contract); inline mode keeps the
-      // exact single-writer sweep.
-      // the async guard must exceed the compactor's longest stage→commit
-      // window (a 100-TB-scale major can hold staged-uncommitted files for
-      // minutes); 10 min bounds it with margin — the cost is only that
-      // crash orphans linger that long before the sweep reclaims them
-      if (stats.applied && expireEvery > 0 && batchId % expireEvery == 0)
-        table.expireSnapshots(retainLast = expireRetain,
-          minAgeMs = if (compactor.isDefined) 600000L else 0L)
+    // housekeeping: either inline (single-writer serial loop) or poked to
+    // the background Compactor (ingest never stalls behind a major —
+    // VERDICT r3 #2). Both paths run the same flushL0/compactTiered.
+    compactor match {
+      case Some(c) =>
+        if (stats.applied) c.poke()
+      case None =>
+        // L0 mode defers the batch's bucket exchange; flush once enough
+        // L0 files pile up (the L0 read-amplification bound), then let
+        // tiered compaction manage the resulting deltas as in classic mode
+        if (stats.applied && l0Mode && compactAtDeltas > 0)
+          LakeMerge.flushL0(table, minFiles = compactAtDeltas, minBytes = l0FlushBytes)
+        // bounded read amplification via SIZE-TIERED compaction: a bucket
+        // is folded when its delta bytes reach its base bytes (each
+        // rewrite at least doubles the base → O(log) rewrites per key
+        // over the table's lifetime, vs O(batches/k) under a flat
+        // every-k-deltas trigger), or at compactAtDeltas delta files as
+        // the read-amplification cap
+        if (stats.applied && compactAtDeltas > 0)
+          LakeMerge.compactTiered(table, sizeRatio = 1.0, maxDeltaFiles = compactAtDeltas)
+    }
+    // retention: periodically expire history and physically reclaim files
+    // replaced by compaction — without this, continuous ingest grows disk
+    // without bound (every delta stays referenced by some old snapshot
+    // forever). With a background compactor the sweep gets an age guard:
+    // it must not reclaim the compactor's staged-but-uncommitted files
+    // (the expireSnapshots concurrency contract); inline mode keeps the
+    // exact single-writer sweep.
+    // the async guard must exceed the compactor's longest stage→commit
+    // window (a 100-TB-scale major can hold staged-uncommitted files for
+    // minutes); 10 min bounds it with margin — the cost is only that
+    // crash orphans linger that long before the sweep reclaims them
+    if (stats.applied && expireEvery > 0 && batchId % expireEvery == 0)
+      table.expireSnapshots(retainLast = expireRetain,
+        minAgeMs = if (compactor.isDefined) 600000L else 0L)
 
-      if (stats.applied)
-        recordLineage(metrics, lineage, queryId, batchId, stats, t0)
-      // continuously-maintained reporting views: each feed incrementally
-      // catches up to the versions this batch just committed (a crash
-      // between the data commit and this refresh self-heals — the next
-      // batch's catch-up covers the missed range too)
-      martFeeds.foreach { f =>
-        Mart.catchUp(f.mart, table, f.groupCols, f.aggregate, f.queryId)
-      }
-      stats
-    } finally {
-      batch.unpersist()
+    if (stats.applied)
+      recordLineage(metrics, lineage, queryId, batchId,
+        snapshotId = stats.snapshotId, distinctKeys = stats.distinctKeys)
+    // continuously-maintained reporting views: each feed incrementally
+    // catches up to the versions this batch just committed (a crash
+    // between the data commit and this refresh self-heals — the next
+    // batch's catch-up covers the missed range too)
+    martFeeds.foreach { f =>
+      Mart.catchUp(f.mart, table, f.groupCols, f.aggregate, f.queryId)
+    }
+    stats
+  }
+
+  /** Route the batch's invalid records into the dead-letter table, fenced
+    * on that table itself so redelivery cannot double-append. */
+  private def routeDeadLetters(
+      batch: DataFrame,
+      deadLetters: Option[LakeTable],
+      queryId: String,
+      batchId: Long
+  ): Unit = deadLetters.foreach { dl =>
+    if (dl.fence(queryId) < batchId) {
+      // undecodable source line → keep the ORIGINAL text as evidence;
+      // structurally-valid-but-invalid record → its fields as JSON
+      val hasCorrupt = batch.columns.contains(CorruptCol)
+      val parsedCols = struct(batch.columns.filterNot(_ == CorruptCol).map(col).toSeq: _*)
+      val (reason, recordJson) =
+        if (!hasCorrupt) (invalidReason, to_json(parsedCols))
+        else (
+          when(col(CorruptCol).isNotNull, "corrupt-record").otherwise(invalidReason),
+          coalesce(col(CorruptCol), to_json(parsedCols)))
+      val rows = batch.where(!isValid)
+        .select(
+          lit(queryId).as("query_id"),
+          lit(batchId).as("epoch_id"),
+          reason.as("reason"),
+          recordJson.as("record_json"))
+        .withColumn("bucket", lit(0))
+      val staged = dl.stage(rows, 0)
+      dl.appendCommit(staged, fence = Some((queryId, batchId)),
+        summary = Map("operation" -> "dead-letter"))
       ()
     }
   }
 
-  /** Everything the lineage row needs from the batch itself, computed by
-    * [[computeLineage]] in one job. */
+  /** Everything the lineage row needs from the batch itself — computed by
+    * [[computeLineage]] in one job (full mode) or assembled from the merge
+    * job's own observation + staged-file footer stats (fast mode). */
   private final case class LineageStats(
       offsets: Seq[(Int, Long, Long, Long)], // (part, minLsn, maxLsn, rows)
       rows: Long,
       badRecords: Long,
       deletes: Long,
       minLsn: Long,
-      maxLsn: Long)
+      maxLsn: Long,
+      touchedBuckets: Long = 0L,
+      wallMs: Long = 0L)
+
+  /** Fast-mode lineage: global counts from the merge job's observation,
+    * offsets/touched buckets from the staged files' footer stats (in L0
+    * mode one staged file == one write task, so these are per-task ranges;
+    * in classic mode they are per (bucket, salt) output ranges). */
+  private def lineageFromObservation(
+      metrics: Map[String, Any],
+      staged: Seq[graft.lake.DataFileMeta]
+  ): LineageStats = {
+    def asLong(k: String, dflt: Long): Long = metrics.get(k) match {
+      case Some(n: Number) => n.longValue()
+      case _ => dflt
+    }
+    val offsets = staged.zipWithIndex.collect {
+      case (f, i) if f.rows != 0L => (i, f.minLsn, f.maxLsn, f.rows)
+    }
+    LineageStats(
+      offsets = offsets,
+      rows = asLong("rows", 0L),
+      badRecords = asLong("bad", 0L),
+      deletes = asLong("dels", 0L),
+      minLsn = asLong("minLsn", -1L),
+      maxLsn = asLong("maxLsn", -1L),
+      touchedBuckets = staged.map(_.bucket).distinct.size.toLong)
+  }
+
+  private def offsetsJson(offsets: Seq[(Int, Long, Long, Long)]): String =
+    offsets.map { case (part, mn, mx, rows) =>
+      s"""{"part":$part,"minLsn":$mn,"maxLsn":$mx,"rows":$rows}"""
+    }.mkString("[", ",", "]")
+
+  /** The lineage record as folded into the data commit's summary. */
+  private def lineageJson(l: LineageStats): String =
+    s"""{"rows":${l.rows},"bad":${l.badRecords},"dels":${l.deletes},""" +
+      s""""minLsn":${l.minLsn},"maxLsn":${l.maxLsn},"tb":${l.touchedBuckets},""" +
+      s""""wallMs":${l.wallMs},"offsets":${offsetsJson(l.offsets)}}"""
+
+  private def parseLineageJson(json: String): LineageStats = {
+    val root = jsonMapper.readTree(json)
+    val offs = Option(root.get("offsets")).toSeq.flatMap { arr =>
+      (0 until arr.size()).map { i =>
+        val o = arr.get(i)
+        (o.get("part").asInt(), o.get("minLsn").asLong(),
+          o.get("maxLsn").asLong(), o.get("rows").asLong())
+      }
+    }
+    def l(k: String, dflt: Long): Long =
+      Option(root.get(k)).map(_.asLong()).getOrElse(dflt)
+    LineageStats(offs, l("rows", 0), l("bad", 0), l("dels", 0),
+      l("minLsn", -1), l("maxLsn", -1), l("tb", 0), l("wallMs", 0))
+  }
+
+  private val jsonMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def summaryLong(snap: graft.lake.Snapshot, key: String): Long =
+    snap.summary.get(key).flatMap(s => scala.util.Try(s.toLong).toOption).getOrElse(-1L)
 
   /** ONE per-partition aggregation over the (persisted) batch yields the
     * per-partition offset ranges AND every global count the lineage row
@@ -406,30 +541,33 @@ object CdcStream {
     * sha256(queryId-epochId) and fenced on the metrics table itself so the
     * sidecar is exactly-once too. `distinct_keys` comes for free from the
     * merge's staged-file row counts when the write deduped; -1 in L0/raw
-    * modes (the hot path refuses a second full pass — resolve from the
-    * table if needed). */
+    * modes (the hot path refuses a second full pass — backfilled exactly at
+    * flush time). The single row is written DRIVER-SIDE ([[graft.util
+    * .TinyParquet]]): funneling one row through a Spark job cost a full
+    * job-schedule + task per epoch — pure per-epoch constant at 10^10-event
+    * cadence. */
   private def recordLineage(
       metrics: LakeTable,
       lineage: LineageStats,
       queryId: String,
       batchId: Long,
-      stats: CommitStats,
-      t0: Long
+      snapshotId: Long,
+      distinctKeys: Long
   ): Unit = {
-    val offsetsJson = lineage.offsets.map { case (part, mn, mx, rows) =>
-      s"""{"part":$part,"minLsn":$mn,"maxLsn":$mx,"rows":$rows}"""
-    }.mkString("[", ",", "]")
-    val spark = metrics.spark
-    import spark.implicits._
+    if (metrics.fence(queryId) >= batchId) return
     val key = org.apache.commons.codec.digest.DigestUtils.sha256Hex(s"$queryId-$batchId")
-    val row = Seq((key, queryId, batchId, stats.snapshotId, lineage.rows,
-      stats.distinctKeys, lineage.deletes, lineage.badRecords,
-      stats.touchedBuckets.toLong, lineage.minLsn, lineage.maxLsn, offsetsJson,
-      (System.nanoTime() - t0) / 1000000L))
-      .toDF(metricsSchema.fieldNames.toSeq: _*)
-      .withColumn("bucket", lit(0))
-    val staged = metrics.stage(row, 0)
-    metrics.appendCommit(staged, fence = Some((queryId, batchId)),
+    val vals: Seq[Any] = Seq(key, queryId, batchId, snapshotId, lineage.rows,
+      distinctKeys, lineage.deletes, lineage.badRecords, lineage.touchedBuckets,
+      lineage.minLsn, lineage.maxLsn, offsetsJson(lineage.offsets),
+      lineage.wallMs)
+    val dir = java.nio.file.Paths.get(metrics.root, "data",
+      java.util.UUID.randomUUID().toString, "bucket=0")
+    java.nio.file.Files.createDirectories(dir)
+    val p = dir.resolve("part-00000.parquet")
+    graft.util.TinyParquet.write(p.toString, metricsSchema, Seq(vals))
+    val meta = graft.lake.DataFileMeta(p.toString, 0,
+      java.nio.file.Files.size(p), metrics.snapshot.schemaId, kind = "base")
+    metrics.appendCommit(Seq(meta), fence = Some((queryId, batchId)),
       summary = Map("operation" -> "append-metrics"))
     ()
   }

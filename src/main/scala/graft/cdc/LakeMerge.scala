@@ -121,6 +121,12 @@ object LakeMerge {
     *                (reference tolerates `page_id` vs `pageid`,
     *                `modules/transformation.py:133-136`) — an incoming old
     *                name feeds the new column instead of spawning a phantom
+    * @param extraSummary extra commit-summary entries, built AFTER the
+    *                batch's files are staged (the write action has run) and
+    *                passed the staged metas — the hook CdcStream uses to
+    *                fold the epoch's lineage record into the SAME metadata
+    *                swap as the data commit (one commit carries data, fence
+    *                and lineage; a crash can no longer land between them)
     */
   def mergeBatch(
       table: LakeTable,
@@ -129,7 +135,8 @@ object LakeMerge {
       saltPartitions: Int = 4,
       dedupOnWrite: Boolean = true,
       l0Mode: Boolean = false,
-      aliases: Map[String, String] = Map.empty
+      aliases: Map[String, String] = Map.empty,
+      extraSummary: Seq[DataFileMeta] => Map[String, String] = _ => Map.empty
   ): CommitStats = {
     val t0 = System.nanoTime()
     val (queryId, epochId) = fence.getOrElse(("adhoc", -1L))
@@ -196,7 +203,7 @@ object LakeMerge {
         "mode" -> (if (l0Mode) "l0" else "bucketed"),
         "added-files" -> staged.size.toString,
         "distinct-keys" -> dk.toString
-      )
+      ) ++ extraSummary(staged)
     )
     CommitStats(
       applied = true,

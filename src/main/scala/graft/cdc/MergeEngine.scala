@@ -75,6 +75,29 @@ object MergeEngine {
   def liveView(state: DataFrame): DataFrame =
     state.where(col("op") =!= "D").drop("op")
 
+  /** Column-pruning-friendly resolved live view: LWW winner per key via
+    * `row_number()=1` instead of `max_by(struct(ALL columns))`. The max_by
+    * shape buries every payload column inside the aggregate's struct, so a
+    * downstream `SELECT repo` still scans `content` (the dominant bytes);
+    * the window shape references only key + ordering + op, payload columns
+    * pass through and Catalyst prunes unreferenced ones all the way into
+    * the parquet scan. Spark rewrites the rank-1 filter to WindowGroupLimit
+    * (partial top-1 per key BEFORE the exchange), so the shuffle reduction
+    * of the aggregate shape is kept. Used by the SQL surface
+    * ([[graft.sql.GraftTableResolution]]), where the engine cannot know at
+    * resolution time which columns the query will touch. Output column
+    * order matches [[dedupBatch]]+[[liveView]]: keys first, then payload
+    * minus `op`. */
+  def prunableLiveView(state: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("commit").desc, col("lsn").desc)
+    val payload = state.columns.filterNot(c => keyCols.contains(c) || c == "op")
+    state.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1 && col("op") =!= "D")
+      .select((keyCols ++ payload).map(col): _*)
+  }
+
   /** Plain-Scala fold oracle for tests: the same semantics computed
     * sequentially on the driver (SURVEY.md §5 point 3). */
   def foldOracle(events: Seq[ChangeEvent]): Map[(String, String), ChangeEvent] =

@@ -169,6 +169,46 @@ object CdcQueries {
         get_json_object(col("doc_json"), "$.max_lsn").cast("long").as("max_lsn"))
     }),
 
+    // SQL/catalog surface: the SAME replay read back through
+    // `spark.sql("… FROM graft.ns.t")` — catalog resolution, the analyzer
+    // substitution rule, and SQL-side sha2 all on the hash-oracled path
+    // (the reference's SQL-as-source reporting shape,
+    // `modules/tech_report_pipeline.py:156`).
+    "q_sql_catalog" -> ((s, _) => {
+      val dir = s"$ExportRoot/q_sql_catalog"
+      Fs.rmTree(java.nio.file.Paths.get(dir))
+      val events = EventGen.events(s, 9000L, nRepos = 60, pathsPerRepo = 6,
+        langFromLsn = 3000L)
+      exportIf(events, s"$dir/events")
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/wh/ns"))
+      val table = LakeTable.create(s, s"$dir/wh/ns/t", CdcStream.binlogSchema, numBuckets = 8)
+      LakeMerge.mergeBatch(table, events, Some(("sqlq", 0L)))
+      val sql = graft.sql.GraftSql.attach(s, root = Some(s"$dir/wh"))
+      sql.sql("""SELECT repo, path, `commit`, lsn, lang,
+                |       sha2(content, 256) AS content_sha
+                |FROM graft.ns.t""".stripMargin)
+    }),
+
+    // Time travel through SQL: merge two epochs, read VERSION AS OF the
+    // first commit — the oracle recomputes LWW over only the first epoch's
+    // events, so the snapshot isolation itself is hash-verified.
+    "q_sql_timetravel" -> ((s, _) => {
+      val dir = s"$ExportRoot/q_sql_timetravel"
+      Fs.rmTree(java.nio.file.Paths.get(dir))
+      val events = EventGen.events(s, 8000L, nRepos = 50, pathsPerRepo = 6,
+        langFromLsn = 0L)
+      exportIf(events, s"$dir/events")
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/wh/ns"))
+      val table = LakeTable.create(s, s"$dir/wh/ns/t", CdcStream.binlogSchema, numBuckets = 8)
+      LakeMerge.mergeBatch(table, events.where(col("lsn") < 4000L), Some(("ttq", 0L)))
+      val v0 = table.currentVersion
+      LakeMerge.mergeBatch(table, events.where(col("lsn") >= 4000L), Some(("ttq", 1L)))
+      val sql = graft.sql.GraftSql.attach(s, root = Some(s"$dir/wh"))
+      sql.sql(s"""SELECT lang, count(*) AS n_rows, max(lsn) AS max_lsn
+                 |FROM graft.ns.t VERSION AS OF $v0
+                 |GROUP BY lang""".stripMargin)
+    }),
+
     // Schema evolution through the lake: commit narrow batch, evolve, commit
     // wide batch, read reconciled (additive column + widened type). The two
     // batches are contiguous slices of ONE seeded stream (lang null before
@@ -217,6 +257,19 @@ object CdcQueries {
          |       min(lsn) AS min_lsn, max(lsn) AS max_lsn
          |FROM read_parquet('$ExportRoot/q_cdc_lineage/binlog/segment-*.parquet')
          |GROUP BY 2""".stripMargin,
+
+    "q_sql_catalog" -> lwwOracle(
+      s"$ExportRoot/q_sql_catalog/events/*.parquet",
+      """repo, path, "commit", lsn, lang, sha256(content) AS content_sha"""),
+
+    "q_sql_timetravel" ->
+      s"""SELECT lang, count(*) AS n_rows, max(lsn) AS max_lsn
+         |FROM (SELECT *, row_number() OVER (PARTITION BY repo, path
+         |                                   ORDER BY "commit" DESC, lsn DESC) rn
+         |      FROM read_parquet('$ExportRoot/q_sql_timetravel/events/*.parquet')
+         |      WHERE lsn < 4000)
+         |WHERE rn = 1 AND op <> 'D'
+         |GROUP BY lang""".stripMargin,
 
     "q_schema_evolution" -> lwwOracle(
       s"$ExportRoot/q_schema_evolution/*.parquet",

@@ -1,0 +1,128 @@
+package graft.sql
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, EqualTo, Expression, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, SubqueryAlias}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.types.StringType
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.cdc.{LakeMerge, MergeEngine}
+
+/** Analyzer rule that makes [[GraftTable]] relations executable: each
+  * catalog/DataSource relation over a lake table is substituted with the
+  * library's own resolved-live-state plan (`LakeMerge.readState` — LWW
+  * winners over base ∪ deltas ∪ L0, tombstones dropped), aliased back to
+  * the relation's output attribute ids. SQL therefore runs EXACTLY the
+  * plan the Scala API runs — parquet filter pushdown, column pruning and
+  * the single-exchange LWW shape all survive (PlanSpec gates them through
+  * the SQL path).
+  *
+  * Point-lookup pruning: a top-level `repo = 'x'` conjunct directly above
+  * the relation routes through `LakeMerge.readRepo` instead — METADATA
+  * bucket pruning (1/numBuckets of the table's files, plus unflushed L0) —
+  * with the original filter retained on top as the residual. This is how
+  * the library's zero-job point-lookup contract reaches SQL users.
+  */
+class GraftTableResolution(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  /** Unwrap SubqueryAlias chains down to a graft relation, if any. The
+    * aliases only add qualifiers; references are already resolved by
+    * exprId, so the substitution can drop them. */
+  private def graftOf(p: LogicalPlan): Option[(DataSourceV2Relation, GraftTable)] = p match {
+    case r: DataSourceV2Relation => r.table match {
+      case t: GraftTable => Some((r, t))
+      case _ => None
+    }
+    case SubqueryAlias(_, child) => graftOf(child)
+    case _ => None
+  }
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other => Seq(other)
+  }
+
+  /** A top-level `repo = 'literal'` conjunct (either side), by exprId. */
+  private def repoEq(cond: Expression, repoAttr: Attribute): Option[String] =
+    conjuncts(cond).collectFirst {
+      case EqualTo(a: Attribute, Literal(v: UTF8String, StringType))
+        if a.exprId == repoAttr.exprId => v.toString
+      case EqualTo(Literal(v: UTF8String, StringType), a: Attribute)
+        if a.exprId == repoAttr.exprId => v.toString
+    }
+
+  private def substitute(
+      r: DataSourceV2Relation, t: GraftTable, repo: Option[String]): LogicalPlan = {
+    val lake = t.lake(spark)
+    // the WINDOW-shaped live view (not readState's max_by shape): SQL can
+    // project any subset, and only the window form lets Catalyst prune
+    // unreferenced payload columns down into the parquet scan — a
+    // `SELECT repo FROM graft.t` must not read `content`
+    val df = (t.asOfVersion, repo) match {
+      case (None, Some(rv)) =>
+        // metadata bucket pruning for the point lookup, then the prunable
+        // resolution over that bucket's files only
+        MergeEngine.prunableLiveView(
+          lake.readBuckets(Set(graft.lake.LakeTable.bucketOf(
+            rv, lake.snapshot.numBuckets), graft.lake.LakeTable.L0Bucket))
+            .where(org.apache.spark.sql.functions.col("repo") === rv))
+      case (None, None) => MergeEngine.prunableLiveView(lake.read())
+      case (Some(v), _) =>
+        // versioned reads resolve the snapshot as-of; the repo residual
+        // still pushes into the parquet scan, just without bucket pruning
+        // (the pruning map is the CURRENT snapshot's layout)
+        MergeEngine.prunableLiveView(lake.readVersion(v))
+    }
+    val resolved = df.queryExecution.analyzed
+    require(resolved.output.length == r.output.length,
+      s"graft table ${t.path}: schema drift between catalog relation " +
+        s"(${r.output.length} cols) and resolved state (${resolved.output.length} cols)")
+    Project(r.output.zip(resolved.output).map { case (out, in) =>
+      Alias(in, out.name)(exprId = out.exprId)
+    }, resolved)
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsDown {
+    // Filter directly over the relation: route a repo point-lookup through
+    // metadata pruning (matched top-down so this wins over the bare case)
+    case f @ Filter(cond, child) if f.resolved && graftOf(child).isDefined =>
+      val (r, t) = graftOf(child).get
+      val repo = r.output.find(_.name == "repo").flatMap(a => repoEq(cond, a))
+      Filter(cond, substitute(r, t, repo))
+    case p if graftOf(p).isDefined =>
+      val (r, t) = graftOf(p).get
+      substitute(r, t, None)
+  }
+}
+
+/** Runtime attachment for sessions that were built WITHOUT
+  * `spark.sql.extensions=graft.GraftExtensions` (e.g. a shared session the
+  * caller does not control, like the driver's). Spark fixes a session's
+  * analyzer rules at sessionState construction, so this mutates the
+  * session's (shared, mutable) `SparkSessionExtensions` and derives a NEW
+  * session whose analyzer picks the rules up; catalog conf is set on the
+  * derived session. The primary integration stays the builder config —
+  * this is the escape hatch. */
+object GraftSql {
+  private val attached = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSessionExtensions, java.lang.Boolean]())
+
+  def attach(spark: SparkSession, catalogName: String = "graft",
+      root: Option[String] = None): SparkSession = {
+    val ext = org.apache.spark.sql.graftshim.SessionBridge.extensionsOf(spark)
+    attached.synchronized {
+      if (!attached.containsKey(ext)) {
+        new graft.GraftExtensions().apply(ext)
+        attached.put(ext, java.lang.Boolean.TRUE)
+      }
+    }
+    val s2 = spark.newSession()
+    root.foreach { r =>
+      s2.conf.set(s"spark.sql.catalog.$catalogName", classOf[GraftCatalog].getName)
+      s2.conf.set(s"spark.sql.catalog.$catalogName.root", r)
+    }
+    s2
+  }
+}

@@ -229,6 +229,48 @@ class CdcStreamSpec extends SparkSpec {
     assert(epochs.nonEmpty && epochs.forall(_ > 0L))
   }
 
+  test("fast lineage (observe-during-merge) records the same global counts as the full pass") {
+    val dir = tmpDir("cdcfastlin")
+    val binlog = s"$dir/binlog"
+    EventGen.writeBinlog(spark, binlog, 6000L, segments = 3, nRepos = 50, pathsPerRepo = 8)
+    def drained(root: String, fast: Boolean): LakeTable = {
+      val t = LakeTable.create(spark, s"$root/table", CdcStream.binlogSchema, numBuckets = 4)
+      val m = CdcStream.metricsTable(spark, s"$root/metrics")
+      CdcStream.start(spark, t, m, binlog, s"$root/ckpt", queryId = "lin",
+        maxFilesPerTrigger = 1, fastLineage = Some(fast)).awaitTermination()
+      m
+    }
+    def globals(m: LakeTable) = m.read()
+      .select($"epoch_id", $"batch_rows", $"deletes", $"bad_records",
+        $"min_lsn", $"max_lsn")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    val fast = globals(drained(tmpDir("cdcfastlin-f"), fast = true))
+    val full = globals(drained(tmpDir("cdcfastlin-s"), fast = false))
+    assert(fast == full, s"fast lineage diverged:\n$fast\nvs\n$full")
+    assert(fast.nonEmpty && fast.toSeq.map(_._2).sum == 6000L)
+  }
+
+  test("lineage heals byte-identically from the data commit's folded summary record") {
+    val dir = tmpDir("cdcsummaryheal")
+    val table = LakeTable.create(spark, s"$dir/table", CdcStream.binlogSchema, numBuckets = 4)
+    val metricsA = CdcStream.metricsTable(spark, s"$dir/metricsA")
+    val batch = EventGen.events(spark, 1000L, nRepos = 20, pathsPerRepo = 5)
+    val s0 = CdcStream.applyBatch(table, metricsA, batch, "q", 0L)
+    assert(s0.applied)
+
+    // simulate losing the sidecar write: a FRESH metrics table stands in
+    // for the one the crash never reached; the redelivered epoch must heal
+    // it from the data commit's summary alone — every column equal to the
+    // never-crashed row's, including wall_ms and offsets (full fidelity,
+    // not just distinct keys)
+    val metricsB = CdcStream.metricsTable(spark, s"$dir/metricsB")
+    val s1 = CdcStream.applyBatch(table, metricsB, batch, "q", 0L)
+    assert(!s1.applied)
+    def rows(m: LakeTable) = m.read().collect().map(_.toSeq).toSeq
+    assert(rows(metricsB) == rows(metricsA),
+      s"healed row differs from original:\n${rows(metricsB)}\nvs\n${rows(metricsA)}")
+  }
+
   test("kill/restart mid-stream from checkpoint reconverges byte-identically") {
     val dir = tmpDir("cdcrestart")
     val binlog = s"$dir/binlog"

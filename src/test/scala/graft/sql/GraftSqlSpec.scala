@@ -1,0 +1,127 @@
+package graft.sql
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.cdc.{CdcStream, EventGen, LakeMerge, MergeEngine}
+import graft.lake.LakeTable
+
+/** The SQL/catalog read surface: `SELECT … FROM graft.ns.t`, VERSION AS OF
+  * time travel, `spark.read.format("graft")`, and the plan-level contracts
+  * (substituted plans ARE the library's plans — parquet pushdown and
+  * metadata bucket pruning survive SQL). */
+class GraftSqlSpec extends SparkSpec {
+
+  private lazy val warehouse = tmpDir("graft-warehouse")
+
+  // the table must exist BEFORE any SQL resolves it — created when the
+  // derived session is first forced (tests only reach the catalog via `sql`)
+  private lazy val tablePath = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$warehouse/ns"))
+    val path = s"$warehouse/ns/t"
+    val t = LakeTable.create(spark, path, CdcStream.binlogSchema, numBuckets = 8)
+    val events = EventGen.events(spark, 4000L, nRepos = 40, pathsPerRepo = 5,
+      langFromLsn = 2000L)
+    LakeMerge.mergeBatch(t, events.where(col("lsn") < 2000L), Some(("sqlspec", 0L)))
+    LakeMerge.mergeBatch(t, events.where(col("lsn") >= 2000L), Some(("sqlspec", 1L)))
+    path
+  }
+
+  // derived session with the graft extensions + catalog attached at runtime
+  // (the library's escape hatch for sessions built without the configs)
+  private lazy val sql = {
+    tablePath
+    GraftSql.attach(spark, root = Some(warehouse))
+  }
+
+  private def lib(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+    df.collect().map(_.toSeq).toSet
+
+  test("SELECT over the catalog equals the library's resolved live state") {
+    val viaSql = sql.sql(s"SELECT * FROM graft.ns.t")
+    val viaLib = LakeMerge.readState(LakeTable.load(spark, tablePath))
+    assert(viaSql.columns.toSeq == viaLib.columns.toSeq, "column order must match")
+    assert(lib(viaSql) == lib(viaLib))
+    assert(viaSql.count() > 0)
+  }
+
+  test("VERSION AS OF time-travels to the resolved state at that snapshot") {
+    val t = LakeTable.load(spark, tablePath)
+    // version after the FIRST merge commit: fence(sqlspec)==0
+    val v0 = t.commitForFence("sqlspec", 0L).get.version
+    val viaSql = sql.sql(s"SELECT * FROM graft.ns.t VERSION AS OF $v0")
+    val viaLib = MergeEngine.liveView(MergeEngine.dedupBatch(t.readVersion(v0)))
+    assert(lib(viaSql) == lib(viaLib))
+    assert(lib(viaSql) != lib(sql.sql("SELECT * FROM graft.ns.t")),
+      "older version must differ from the post-second-batch state")
+  }
+
+  test("spark.read.format(graft) and versionAsOf option") {
+    val t = LakeTable.load(spark, tablePath)
+    val full = sql.read.format("graft").load(tablePath)
+    assert(lib(full) == lib(LakeMerge.readState(t)))
+    val v0 = t.commitForFence("sqlspec", 0L).get.version
+    val old = sql.read.format("graft").option("versionAsOf", v0).load(tablePath)
+    assert(lib(old) == lib(MergeEngine.liveView(MergeEngine.dedupBatch(t.readVersion(v0)))))
+  }
+
+  test("SQL aggregation over a graft relation (the reference's SQL-as-source shape)") {
+    val viaSql = sql.sql(
+      "SELECT lang, count(*) AS n FROM graft.ns.t GROUP BY lang ORDER BY lang")
+    val viaLib = LakeMerge.readState(LakeTable.load(spark, tablePath))
+      .groupBy(col("lang")).agg(count(lit(1)).as("n")).orderBy("lang")
+    assert(lib(viaSql) == lib(viaLib))
+  }
+
+  private def scannedFiles(df: org.apache.spark.sql.DataFrame): Int = {
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => (other.children ++ other.subqueries).flatMap(walk)
+    }
+    walk(df.queryExecution.executedPlan).map(_.relation.location.inputFiles.length).sum
+  }
+
+  test("point lookup via SQL: metadata bucket pruning + parquet pushdown survive") {
+    val t = LakeTable.load(spark, tablePath)
+    val repo = LakeMerge.readState(t).select("repo").head().getString(0)
+    val lookup = sql.sql(s"SELECT * FROM graft.ns.t WHERE repo = '$repo'")
+    val full = sql.sql("SELECT * FROM graft.ns.t")
+    // correct result
+    assert(lib(lookup) == lib(LakeMerge.readRepo(t, repo)))
+    // METADATA pruning: the lookup's scan opens a strict subset of files
+    assert(scannedFiles(lookup) < scannedFiles(full),
+      s"bucket pruning lost through SQL: ${scannedFiles(lookup)} vs ${scannedFiles(full)}")
+    // parquet-level pushdown of the residual predicate
+    val planStr = lookup.queryExecution.executedPlan.toString
+    assert(planStr.contains("PushedFilters") && planStr.contains("EqualTo(repo"),
+      s"repo filter not pushed to the scan:\n$planStr")
+  }
+
+  test("column pruning reaches the scan through SQL") {
+    val narrow = sql.sql("SELECT repo FROM graft.ns.t")
+    val planStr = narrow.queryExecution.executedPlan.toString
+    // the content column (dominant bytes) must not be read for a key-only
+    // projection — LWW resolution needs key+ordering+op, nothing more
+    assert(!planStr.contains("ReadSchema: struct<repo:string,path:string,commit:string,lsn:bigint,op:string,lang:string,content:string>"),
+      s"full-width scan for a 1-column projection:\n$planStr")
+    assert(narrow.count() > 0)
+  }
+
+  test("catalog DDL: SHOW TABLES, CREATE TABLE with CDC envelope, DROP TABLE") {
+    val shown = sql.sql("SHOW TABLES IN graft.ns").collect().map(_.getString(1)).toSet
+    assert(shown.contains("t"))
+    sql.sql("CREATE TABLE graft.ns.t2 (repo STRING, path STRING, `commit` STRING, " +
+      "lsn BIGINT, op STRING, content STRING) TBLPROPERTIES ('buckets'='4')")
+    assert(LakeTable.exists(s"$warehouse/ns/t2"))
+    assert(LakeTable.load(spark, s"$warehouse/ns/t2").snapshot.numBuckets == 4)
+    sql.sql("DROP TABLE graft.ns.t2")
+    assert(!LakeTable.exists(s"$warehouse/ns/t2"))
+    // a table without the CDC envelope is rejected at CREATE
+    intercept[Exception] {
+      sql.sql("CREATE TABLE graft.ns.bad (x INT)")
+    }
+  }
+}
