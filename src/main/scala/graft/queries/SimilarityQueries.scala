@@ -182,6 +182,59 @@ object SimilarityQueries {
       assert(!idx.append(arrived, fence = Some(("ivf-maint", 1L))))
       // restart: reload the artifact from disk, probe without rebuilding
       graft.ops.IvfIndex.load(s, root).search(q, nprobe = 8, topK = 10)
+    }),
+
+    // LWW-resolving inverted file: the index follows a CDC source through
+    // UPDATES and DELETES without rebuild. Epoch 0 indexes vec_ids [5,300);
+    // epoch 1 UPDATES [5,50) to the embedding of vec_id+200 and DELETES
+    // [50,60); syncFromChangelog turns the source changelog into postings +
+    // supersede rows (one atomic commit, O(changes), no index scan); a
+    // replayed sync is a fenced no-op. With nprobe = k the probe must equal
+    // brute force over the EFFECTIVE corpus — updated embeddings in force,
+    // deleted keys gone — which the DuckDB oracle recomputes from the
+    // embeddings parquet alone.
+    "q_ann_ivf_update" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val e = t(s, dir, "embeddings")
+      val q = e.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      val root = java.nio.file.Files.createTempDirectory("graft-ivfupd").toString
+      val srcSchema = StructType(Seq(
+        StructField("repo", StringType), StructField("path", StringType),
+        StructField("commit", StringType), StructField("lsn", LongType),
+        StructField("op", StringType),
+        StructField("embedding", ArrayType(FloatType))))
+      val src = graft.lake.LakeTable.create(s, s"$root/src", srcSchema, numBuckets = 4)
+      def rows(df: org.apache.spark.sql.DataFrame, epoch: Int, op: String) = df.select(
+        col("vec_id").cast("string").as("repo"), lit("v").as("path"),
+        format_string("c%09d", lit(epoch)).as("commit"),
+        (lit(epoch * 100000L) + col("vec_id")).as("lsn"), lit(op).as("op"),
+        (if (op == "D") lit(null).cast("array<float>") else col("embedding")).as("embedding"))
+      graft.cdc.LakeMerge.mergeBatch(src,
+        rows(e.where(col("vec_id") >= 5 && col("vec_id") < 300), 0, "U"),
+        Some(("ivfsrc", 0L)))
+      val v0 = src.currentVersion
+      val idx = graft.ops.IvfIndex.create(s, s"$root/idx",
+        graft.cdc.LakeMerge.readState(src)
+          .select(col("repo").cast("long").as("vec_id"), col("embedding")),
+        k = 8, iters = 2)
+      // epoch 1: updates re-embed [5,50) (to the vector of vec_id+200),
+      // deletes remove [50,60)
+      val updates = e.as("a").where(col("a.vec_id") >= 5 && col("a.vec_id") < 50)
+        .join(e.as("b"), col("b.vec_id") === col("a.vec_id") + 200)
+        .select(col("a.vec_id").as("vec_id"), col("b.embedding").as("embedding"))
+      val dels = e.where(col("vec_id") >= 50 && col("vec_id") < 60)
+        .select(col("vec_id"), col("embedding"))
+      graft.cdc.LakeMerge.mergeBatch(src,
+        rows(updates, 1, "U").unionByName(rows(dels, 1, "D")),
+        Some(("ivfsrc", 1L)))
+      val v1 = src.currentVersion
+      assert(idx.syncFromChangelog(src, v0, v1,
+        col("repo").cast("long"), col("embedding")))
+      // crash-replay of the same maintenance epoch: fenced no-op
+      assert(!idx.syncFromChangelog(src, v0, v1,
+        col("repo").cast("long"), col("embedding")))
+      graft.ops.IvfIndex.load(s, s"$root/idx").search(q, nprobe = 8, topK = 10)
     })
   )
 
@@ -206,6 +259,26 @@ object SimilarityQueries {
         |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
         |         list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS sim_raw
         |  FROM embeddings q JOIN embeddings c ON q.vec_id < 5 AND c.vec_id >= 5),
+        |ranked AS (
+        |  SELECT query_id, vec_id, sim_raw,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY sim_raw DESC, vec_id ASC) AS rk
+        |  FROM scored)
+        |SELECT query_id, vec_id, round(sim_raw, 4) AS sim, rk
+        |FROM ranked WHERE rk <= 10""".stripMargin,
+
+    // effective corpus after the CDC epoch: [5,50) re-embedded to the
+    // vector of vec_id+200, [50,60) deleted, rest unchanged
+    "q_ann_ivf_update" ->
+      """WITH corpus AS (
+        |  SELECT e.vec_id,
+        |         CASE WHEN e.vec_id < 50 THEN u.embedding ELSE e.embedding END AS embedding
+        |  FROM embeddings e LEFT JOIN embeddings u ON u.vec_id = e.vec_id + 200
+        |  WHERE e.vec_id >= 5 AND e.vec_id < 300
+        |    AND NOT (e.vec_id >= 50 AND e.vec_id < 60)),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+        |         list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS sim_raw
+        |  FROM embeddings q JOIN corpus c ON q.vec_id < 5),
         |ranked AS (
         |  SELECT query_id, vec_id, sim_raw,
         |         row_number() OVER (PARTITION BY query_id ORDER BY sim_raw DESC, vec_id ASC) AS rk

@@ -76,9 +76,11 @@ class PlanSpec extends SparkSpec {
       "probe side must broadcast against the inverted file")
     assert(collectAll(plan) { case s: SortMergeJoinExec => s }.isEmpty,
       "the probe join must not be a sort-merge join")
-    // exchanges: only the per-query top-k ranking may shuffle (plus the
-    // tiny centroid-ranking window) — the inverted file itself never does
-    assert(collectAll(plan) { case e2: ShuffleExchangeExec => e2 }.size <= 2)
+    // exchanges: the per-query top-k ranking, the tiny centroid-ranking
+    // window, and the tiny supersede-set aggregation (O(changes since
+    // compaction), broadcast after) — the inverted file itself never
+    // shuffles
+    assert(collectAll(plan) { case e2: ShuffleExchangeExec => e2 }.size <= 3)
   }
 
   test("mart incremental readDocs: one exchange, path filter pushed to the scan") {

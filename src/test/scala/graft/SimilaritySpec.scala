@@ -119,20 +119,22 @@ class SimilaritySpec extends SparkSpec {
           .toDF("repo", "path", "commit", "lsn", "op", "lang", "content")),
       Some(("ing", 1L)))
 
-    assert(idx.syncFromChangelog(source, v0, source.currentVersion,
-      vecId, emb, fence = Some(("sync", 1L))))
-    assert(!idx.syncFromChangelog(source, v0, source.currentVersion,
-      vecId, emb, fence = Some(("sync", 1L))), "replayed sync epoch must fence")
+    assert(idx.syncFromChangelog(source, v0, source.currentVersion, vecId, emb))
+    assert(!idx.syncFromChangelog(source, v0, source.currentVersion, vecId, emb),
+      "replayed sync epoch must fence")
 
-    // appended = changelog live winners NOT already indexed: the two brand
-    // -new keys plus keys whose v0 winner was a tombstone that epoch 1
-    // revived. Updated already-indexed keys must NOT duplicate postings.
+    // LWW maintenance: live changelog winners upserted (updates re-point,
+    // no duplicate postings), tombstoned winners DELETED from the index
     val initialIds = live0.select(vecId).as[Long].collect().toSet
-    val winnerIds = graft.cdc.MergeEngine.liveView(graft.cdc.MergeEngine.dedupBatch(
-      source.readChangesBetween(v0, source.currentVersion)))
+    val resolvedChanges = graft.cdc.MergeEngine.dedupBatch(
+      source.readChangesBetween(v0, source.currentVersion))
+    val winnerIds = graft.cdc.MergeEngine.liveView(resolvedChanges)
+      .select(vecId).as[Long].collect().toSet
+    val deletedIds = resolvedChanges.where(col("op") === "D")
       .select(vecId).as[Long].collect().toSet
     val ids = idx.assignments.select("vec_id").as[Long].collect().toSet
-    assert(ids == initialIds ++ winnerIds, "indexed set != initial ∪ changelog winners")
+    assert(ids == (initialIds ++ winnerIds) -- deletedIds,
+      "indexed set != (initial ∪ changelog winners) − tombstoned keys")
     assert(ids.size.toLong == idx.assignments.count(), "duplicate postings in the inverted file")
     assert(idx.assignments.count() > n0, "new keys must have been appended")
     val newIds = Seq(("brand_new_1", "p"), ("brand_new_2", "p")).map { case (r, p) =>
