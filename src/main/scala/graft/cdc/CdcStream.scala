@@ -160,7 +160,8 @@ object CdcStream {
         val c = new Compactor(table, sizeRatio = 1.0,
           maxDeltaFiles = compactAtDeltas,
           flushL0MinFiles = if (l0Mode) compactAtDeltas else 0,
-          flushL0MinBytes = l0FlushBytes)
+          flushL0MinBytes = l0FlushBytes,
+          backfillLineage = if (l0Mode) Some(metrics) else None)
         compactors.put(queryId, c)
         Some(c)
       } else None
@@ -367,7 +368,8 @@ object CdcStream {
         // L0 files pile up (the L0 read-amplification bound), then let
         // tiered compaction manage the resulting deltas as in classic mode
         if (stats.applied && l0Mode && compactAtDeltas > 0)
-          LakeMerge.flushL0(table, minFiles = compactAtDeltas, minBytes = l0FlushBytes)
+          LakeMerge.flushL0(table, minFiles = compactAtDeltas,
+            minBytes = l0FlushBytes, backfillLineage = Some(metrics))
         // bounded read amplification via SIZE-TIERED compaction: a bucket
         // is folded when its delta bytes reach its base bytes (each
         // rewrite at least doubles the base → O(log) rewrites per key
@@ -403,6 +405,62 @@ object CdcStream {
       Mart.catchUp(f.mart, table, f.groupCols, f.aggregate, f.queryId)
     }
     stats
+  }
+
+  /** Repair lineage rows whose `distinct_keys` is the -1 "unknown" marker
+    * (L0 appends refuse the dedup pass) with EXACT per-epoch counts, at the
+    * amortized point where the flush dedups anyway. One column-pruned
+    * aggregation over the flushed L0 files — `repo`, `path` and the
+    * L0-only `_epoch` stamp are read, never `content` — then ONE
+    * consolidated sidecar rewrite (which also compacts the sidecar's
+    * accumulated per-epoch files). Epochs are matched per row where the
+    * stored count is -1; single-writer-per-table deployment assumed (as
+    * everywhere in the engine). Safe under the async compactor: the
+    * rewrite replaces exactly the files read, concurrent appends carry
+    * forward (the optimistic-commit contract). */
+  def backfillDistinctKeys(
+      metrics: LakeTable,
+      table: LakeTable,
+      l0Files: Seq[graft.lake.DataFileMeta]
+  ): Unit = {
+    if (l0Files.isEmpty) return
+    val spark = metrics.spark
+    val withEpoch = table.snapshot.schema
+      .add(StructField("_epoch", LongType))
+    val counts = spark.read.schema(withEpoch).parquet(l0Files.map(_.path): _*)
+      .where(col("_epoch").isNotNull) // pre-upgrade L0 files lack the stamp
+      .select(col("_epoch"), col("repo"), col("path")).distinct()
+      .groupBy(col("_epoch")).agg(count(lit(1)).as("dk"))
+      .collect().map(r => r.getAs[Long]("_epoch") -> r.getAs[Long]("dk")).toMap
+    if (counts.isEmpty) return
+    val snap = metrics.snapshot
+    val files = metrics.filesOf(snap)
+    val rows = metrics.read().collect() // tiny: one row per epoch
+    val epochIdx = metricsSchema.fieldIndex("epoch_id")
+    val dkIdx = metricsSchema.fieldIndex("distinct_keys")
+    var changed = false
+    val patched = rows.map { r =>
+      val vals = r.toSeq.toArray
+      val e = vals(epochIdx).asInstanceOf[Long]
+      if (vals(dkIdx) == -1L && counts.contains(e)) {
+        vals(dkIdx) = counts(e)
+        changed = true
+      }
+      vals.toSeq
+    }
+    if (!changed) return
+    val dir = java.nio.file.Paths.get(metrics.root, "data",
+      java.util.UUID.randomUUID().toString, "bucket=0")
+    java.nio.file.Files.createDirectories(dir)
+    val p = dir.resolve("part-00000.parquet")
+    graft.util.TinyParquet.write(p.toString, metricsSchema,
+      patched.sortBy(v => (v(1).asInstanceOf[String], v(epochIdx).asInstanceOf[Long])).toSeq)
+    val meta = graft.lake.DataFileMeta(p.toString, 0,
+      java.nio.file.Files.size(p), snap.schemaId, kind = "base")
+    metrics.rewriteCommit(Set(0), files.map(_.path).toSet, Seq(meta),
+      summary = Map("operation" -> "backfill-lineage",
+        "epochs" -> counts.size.toString))
+    ()
   }
 
   /** Route the batch's invalid records into the dead-letter table, fenced

@@ -38,7 +38,8 @@ final class Compactor(
     sizeRatio: Double = 1.0,
     maxDeltaFiles: Int = 16,
     flushL0MinFiles: Int = 0, // 0 = never flush L0 (classic mode)
-    flushL0MinBytes: Long = 0L // additional bytes trigger (0 = count-only)
+    flushL0MinBytes: Long = 0L, // additional bytes trigger (0 = count-only)
+    backfillLineage: Option[LakeTable] = None // exact L0 distinct keys at flush
 ) extends AutoCloseable {
 
   private val exec = Executors.newSingleThreadExecutor { r =>
@@ -74,7 +75,8 @@ final class Compactor(
           "background compaction", interruptOnCancel = false)
         try {
           if (flushL0MinFiles > 0)
-            LakeMerge.flushL0(table, minFiles = flushL0MinFiles, minBytes = flushL0MinBytes)
+            LakeMerge.flushL0(table, minFiles = flushL0MinFiles,
+              minBytes = flushL0MinBytes, backfillLineage = backfillLineage)
           LakeMerge.compactTiered(table, sizeRatio, maxDeltaFiles)
           passesDone += 1
         } catch { case e: Throwable => failure = e }
@@ -93,8 +95,18 @@ final class Compactor(
     // drain rethrows a latched pass failure — the executor thread must be
     // released regardless, or a failed compactor leaks its thread forever
     // (and, removed from the stream registry, could never be shut down)
-    try drain()
-    finally {
+    try {
+      drain()
+      // the close contract is a DETERMINISTIC, COMPLETED state: flush the
+      // L0 tail below the running trigger (with its lineage backfill) and
+      // fold any remaining deltas — the stream has stopped, so this runs
+      // single-writer on the caller thread
+      if (flushL0MinFiles > 0) {
+        LakeMerge.flushL0(table, minFiles = 1, backfillLineage = backfillLineage)
+        LakeMerge.compactTiered(table, sizeRatio, maxDeltaFiles)
+        ()
+      }
+    } finally {
       exec.shutdown()
       ()
     }

@@ -170,8 +170,13 @@ object LakeMerge {
     // dedupOnWrite=false appends raw bucketed deltas without the
     // aggregation (cheaper for near-duplicate-free streams; LWW still
     // resolves identically at compaction/read — it is idempotent).
+    // L0 files additionally carry a constant `_epoch` column (RLE — costs
+    // ~nothing): flushL0's lineage backfill needs rows attributable to
+    // their commit epoch, and lsn ranges can overlap across epochs under
+    // out-of-order delivery. The column is NOT part of the table schema, so
+    // every schema-reconciled read drops it; only the backfill scan opts in.
     val (deltas, kind) =
-      if (l0Mode) (aligned, "l0")
+      if (l0Mode) (aligned.withColumn("_epoch", lit(epochId)), "l0")
       else if (dedupOnWrite)
         (lwwWriteShape(aligned, nBuckets, tableSchema.fieldNames.toSeq, saltPartitions), "delta")
       else
@@ -248,14 +253,18 @@ object LakeMerge {
     * re-bucketed in the pass that resolves them, never shuffled twice. A
     * thresholded compaction never touches L0 (an L0 file spans buckets and
     * can only be replaced whole); [[flushL0]] handles those. */
-  def compact(table: LakeTable, ifDeltasAtLeast: Int = 0): Boolean = {
+  def compact(table: LakeTable, ifDeltasAtLeast: Int = 0,
+      backfillLineage: Option[LakeTable] = None): Boolean = {
     val snap = table.snapshot
     val allFiles = table.filesOf(snap)
     val hasL0 = allFiles.exists(_.kind == "l0")
     if (ifDeltasAtLeast <= 0 && hasL0) {
       // L0 rows may belong to ANY bucket: resolve every bucket + L0 at once
       val buckets = (0 until snap.numBuckets).toSet + LakeTable.L0Bucket
-      return compactBuckets(table, snap, allFiles, buckets).compacted
+      val r = compactBuckets(table, snap, allFiles, buckets).compacted
+      backfillLineage.foreach(m => CdcStream.backfillDistinctKeys(
+        m, table, allFiles.filter(_.kind == "l0")))
+      return r
     }
     val deltasPerBucket = allFiles.filter(_.kind == "delta")
       .groupBy(_.bucket).view.mapValues(_.size).toMap
@@ -281,7 +290,15 @@ object LakeMerge {
     *    of how batch sizes swing, where a pure file-count trigger flushes
     *    tiny volumes under small batches (per-flush job overhead dominates)
     *    and lets huge batches pile up gigabytes (memory-spiky flushes). */
-  def flushL0(table: LakeTable, minFiles: Int = 1, minBytes: Long = 0L): Boolean = {
+  /** @param backfillLineage lineage sidecar to repair with EXACT per-epoch
+    *        distinct-key counts (VERDICT r4 #5): L0 appends record
+    *        distinct_keys = -1 (the hot path refuses a dedup pass); the
+    *        flush is the amortized point where the dedup happens anyway, so
+    *        one extra column-pruned aggregation over the flushed files
+    *        (repo, path, _epoch — never content) recovers the exact counts
+    *        and rewrites the affected sidecar rows. */
+  def flushL0(table: LakeTable, minFiles: Int = 1, minBytes: Long = 0L,
+      backfillLineage: Option[LakeTable] = None): Boolean = {
     val snap = table.snapshot
     val l0 = table.filesOf(snap).filter(_.kind == "l0")
     if (l0.isEmpty) return false
@@ -296,6 +313,7 @@ object LakeMerge {
         "operation" -> "flush-l0",
         "merged-files" -> l0.size.toString,
         "added-files" -> staged.size.toString))
+    backfillLineage.foreach(m => CdcStream.backfillDistinctKeys(m, table, l0))
     true
   }
 

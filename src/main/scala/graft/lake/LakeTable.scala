@@ -38,8 +38,15 @@ final case class DataFileMeta(
     rows: Long = -1L
 )
 
-/** A pinned, versioned schema (Spark DDL string). */
-final case class SchemaInfo(id: Int, ddl: String)
+/** A pinned, versioned schema (Spark DDL string). `fieldIds` maps each
+  * column name to its STABLE field id (the Iceberg identity that survives
+  * renames): reads reconcile a file's columns to the current schema BY ID,
+  * so a renamed column keeps reading old files and a dropped-then-re-added
+  * name cannot resurrect old data. Null on pre-upgrade snapshots → those
+  * schemas reconcile by name, exactly as before. */
+final case class SchemaInfo(id: Int, ddl: String, fieldIds: Map[String, Int] = null) {
+  def ids: Option[Map[String, Int]] = Option(fieldIds)
+}
 
 /** Pointer to one immutable manifest file (a JSON list of [[DataFileMeta]])
   * plus the stats the planner prunes on without opening it. `group` is the
@@ -313,14 +320,33 @@ final class LakeTable private (val root: String, val spark: SparkSession) {
     if (files.isEmpty) {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], target)
     } else {
+      val targetIds = snap.schemas.find(_.id == snap.schemaId).flatMap(_.ids)
       files.groupBy(_.schemaId).map { case (sid, group) =>
-        val fileSchema = snap.schemaById(sid)
+        val fileInfo = snap.schemas.find(_.id == sid).get
+        val fileSchema = StructType.fromDDL(fileInfo.ddl)
         val df = spark.read.schema(fileSchema).parquet(group.map(_.path): _*)
-        // reconcile by name with widening casts; unknown-to-target columns
-        // are dropped (reference `ignoreUnknownValues`)
+        // reconcile by FIELD ID where both schemas carry ids (renames keep
+        // reading old files; a re-added name gets a fresh id and cannot
+        // resurrect old data), by name otherwise (legacy schemas); widening
+        // casts apply either way, unknown-to-target columns are dropped
+        // (reference `ignoreUnknownValues`)
+        // None = the column's id does not exist in that file's era: read as
+        // null, NEVER fall back to a same-named column (a dropped-then-
+        // re-added name would resurrect old data through it)
+        val srcNameFor: String => Option[String] = (targetIds, fileInfo.ids) match {
+          case (Some(tids), Some(fids)) =>
+            val byId = fids.map(_.swap)
+            name => tids.get(name) match {
+              case Some(id) => byId.get(id)
+              case None => Some(name) // target id unknown: degrade to name
+            }
+          case _ => name => Some(name)
+        }
         val cols = target.fields.map { f =>
-          if (fileSchema.fieldNames.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
-          else lit(null).cast(f.dataType).as(f.name)
+          srcNameFor(f.name).filter(fileSchema.fieldNames.contains) match {
+            case Some(src) => col(src).cast(f.dataType).as(f.name)
+            case None => lit(null).cast(f.dataType).as(f.name)
+          }
         }
         df.select(cols.toSeq: _*)
       }.reduce(_ unionByName _)
@@ -600,7 +626,8 @@ final class LakeTable private (val root: String, val spark: SparkSession) {
         else {
           val nid = s.schemas.map(_.id).max + 1
           s.copy(
-            schemas = s.schemas :+ SchemaInfo(nid, mergedNow.toDDL),
+            schemas = s.schemas :+ SchemaInfo(nid, mergedNow.toDDL,
+              LakeTable.assignFieldIds(s, mergedNow)),
             schemaId = nid,
             summary = Map("operation" -> "evolve-schema"),
             opKind = "metadata"
@@ -609,6 +636,59 @@ final class LakeTable private (val root: String, val spark: SparkSession) {
       }
       committed.schemaId
     }
+  }
+
+  private def engineColumns: Set[String] =
+    (graft.cdc.MergeEngine.keyCols ++ graft.cdc.MergeEngine.orderCols :+ "op").toSet
+
+  /** Rename a payload column — METADATA ONLY (the Iceberg rename contract):
+    * the column keeps its field id, so every existing file keeps being read
+    * under the new name; no data is rewritten. Engine columns (merge key,
+    * ordering, op) cannot be renamed — the merge semantics reference them
+    * by name. Incoming batches still using the old name: pass
+    * `aliases = Map(old -> new)` to `LakeMerge.mergeBatch` (the
+    * renamed-field fallback). */
+  def renameColumn(oldName: String, newName: String): Int = {
+    require(!engineColumns.contains(oldName),
+      s"cannot rename engine column $oldName (merge key/ordering/op)")
+    val committed = commit { s =>
+      val cur = s.schema
+      require(cur.fieldNames.contains(oldName), s"no such column: $oldName")
+      require(!cur.fieldNames.contains(newName), s"column exists: $newName")
+      val renamed = StructType(cur.fields.map(f =>
+        if (f.name == oldName) f.copy(name = newName) else f))
+      val curIds = LakeTable.idsOrSynthesized(s)
+      val nid = s.schemas.map(_.id).max + 1
+      s.copy(
+        schemas = s.schemas :+ SchemaInfo(nid, renamed.toDDL,
+          curIds.map { case (n, i) => (if (n == oldName) newName else n) -> i }),
+        schemaId = nid,
+        summary = Map("operation" -> "rename-column",
+          "from" -> oldName, "to" -> newName),
+        opKind = "metadata")
+    }
+    committed.schemaId
+  }
+
+  /** Drop a payload column — metadata only; existing files keep the bytes
+    * but no read returns them. Re-adding the same NAME later mints a fresh
+    * field id, so the old data cannot resurrect (Iceberg drop contract). */
+  def dropColumn(name: String): Int = {
+    require(!engineColumns.contains(name),
+      s"cannot drop engine column $name (merge key/ordering/op)")
+    val committed = commit { s =>
+      val cur = s.schema
+      require(cur.fieldNames.contains(name), s"no such column: $name")
+      val dropped = StructType(cur.fields.filterNot(_.name == name))
+      val curIds = LakeTable.idsOrSynthesized(s)
+      val nid = s.schemas.map(_.id).max + 1
+      s.copy(
+        schemas = s.schemas :+ SchemaInfo(nid, dropped.toDDL, curIds - name),
+        schemaId = nid,
+        summary = Map("operation" -> "drop-column", "column" -> name),
+        opKind = "metadata")
+    }
+    committed.schemaId
   }
 
   // ------------------------------------------------- expiration & cleanup
@@ -793,6 +873,26 @@ object LakeTable {
     (((h % n) + n) % n).toInt
   }
 
+  /** Field ids for an evolved schema: existing names keep the current
+    * schema's id, added names mint fresh ids above every id ever used (ids
+    * are never reused — the drop/re-add isolation depends on it). */
+  private[lake] def assignFieldIds(s: Snapshot, merged: StructType): Map[String, Int] = {
+    val curIds = idsOrSynthesized(s)
+    val maxUsed = (s.schemas.flatMap(_.ids).flatMap(_.values) ++ curIds.values)
+      .foldLeft(0)(math.max)
+    var next = maxUsed
+    merged.fields.map { f =>
+      f.name -> curIds.getOrElse(f.name, { next += 1; next })
+    }.toMap
+  }
+
+  /** The current schema's field ids; a legacy snapshot (no ids recorded)
+    * gets positional ids synthesized once — name-based reconciliation for
+    * its OLD schemas is unaffected (they stay id-less). */
+  private[lake] def idsOrSynthesized(s: Snapshot): Map[String, Int] =
+    s.schemas.find(_.id == s.schemaId).flatMap(_.ids).getOrElse(
+      s.schema.fieldNames.zipWithIndex.map { case (n, i) => n -> (i + 1) }.toMap)
+
   private[lake] val mapper: ObjectMapper = {
     val m = new ObjectMapper()
     m.registerModule(DefaultScalaModule)
@@ -835,7 +935,8 @@ object LakeTable {
       snapshotId = 1L,
       parentSnapshotId = -1L,
       schemaId = 0,
-      schemas = Seq(SchemaInfo(0, schema.toDDL)),
+      schemas = Seq(SchemaInfo(0, schema.toDDL,
+        schema.fieldNames.zipWithIndex.map { case (n, i) => n -> (i + 1) }.toMap)),
       numBuckets = numBuckets,
       manifestGroups = math.min(8, numBuckets),
       manifests = Nil,

@@ -210,10 +210,13 @@ object CdcQueries {
     }),
 
     // Schema evolution through the lake: commit narrow batch, evolve, commit
-    // wide batch, read reconciled (additive column + widened type). The two
-    // batches are contiguous slices of ONE seeded stream (lang null before
-    // lsn 2000 — exactly the narrow batch's dropped column), so the export
-    // is that single stream and the oracle is plain LWW + group-by over it.
+    // wide batch, read reconciled (additive column + widened type), then
+    // RENAME the evolved column (metadata-only — field-id reconciliation
+    // keeps every already-written file readable under the new name, the
+    // Iceberg rename contract) and aggregate by the NEW name. The batches
+    // are contiguous slices of ONE seeded stream (lang null before lsn 2000
+    // — exactly the narrow batch's dropped column), so the export is that
+    // single stream and the oracle is plain LWW + group-by with an alias.
     "q_schema_evolution" -> ((s, _) => {
       import org.apache.spark.sql.types._
       val dir = java.nio.file.Files.createTempDirectory("graft-evolve").toString
@@ -230,8 +233,9 @@ object CdcQueries {
       LakeMerge.mergeBatch(table, b1, Some(("evolve", 0L)))
       val b2 = full.where(col("lsn") >= 2000L)
       LakeMerge.mergeBatch(table, b2, Some(("evolve", 1L)))
+      table.renameColumn("lang", "language")
       LakeMerge.readState(table)
-        .groupBy(col("lang"))
+        .groupBy(col("language"))
         .agg(count(lit(1)).as("n_rows"), max(col("lsn")).as("max_lsn"))
     })
   )
@@ -273,7 +277,7 @@ object CdcQueries {
 
     "q_schema_evolution" -> lwwOracle(
       s"$ExportRoot/q_schema_evolution/*.parquet",
-      "lang, count(*) AS n_rows, max(lsn) AS max_lsn",
+      "lang AS language, count(*) AS n_rows, max(lsn) AS max_lsn",
       tail = "\nGROUP BY lang"),
 
     "q_mart_streaming" -> lwwOracle(

@@ -250,6 +250,28 @@ class CdcStreamSpec extends SparkSpec {
     assert(fast.nonEmpty && fast.toSeq.map(_._2).sum == 6000L)
   }
 
+  test("L0 mode: flush backfills EXACT per-epoch distinct keys into the sidecar") {
+    val dir = tmpDir("cdcl0dk")
+    val binlog = s"$dir/binlog"
+    EventGen.writeBinlog(spark, binlog, 6000L, segments = 3, nRepos = 50, pathsPerRepo = 8)
+    def drained(root: String, l0: Boolean): LakeTable = {
+      val t = LakeTable.create(spark, s"$root/table", CdcStream.binlogSchema, numBuckets = 4)
+      val m = CdcStream.metricsTable(spark, s"$root/metrics")
+      CdcStream.start(spark, t, m, binlog, s"$root/ckpt", queryId = "dk",
+        maxFilesPerTrigger = 1, l0Mode = l0, compactAtDeltas = 2,
+        asyncCompact = l0).awaitTermination()
+      CdcStream.drainCompaction("dk")
+      m
+    }
+    def dks(m: LakeTable) = m.read()
+      .select($"epoch_id", $"distinct_keys").as[(Long, Long)].collect().toMap
+    val l0 = dks(drained(tmpDir("cdcl0dk-l0"), l0 = true))
+    val classic = dks(drained(tmpDir("cdcl0dk-cl"), l0 = false))
+    assert(l0.nonEmpty && l0 == classic,
+      s"L0 lineage must carry the classic path's exact counts:\n$l0\nvs\n$classic")
+    assert(l0.values.forall(_ >= 0L), "no -1 markers left after the flush backfill")
+  }
+
   test("lineage heals byte-identically from the data commit's folded summary record") {
     val dir = tmpDir("cdcsummaryheal")
     val table = LakeTable.create(spark, s"$dir/table", CdcStream.binlogSchema, numBuckets = 4)

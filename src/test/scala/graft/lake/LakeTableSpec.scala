@@ -116,6 +116,49 @@ class LakeTableSpec extends SparkSpec {
     intercept[IllegalArgumentException](t.evolveSchema(bad))
   }
 
+  test("rename column: metadata-only, old files readable under the new name; drop/re-add cannot resurrect") {
+    val root = tmpDir("lake-rename")
+    val t = LakeTable.create(spark, root, baseSchema, numBuckets = 4)
+    val df = Seq(("r1", "a", "c1", 1L, "scala", "x"), ("r2", "b", "c1", 2L, "go", "y"))
+      .toDF(baseSchema.fieldNames.toSeq: _*)
+      .withColumn("bucket", graft.cdc.LakeMerge.bucketOf(col("repo"), 4))
+    t.appendCommit(t.stage(df, 0))
+    val filesBefore = t.files.map(_.path).toSet
+
+    // rename lang -> language: NO data rewritten, old files read under the
+    // new name via field-id reconciliation
+    t.renameColumn("lang", "language")
+    assert(t.files.map(_.path).toSet == filesBefore, "rename must not rewrite data")
+    assert(t.schema.fieldNames.toSeq ==
+      Seq("repo", "path", "commit", "lsn", "language", "content"))
+    val read = t.read().select("repo", "language").as[(String, String)].collect().toMap
+    assert(read == Map("r1" -> "scala", "r2" -> "go"))
+
+    // a writer still using the OLD name goes through the alias fallback
+    val oldNameBatch = Seq(("r3", "c", "c2", 3L, "U", "rust", "z"))
+      .toDF("repo", "path", "commit", "lsn", "op", "lang", "content")
+    graft.cdc.LakeMerge.mergeBatch(t, oldNameBatch, aliases = Map("lang" -> "language"))
+    assert(t.read().where(col("repo") === "r3")
+      .select("language").as[String].collect().toSeq == Seq("rust"))
+    // and no phantom "lang" column reappeared
+    assert(!t.schema.fieldNames.contains("lang"))
+
+    // drop the column, then re-add the same NAME: fresh field id, so the
+    // old files' values must NOT resurrect under the re-added column
+    t.dropColumn("language")
+    assert(!t.schema.fieldNames.contains("language"))
+    val readdId = t.evolveSchema(StructType(t.schema.fields :+
+      StructField("language", StringType)))
+    assert(readdId > 0)
+    val after = t.read().select("repo", "language").as[(String, String)].collect()
+    assert(after.forall(_._2 == null),
+      s"dropped data resurrected through a re-added name: ${after.toSeq}")
+
+    // engine columns are protected
+    intercept[IllegalArgumentException](t.renameColumn("repo", "r"))
+    intercept[IllegalArgumentException](t.dropColumn("lsn"))
+  }
+
   test("epoch fencing: committed epochs are visible; version-hint loss is recoverable") {
     val root = tmpDir("lake")
     val t = LakeTable.create(spark, root, baseSchema, numBuckets = 2)
