@@ -561,6 +561,30 @@ object CdcStream {
 
   private val jsonMapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
+  /** Highest lsn any committed epoch of `table` recorded — read from the
+    * folded lineage record in commit summaries alone (ZERO Spark jobs):
+    * walks versions down from the current snapshot to the latest
+    * merge-append commit. Monotone for a file-source stream (segments are
+    * consumed in mtime order). -1 when no lineage-carrying commit is
+    * retained. Operational surface for producers/reapers that must know
+    * how far the ingest has durably progressed. */
+  def committedMaxLsn(table: LakeTable): Long = {
+    val minV = table.minVersionAvailable
+    var v = table.currentVersion
+    while (v >= minV) {
+      try {
+        table.snapshotAt(v).summary.get(LineageSummaryKey) match {
+          case Some(j) =>
+            val l = parseLineageJson(j)
+            if (l.maxLsn >= 0) return l.maxLsn
+          case None => ()
+        }
+      } catch { case scala.util.control.NonFatal(_) => () }
+      v -= 1
+    }
+    -1L
+  }
+
   private def summaryLong(snap: graft.lake.Snapshot, key: String): Long =
     snap.summary.get(key).flatMap(s => scala.util.Try(s.toLong).toOption).getOrElse(-1L)
 

@@ -137,6 +137,36 @@ object EventGen {
       pathsPerRepo: Int = 100,
       skew: Double = 2.0,
       langFromLsn: Long = Long.MaxValue
+  ): Unit =
+    writeBinlogChunk(spark, dir, 0L, n, segments, segBase = 0, seed = seed,
+      nRepos = nRepos, pathsPerRepo = pathsPerRepo, skew = skew,
+      langFromLsn = langFromLsn)
+
+  /** Write events [lo, hi) as `segments` binlog files numbered from
+    * `segBase` — the rolling-generation building block: a LIVE soak
+    * generates chunk after chunk into the tailed directory while the
+    * stream consumes (and a reaper deletes) earlier ones, so the on-disk
+    * binlog window stays bounded at any total event count.
+    *
+    * Strictly increasing mtimes by GLOBAL segment id: the streaming file
+    * source orders new files by modification time, and the parquet parts
+    * of one write job land within the same millisecond — without this, the
+    * segment→epoch mapping (which the lineage oracle asserts) would depend
+    * on directory-listing order ties. The base is pinned a day in the past
+    * with 100 ms spacing, so stamps never reach the future (the source's
+    * maxFileAge window is relative to the newest seen file). */
+  def writeBinlogChunk(
+      spark: SparkSession,
+      dir: String,
+      lo: Long,
+      hi: Long,
+      segments: Int,
+      segBase: Int,
+      seed: Long = 42L,
+      nRepos: Int = 1000,
+      pathsPerRepo: Int = 100,
+      skew: Double = 2.0,
+      langFromLsn: Long = Long.MaxValue
   ): Unit = {
     import java.nio.file.{Files, Paths}
     Files.createDirectories(Paths.get(dir))
@@ -144,23 +174,18 @@ object EventGen {
     // slices, one parquet part per segment; flatten-rename afterwards. Each
     // file is a contiguous lsn range, so lsn predicates prune whole files
     // via parquet min/max stats.
-    val tmp = Paths.get(dir, ".binlog.tmp")
-    eventsRange(spark, 0L, n, seed, nRepos, pathsPerRepo, skew,
+    val tmp = Paths.get(dir, s".binlog.tmp-$segBase")
+    eventsRange(spark, lo, hi, seed, nRepos, pathsPerRepo, skew,
       langFromLsn = langFromLsn, numPartitions = segments)
       .write.mode("overwrite").parquet(tmp.toString)
-    // strictly increasing mtimes by segment id: the streaming file source
-    // orders new files by modification time, and the parquet parts of one
-    // write job land within the same millisecond — without this, the
-    // segment→epoch mapping (which the lineage oracle asserts) would depend
-    // on directory-listing order ties
-    val t0 = System.currentTimeMillis() - 3600000L
-    var i = 0
+    val t0 = (System.currentTimeMillis() / 86400000L) * 86400000L - 86400000L
+    var i = segBase
     graft.util.Fs.list(tmp).sortBy(_.toString).foreach { p =>
       if (p.getFileName.toString.endsWith(".parquet")) {
         val target = Paths.get(dir, f"segment-$i%05d.parquet")
         Files.move(p, target)
         Files.setLastModifiedTime(target,
-          java.nio.file.attribute.FileTime.fromMillis(t0 + i * 2000L))
+          java.nio.file.attribute.FileTime.fromMillis(t0 + i * 100L))
         i += 1
       }
     }
