@@ -435,7 +435,11 @@ object CdcStream {
     if (counts.isEmpty) return
     val snap = metrics.snapshot
     val files = metrics.filesOf(snap)
-    val rows = metrics.read().collect() // tiny: one row per epoch
+    // read EXACTLY the captured file set (not the current snapshot): the
+    // ingest thread may append lineage rows concurrently (async compactor
+    // runs this), and a row read from a file outside the replace-set would
+    // be duplicated by the consolidated rewrite
+    val rows = metrics.readSubset(files).collect() // tiny: one row per epoch
     val epochIdx = metricsSchema.fieldIndex("epoch_id")
     val dkIdx = metricsSchema.fieldIndex("distinct_keys")
     var changed = false

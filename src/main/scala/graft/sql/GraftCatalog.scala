@@ -97,9 +97,32 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     GraftTable(path, None)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE: use the library's schema-evolution API (LakeTable.evolveSchema/renameColumn)")
+  /** `ALTER TABLE graft.ns.t RENAME COLUMN a TO b` / `DROP COLUMN a` /
+    * `ADD COLUMN c TYPE` — mapped onto the library's field-id schema
+    * evolution (rename is metadata-only, old files keep reading; drop
+    * retires the field id so a re-added name cannot resurrect old data). */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val t = LakeTable.load(SparkSession.active, pathOf(ident))
+    changes.foreach {
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames().length == 1, "nested columns are not supported")
+        t.renameColumn(r.fieldNames()(0), r.newName())
+        ()
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames().length == 1, "nested columns are not supported")
+        t.dropColumn(d.fieldNames()(0))
+        ()
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames().length == 1, "nested columns are not supported")
+        t.evolveSchema(StructType(t.schema.fields :+
+          org.apache.spark.sql.types.StructField(a.fieldNames()(0), a.dataType())))
+        ()
+      case other =>
+        throw new UnsupportedOperationException(
+          s"unsupported ALTER TABLE change: $other")
+    }
+    GraftTable(pathOf(ident), None)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val path = pathOf(ident)

@@ -110,6 +110,27 @@ class GraftSqlSpec extends SparkSpec {
     assert(narrow.count() > 0)
   }
 
+  test("ALTER TABLE RENAME/DROP/ADD COLUMN maps onto field-id schema evolution") {
+    sql.sql("CREATE TABLE graft.ns.alt (repo STRING, path STRING, `commit` STRING, " +
+      "lsn BIGINT, op STRING, payload STRING) TBLPROPERTIES ('buckets'='2')")
+    val t = LakeTable.load(spark, s"$warehouse/ns/alt")
+    val sp = spark
+    import sp.implicits._
+    val batch = Seq(("r1", "p", "c1", 1L, "U", "hello"))
+      .toDF("repo", "path", "commit", "lsn", "op", "payload")
+    LakeMerge.mergeBatch(t, batch, Some(("alt", 0L)))
+
+    sql.sql("ALTER TABLE graft.ns.alt RENAME COLUMN payload TO body")
+    // rename is metadata-only; the pre-rename file reads under the new name
+    assert(sql.sql("SELECT body FROM graft.ns.alt").as[String](
+      org.apache.spark.sql.Encoders.STRING).collect().toSeq == Seq("hello"))
+    sql.sql("ALTER TABLE graft.ns.alt ADD COLUMN extra STRING")
+    assert(LakeTable.load(spark, s"$warehouse/ns/alt").schema.fieldNames.contains("extra"))
+    sql.sql("ALTER TABLE graft.ns.alt DROP COLUMN body")
+    assert(!LakeTable.load(spark, s"$warehouse/ns/alt").schema.fieldNames.contains("body"))
+    sql.sql("DROP TABLE graft.ns.alt")
+  }
+
   test("catalog DDL: SHOW TABLES, CREATE TABLE with CDC envelope, DROP TABLE") {
     val shown = sql.sql("SHOW TABLES IN graft.ns").collect().map(_.getString(1)).toSet
     assert(shown.contains("t"))
