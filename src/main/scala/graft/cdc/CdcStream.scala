@@ -276,19 +276,29 @@ object CdcStream {
       // (Pre-upgrade commits lack the summary record: fall back to
       // recomputing the counts from the redelivered batch, with the commit
       // supplying the facts the batch can't — snapshot id, distinct keys.)
+      val fencedCommit = table.commitForFence(queryId, batchId)
+      val fencedLineage = fencedCommit
+        .flatMap(_.summary.get(LineageSummaryKey)).map(parseLineageJson)
       if (metrics.fence(queryId) < batchId) {
-        val fenced = table.commitForFence(queryId, batchId)
-        fenced.flatMap(s => s.summary.get(LineageSummaryKey).map((s, _))) match {
-          case Some((snap, json)) =>
-            recordLineage(metrics, parseLineageJson(json), queryId, batchId,
+        (fencedCommit, fencedLineage) match {
+          case (Some(snap), Some(lin)) =>
+            recordLineage(metrics, lin, queryId, batchId,
               snapshotId = snap.snapshotId,
               distinctKeys = summaryLong(snap, "distinct-keys"))
-          case None =>
+          case _ =>
             recordLineage(metrics, computeLineage(batch), queryId, batchId,
-              snapshotId = fenced.map(_.snapshotId).getOrElse(table.snapshot.snapshotId),
-              distinctKeys = fenced.map(summaryLong(_, "distinct-keys")).getOrElse(-1L))
+              snapshotId = fencedCommit.map(_.snapshotId).getOrElse(table.snapshot.snapshotId),
+              distinctKeys = fencedCommit.map(summaryLong(_, "distinct-keys")).getOrElse(-1L))
         }
       }
+      // dead letters are routed AFTER the data commit (their count only
+      // exists once the merge job ran), so a crash in between loses them
+      // until redelivery — heal here, but only when the epoch's folded
+      // lineage says invalid records actually existed (no extra job on the
+      // common clean-epoch redelivery). Unknown (pre-upgrade commit) →
+      // route unconditionally; the dead-letter fence makes it idempotent.
+      if (fencedLineage.forall(_.badRecords > 0))
+        routeDeadLetters(batch, deadLetters, queryId, batchId)
       // a crash AFTER the data commit may also have lost a mart refresh;
       // catch the feeds up from the redelivered epoch's vantage too
       martFeeds.foreach { f =>

@@ -48,6 +48,35 @@ class RobustnessSpec extends SparkSpec {
     assert(LakeMerge.readState(table).where($"lsn" >= 9000L).count() == 0)
   }
 
+  test("dead letters lost to a crash between data commit and routing heal on redelivery (both lineage modes)") {
+    Seq(true, false).foreach { fast =>
+      val dir = tmpDir(s"dlqheal-$fast")
+      val table = LakeTable.create(spark, s"$dir/table", CdcStream.binlogSchema, numBuckets = 4)
+      val metrics = CdcStream.metricsTable(spark, s"$dir/metrics")
+      val good = EventGen.events(spark, 300L, nRepos = 10, pathsPerRepo = 5)
+      val bad = Seq(("r1", "p", "c1", 9001L, "Z", null: String, "x"))
+        .toDF(CdcStream.binlogSchema.fieldNames.toSeq: _*)
+      val batch = good.unionByName(bad)
+      // "crash" window: the data commit lands but the dead-letter routing
+      // never runs (simulated by withholding the dead-letter table)
+      val st = CdcStream.applyBatch(table, metrics, batch, "q", 0L,
+        deadLetters = None, fastLineage = Some(fast))
+      assert(st.applied)
+      // redelivery with the dead-letter table back: the folded lineage
+      // record says bad > 0, so routing must be healed
+      val dlq = CdcStream.deadLetterTable(spark, s"$dir/dlq")
+      val st2 = CdcStream.applyBatch(table, metrics, batch, "q", 0L,
+        deadLetters = Some(dlq), fastLineage = Some(fast))
+      assert(!st2.applied)
+      assert(dlq.read().count() == 1, s"dead letter not healed (fast=$fast)")
+      assert(dlq.fence("q") == 0L)
+      // a further redelivery is a no-op (fence)
+      CdcStream.applyBatch(table, metrics, batch, "q", 0L,
+        deadLetters = Some(dlq), fastLineage = Some(fast))
+      assert(dlq.read().count() == 1)
+    }
+  }
+
   test("a corrupt segment file is skipped (ignoreCorruptFiles), stream completes") {
     val dir = tmpDir("corrupt")
     val binlog = s"$dir/binlog"
