@@ -119,7 +119,10 @@ final case class Snapshot(
     // site sets this explicitly; consumers always read via snapshotAt,
     // which normalizes null away.
     opKind: String = null,
-    properties: Map[String, String] = Map.empty
+    properties: Map[String, String] = Map.empty,
+    // wall-clock commit time, stamped by commit(); -1 on pre-upgrade
+    // snapshots (TIMESTAMP AS OF falls back to the metadata file's mtime)
+    timestampMs: Long = -1L
 ) {
   def schema: StructType = StructType.fromDDL(schemas.find(_.id == schemaId).get.ddl)
   def schemaById(id: Int): StructType = StructType.fromDDL(schemas.find(_.id == id).get.ddl)
@@ -177,6 +180,29 @@ final class LakeTable private (val root: String, val spark: SparkSession) {
   }
 
   def snapshot: Snapshot = snapshotAt(currentVersion)
+
+  /** Latest still-retained version committed at or before `tsMs` (epoch
+    * millis) — the `TIMESTAMP AS OF` resolution. Pre-upgrade snapshots
+    * (no stamped commit time) use the metadata file's mtime. */
+  def versionAtTimestamp(tsMs: Long): Int = {
+    def tsOf(v: Int): Long = {
+      val snap = snapshotAt(v)
+      if (snap.timestampMs > 0) snap.timestampMs
+      else Files.getLastModifiedTime(metaDir.resolve(s"v$v.metadata.json")).toMillis
+    }
+    // commit times are monotone (stamped under the same single-host swap
+    // that orders versions), so binary search over the retained range
+    var lo = minVersionAvailable
+    var hi = currentVersion
+    if (tsOf(lo) > tsMs)
+      throw new IllegalStateException(
+        s"no snapshot as of $tsMs: oldest retained (v$lo) is ${tsOf(lo)}")
+    while (lo < hi) {
+      val mid = lo + (hi - lo + 1) / 2
+      if (tsOf(mid) <= tsMs) lo = mid else hi = mid - 1
+    }
+    lo
+  }
 
   def snapshotAt(version: Int): Snapshot = {
     val p = metaDir.resolve(s"v$version.metadata.json")
@@ -455,7 +481,8 @@ final class LakeTable private (val root: String, val spark: SparkSession) {
       val next = built.copy(
         version = cur.version + 1,
         snapshotId = cur.snapshotId + 1,
-        parentSnapshotId = cur.snapshotId
+        parentSnapshotId = cur.snapshotId,
+        timestampMs = System.currentTimeMillis()
       )
       val tmp = metaDir.resolve(s".tmp-${UUID.randomUUID()}.json")
       Files.writeString(tmp, mapper.writerWithDefaultPrettyPrinter().writeValueAsString(next))

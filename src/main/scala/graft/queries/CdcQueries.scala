@@ -209,6 +209,68 @@ object CdcQueries {
                  |GROUP BY lang""".stripMargin)
     }),
 
+    // SQL WRITE surface: the same seeded stream fed through `INSERT INTO
+    // graft.ns.t SELECT …` in two slices — the second slice UPDATES keys
+    // the first wrote, so the hash compare verifies that SQL inserts run
+    // the real LWW merge (upsert semantics), not a blind append. Deletes
+    // are excluded from both sides: INSERT stamps op='U' (tombstones go
+    // through the library/binlog path), so the oracle resolves LWW over
+    // the same non-delete subset.
+    "q_sql_insert" -> ((s, _) => {
+      val dir = s"$ExportRoot/q_sql_insert"
+      Fs.rmTree(java.nio.file.Paths.get(dir))
+      val events = EventGen.events(s, 8000L, nRepos = 50, pathsPerRepo = 6,
+        langFromLsn = 2000L)
+      // the input parquet IS both the INSERT source and the oracle's input
+      events.write.mode("overwrite").parquet(s"$dir/input")
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/wh/ns"))
+      val sql = graft.sql.GraftSql.attach(s, root = Some(s"$dir/wh"))
+      sql.sql("CREATE TABLE graft.ns.ins (repo STRING, path STRING, " +
+        "`commit` STRING, lsn BIGINT, op STRING, lang STRING, content STRING) " +
+        "TBLPROPERTIES ('buckets'='8')")
+      sql.read.parquet(s"$dir/input").createOrReplaceTempView("q_sql_insert_src")
+      sql.sql("""INSERT INTO graft.ns.ins
+                |SELECT repo, path, `commit`, lsn, lang, content
+                |FROM q_sql_insert_src WHERE lsn < 4000 AND op <> 'D'""".stripMargin)
+      sql.sql("""INSERT INTO graft.ns.ins
+                |SELECT repo, path, `commit`, lsn, lang, content
+                |FROM q_sql_insert_src WHERE lsn >= 4000 AND op <> 'D'""".stripMargin)
+      sql.sql("""SELECT repo, path, `commit`, lsn, lang,
+                |       sha2(content, 256) AS content_sha
+                |FROM graft.ns.ins""".stripMargin)
+    }),
+
+    // STATE-AS-STREAM: the table's changelog consumed through
+    // `spark.readStream.format("graft")` (offsets = table versions,
+    // AvailableNow drain), LWW-resolved — the hash compare proves the
+    // streamed rows carry exactly the table's net state. The oracle
+    // resolves the same seeded events directly.
+    "q_sql_changelog" -> ((s, _) => {
+      val dir = s"$ExportRoot/q_sql_changelog"
+      Fs.rmTree(java.nio.file.Paths.get(dir))
+      val events = EventGen.events(s, 8000L, nRepos = 50, pathsPerRepo = 6,
+        langFromLsn = 4000L)
+      exportIf(events, s"$dir/events")
+      val table = LakeTable.create(s, s"$dir/table", CdcStream.binlogSchema, numBuckets = 8)
+      LakeMerge.mergeBatch(table, events.where(col("lsn") < 4000L), Some(("clq", 0L)))
+      LakeMerge.mergeBatch(table, events.where(col("lsn") >= 4000L), Some(("clq", 1L)))
+      val seen = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]()
+      val q = s.readStream.format("graft").option("startingVersion", 0)
+        .load(s"$dir/table")
+        .writeStream
+        .foreachBatch((df: DataFrame, _: Long) => { df.collect().foreach(seen.add); () })
+        .option("checkpointLocation", s"$dir/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      import scala.jdk.CollectionConverters._
+      val streamed = s.createDataFrame(
+        new java.util.ArrayList(seen.asScala.toSeq.asJava), CdcStream.binlogSchema)
+      MergeEngine.liveView(MergeEngine.dedupBatch(streamed))
+        .select(col("repo"), col("path"), col("commit"), col("lsn"),
+          col("lang"), sha2(col("content"), 256).as("content_sha"))
+    }),
+
     // Schema evolution through the lake: commit narrow batch, evolve, commit
     // wide batch, read reconciled (additive column + widened type), then
     // RENAME the evolved column (metadata-only — field-id reconciliation
@@ -274,6 +336,18 @@ object CdcQueries {
          |      WHERE lsn < 4000)
          |WHERE rn = 1 AND op <> 'D'
          |GROUP BY lang""".stripMargin,
+
+    "q_sql_changelog" -> lwwOracle(
+      s"$ExportRoot/q_sql_changelog/events/*.parquet",
+      """repo, path, "commit", lsn, lang, sha256(content) AS content_sha"""),
+
+    "q_sql_insert" ->
+      s"""SELECT repo, path, "commit", lsn, lang, sha256(content) AS content_sha
+         |FROM (SELECT *, row_number() OVER (PARTITION BY repo, path
+         |                                   ORDER BY "commit" DESC, lsn DESC) rn
+         |      FROM read_parquet('$ExportRoot/q_sql_insert/input/*.parquet')
+         |      WHERE op <> 'D')
+         |WHERE rn = 1""".stripMargin,
 
     "q_schema_evolution" -> lwwOracle(
       s"$ExportRoot/q_schema_evolution/*.parquet",

@@ -8,10 +8,12 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources.InsertableRelation
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-import graft.cdc.MergeEngine
+import graft.cdc.{LakeMerge, MergeEngine}
 import graft.lake.LakeTable
 
 /** SQL/catalog read surface for lake tables (VERDICT r4 "Missing #1"): the
@@ -75,6 +77,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val path = pathOf(ident)
     if (!LakeTable.exists(path)) throw tableNotFound(ident)
     GraftTable(path, Some(version.toInt))
+  }
+
+  /** `SELECT … FROM graft.ns.t TIMESTAMP AS OF '2026-08-17 12:00:00'` —
+    * resolved (at load time, like VERSION AS OF pins a snapshot) to the
+    * latest retained version committed at or before the timestamp.
+    * `timestamp` arrives in MICROseconds since the epoch. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val path = pathOf(ident)
+    if (!LakeTable.exists(path)) throw tableNotFound(ident)
+    val lake = LakeTable.load(SparkSession.active, path)
+    GraftTable(path, Some(lake.versionAtTimestamp(timestamp / 1000L)))
   }
 
   override def createTable(
@@ -189,9 +202,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   * RESOLVED live-state shape (merge keys first, then payload, minus `op` —
   * exactly `LakeMerge.readState`'s column order). Scans never execute
   * through this table: [[GraftTableResolution]] substitutes the library's
-  * resolved plan during analysis. */
+  * resolved plan during analysis.
+  *
+  * Writes: `INSERT INTO graft.ns.t SELECT …` appends through the SAME
+  * fenced LWW merge the library ingest path uses — each inserted row is an
+  * UPSERT of its merge key at its (commit, lsn) ordering position (`op` is
+  * stamped 'U'; the row only wins reads if its ordering beats the key's
+  * current winner — CDC semantics, not blind-append). The driver-side
+  * insert hook (V1 write bridge) is the right shape here: the merge IS a
+  * whole DataFrame pipeline (bucket exchange + staged files + one atomic
+  * metadata swap), not a per-partition writer protocol. INSERT OVERWRITE
+  * is rejected — truncating an LWW CDC table silently would break the
+  * replay/fence contract. */
 final case class GraftTable(path: String, asOfVersion: Option[Int])
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
 
   def lake(spark: SparkSession): LakeTable = LakeTable.load(spark, path)
 
@@ -210,27 +234,86 @@ final case class GraftTable(path: String, asOfVersion: Option[Int])
         fields.filterNot(f => keys.contains(f.name) || f.name == "op"))
   }
 
+  /** Surfaced by DESCRIBE EXTENDED / SHOW TBLPROPERTIES: current version,
+    * layout and size facts from metadata only (no data files opened). */
+  override def properties(): util.Map[String, String] = {
+    val t = LakeTable.load(SparkSession.active, path)
+    val snap = asOfVersion.map(t.snapshotAt).getOrElse(t.snapshot)
+    (snap.properties ++ Map(
+      "version" -> snap.version.toString,
+      "snapshot-id" -> snap.snapshotId.toString,
+      "committed-at-ms" -> snap.timestampMs.toString,
+      "num-buckets" -> snap.numBuckets.toString,
+      "data-files" -> snap.fileCount.toString,
+      "delta-files" -> snap.deltaCount.toString,
+      "schema-id" -> snap.schemaId.toString)).asJava
+  }
+
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     throw new IllegalStateException(
       "graft tables resolve through the GraftTableResolution analyzer rule; " +
         "add spark.sql.extensions=graft.GraftExtensions to the session config " +
         "(or call graft.sql.GraftSql.attach(spark))")
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(asOfVersion.isEmpty,
+      s"cannot INSERT into a time-travel relation: ${name()}")
+    new WriteBuilder {
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          (data: org.apache.spark.sql.DataFrame, overwrite: Boolean) => {
+            require(!overwrite,
+              "INSERT OVERWRITE is not supported: graft tables are LWW CDC " +
+                "merges — write tombstones (op='D') through the library API " +
+                "or drop and recreate the table")
+            LakeMerge.mergeBatch(
+              LakeTable.load(data.sparkSession, path),
+              data.withColumn("op", org.apache.spark.sql.functions.lit("U")))
+            ()
+          }
+      }
+    }
+  }
 }
 
 /** `spark.read.format("graft").load(path)` — the TableProvider twin of the
-  * catalog; `.option("versionAsOf", n)` time-travels. */
+  * catalog; `.option("versionAsOf", n)` or `.option("timestampAsOf",
+  * epochMillis)` time-travels. `spark.readStream.format("graft")` tails
+  * the table's CHANGELOG as a streaming source ([[GraftChangelogSource]])
+  * — Spark routes to the stream-provider interface when the v2 table
+  * doesn't claim MICRO_BATCH_READ. */
 class GraftTableProvider extends org.apache.spark.sql.connector.catalog.TableProvider
-    with org.apache.spark.sql.sources.DataSourceRegister {
+    with org.apache.spark.sql.sources.DataSourceRegister
+    with org.apache.spark.sql.sources.StreamSourceProvider {
 
   override def shortName(): String = "graft"
+
+  override def sourceSchema(
+      ctx: org.apache.spark.sql.SQLContext,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    (shortName(), schema.getOrElse(GraftChangelogSource.schemaOf(ctx, parameters)))
+
+  override def createSource(
+      ctx: org.apache.spark.sql.SQLContext,
+      metadataPath: String,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source =
+    GraftChangelogSource.fromParameters(ctx.sparkSession, parameters)
 
   private def tableOf(options: CaseInsensitiveStringMap): GraftTable = {
     val path = Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException("path required: spark.read.format(\"graft\").load(path)"))
-    GraftTable(path, Option(options.get("versionAsOf")).map(_.toInt))
+    val version = Option(options.get("versionAsOf")).map(_.toInt)
+      .orElse(Option(options.get("timestampAsOf")).map(ts =>
+        LakeTable.load(SparkSession.active, path).versionAtTimestamp(ts.toLong)))
+    GraftTable(path, version)
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =

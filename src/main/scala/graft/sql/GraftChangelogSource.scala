@@ -1,0 +1,94 @@
+package graft.sql
+
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.types.StructType
+
+import graft.lake.LakeTable
+
+/** STATE-AS-STREAM: `spark.readStream.format("graft").load(path)` tails a
+  * lake table's changelog as a Structured Streaming source — the read-side
+  * twin of the engine's CDC ingest, letting any downstream consumer chain
+  * off a table incrementally (a derived table, a mart, an external sink)
+  * with exactly-once offsets managed by the consumer's own checkpoint.
+  *
+  * Semantics: offsets are table VERSIONS (monotone, checkpoint-
+  * serializable); each micro-batch is exactly the CDC rows — tombstones
+  * included — appended by the snapshot commits in `(start, end]`
+  * ([[LakeTable.readChangesBetween]]: only `opKind == "append"` commits
+  * contribute; compaction re-houses rows and is correctly invisible).
+  * LWW-resolving the streamed rows therefore reproduces the table's state
+  * delta for the range, which is the whole changelog contract. A ROLLBACK
+  * inside an unconsumed range fails the stream loudly — rows un-happened,
+  * no delta can express that; the consumer re-baselines from a full scan
+  * (the library's documented contract, surfaced unchanged).
+  *
+  * The V1 source bridge (`getBatch` returns a DataFrame) is the right
+  * shape here for the same reason the write side uses the V1 insert hook:
+  * a micro-batch IS the library's own changelog frame (a pruned parquet
+  * scan of the range's files), not a per-partition reader protocol to
+  * reimplement.
+  *
+  * Options:
+  *  - `startingVersion` — version to tail from (exclusive). Default: the
+  *    table's current version when the stream starts ("latest", new
+  *    changes only). `0` streams every retained commit first.
+  *
+  * Schema evolution: the source schema is pinned at stream start (the
+  * Structured Streaming contract — a restart picks up the evolved shape);
+  * batches from newer-schema commits are reconciled to the pinned shape
+  * (missing columns null-filled, added columns dropped, widenings cast
+  * down is refused by the analyzer — restart to widen). */
+final class GraftChangelogSource(
+    spark: SparkSession,
+    path: String,
+    startingVersion: Option[Int]
+) extends Source {
+
+  private val table = LakeTable.load(spark, path)
+  private val startVersion: Int = startingVersion.getOrElse(table.currentVersion)
+  override val schema: StructType = table.schema
+
+  private def versionOf(o: Offset): Int = o match {
+    case l: LongOffset => l.offset.toInt
+    // checkpoint-recovered offsets arrive serialized (json = the long)
+    case other => other.json().trim.toInt
+  }
+
+  override def getOffset: Option[Offset] = {
+    val v = table.currentVersion
+    if (v <= startVersion) None else Some(LongOffset(v.toLong))
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val from = start.map(versionOf).getOrElse(startVersion)
+    val changes = table.readChangesBetween(from, versionOf(end))
+    // align to the pinned stream schema (the range may span an evolution)
+    val aligned = changes.select(schema.fields.map { f =>
+      (if (changes.columns.contains(f.name)) col(f.name) else lit(null))
+        .cast(f.dataType).as(f.name)
+    }.toSeq: _*)
+    // MicroBatchExecution asserts isStreaming on V1 getBatch results
+    org.apache.spark.sql.graftshim.SessionBridge.asStreamingFrame(aligned)
+  }
+
+  override def stop(): Unit = ()
+}
+
+object GraftChangelogSource {
+  def fromParameters(
+      spark: SparkSession, parameters: Map[String, String]): GraftChangelogSource = {
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "path required: spark.readStream.format(\"graft\").load(path)"))
+    new GraftChangelogSource(spark, path, parameters.get("startingVersion").map(_.toInt))
+  }
+
+  def schemaOf(ctx: SQLContext, parameters: Map[String, String]): StructType = {
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException("path required"))
+    LakeTable.load(ctx.sparkSession, path).schema
+  }
+}

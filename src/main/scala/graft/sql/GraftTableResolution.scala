@@ -2,7 +2,7 @@ package graft.sql
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, EqualTo, Expression, Literal}
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, SubqueryAlias}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, InsertIntoStatement, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.types.StringType
@@ -84,16 +84,32 @@ class GraftTableResolution(spark: SparkSession) extends Rule[LogicalPlan] {
     }, resolved)
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsDown {
-    // Filter directly over the relation: route a repo point-lookup through
-    // metadata pruning (matched top-down so this wins over the bare case)
-    case f @ Filter(cond, child) if f.resolved && graftOf(child).isDefined =>
-      val (r, t) = graftOf(child).get
-      val repo = r.output.find(_.name == "repo").flatMap(a => repoEq(cond, a))
-      Filter(cond, substitute(r, t, repo))
-    case p if graftOf(p).isDefined =>
-      val (r, t) = graftOf(p).get
-      substitute(r, t, None)
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // INSERT targets must STAY relations: `InsertIntoStatement` holds its
+    // target as a child, and ResolveInsertInto needs the v2 relation there
+    // to build AppendData — substituting the read plan under it would turn
+    // the write target into a query. (AppendData itself holds the table
+    // out-of-children, so only the pre-resolution statement needs this.)
+    val writeTargets = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[LogicalPlan, java.lang.Boolean]())
+    plan.foreach {
+      case i: InsertIntoStatement =>
+        graftOf(i.table).foreach { case (r, _) => writeTargets.add(r); () }
+      case _ => ()
+    }
+    def readable(p: LogicalPlan): Option[(DataSourceV2Relation, GraftTable)] =
+      graftOf(p).filterNot { case (r, _) => writeTargets.contains(r) }
+    plan.resolveOperatorsDown {
+      // Filter directly over the relation: route a repo point-lookup through
+      // metadata pruning (matched top-down so this wins over the bare case)
+      case f @ Filter(cond, child) if f.resolved && readable(child).isDefined =>
+        val (r, t) = readable(child).get
+        val repo = r.output.find(_.name == "repo").flatMap(a => repoEq(cond, a))
+        Filter(cond, substitute(r, t, repo))
+      case p if readable(p).isDefined =>
+        val (r, t) = readable(p).get
+        substitute(r, t, None)
+    }
   }
 }
 

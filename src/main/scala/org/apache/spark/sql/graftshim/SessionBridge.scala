@@ -9,4 +9,15 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 object SessionBridge {
   def extensionsOf(spark: SparkSession): SparkSessionExtensions =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].extensions
+
+  /** Re-wrap a batch DataFrame as a STREAMING one (isStreaming = true) —
+    * what MicroBatchExecution requires of a V1 `Source.getBatch` result.
+    * Same mechanism as Spark's own FileStreamSource: the batch plan's
+    * InternalRow RDD under a streaming-flagged logical relation (lazy — no
+    * materialization here). */
+  def asStreamingFrame(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    spark.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = true)
+  }
 }

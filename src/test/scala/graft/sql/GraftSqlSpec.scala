@@ -1,5 +1,7 @@
 package graft.sql
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.execution.FileSourceScanExec
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.functions._
@@ -129,6 +131,94 @@ class GraftSqlSpec extends SparkSpec {
     sql.sql("ALTER TABLE graft.ns.alt DROP COLUMN body")
     assert(!LakeTable.load(spark, s"$warehouse/ns/alt").schema.fieldNames.contains("body"))
     sql.sql("DROP TABLE graft.ns.alt")
+  }
+
+  test("INSERT INTO routes through the LWW merge: upserts resolve, late rows lose") {
+    sql.sql("CREATE TABLE graft.ns.w (repo STRING, path STRING, `commit` STRING, " +
+      "lsn BIGINT, op STRING, content STRING) TBLPROPERTIES ('buckets'='2')")
+    // relation schema = (repo, path, commit, lsn, content): op is engine-internal
+    sql.sql("INSERT INTO graft.ns.w VALUES ('r1','p1','c1',1,'v1'), ('r2','p2','c1',2,'x')")
+    sql.sql("INSERT INTO graft.ns.w VALUES ('r1','p1','c2',5,'v2')")
+    // out-of-order redelivery: older ordering must NOT displace the winner
+    sql.sql("INSERT INTO graft.ns.w VALUES ('r1','p1','c0',0,'stale')")
+    val rows = sql.sql("SELECT repo, content FROM graft.ns.w ORDER BY repo")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(rows == Seq(("r1", "v2"), ("r2", "x")))
+    // the SQL path wrote through the real merge: the library view agrees
+    val t = LakeTable.load(spark, s"$warehouse/ns/w")
+    assert(lib(sql.sql("SELECT * FROM graft.ns.w")) == lib(LakeMerge.readState(t)))
+    // INSERT OVERWRITE would silently truncate an LWW CDC table — rejected
+    intercept[Exception] {
+      sql.sql("INSERT OVERWRITE graft.ns.w VALUES ('r9','p9','c1',1,'y')")
+    }
+    sql.sql("DROP TABLE graft.ns.w")
+  }
+
+  test("TIMESTAMP AS OF resolves to the latest snapshot at or before the time") {
+    val t = LakeTable.load(spark, tablePath)
+    val v0 = t.commitForFence("sqlspec", 0L).get.version
+    val ts0 = t.snapshotAt(v0).timestampMs
+    assert(ts0 > 0, "commit() must stamp the snapshot time")
+    val zone = java.time.ZoneId.of(sql.conf.get("spark.sql.session.timeZone"))
+    val lit = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+      .format(java.time.Instant.ofEpochMilli(ts0).atZone(zone))
+    val viaTs = sql.sql(s"SELECT * FROM graft.ns.t TIMESTAMP AS OF '$lit'")
+    assert(lib(viaTs) == lib(sql.sql(s"SELECT * FROM graft.ns.t VERSION AS OF $v0")))
+    // the provider twin
+    val viaOpt = sql.read.format("graft").option("timestampAsOf", ts0).load(tablePath)
+    assert(lib(viaOpt) == lib(viaTs))
+    // before the oldest retained snapshot → clean failure, not silent-empty
+    intercept[Exception] {
+      sql.sql("SELECT * FROM graft.ns.t TIMESTAMP AS OF '1999-01-01 00:00:00'").collect()
+    }
+  }
+
+  test("table properties surface metadata-only health facts to SQL") {
+    val props = sql.sql("SHOW TBLPROPERTIES graft.ns.t")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val snap = LakeTable.load(spark, tablePath).snapshot
+    assert(props("version") == snap.version.toString)
+    assert(props("num-buckets") == snap.numBuckets.toString)
+    assert(props("data-files") == snap.fileCount.toString)
+  }
+
+  test("readStream.format(graft): the changelog is a streaming source with resumable offsets") {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$warehouse/ns3"))
+    val p = s"$warehouse/ns3/cl"
+    val t = LakeTable.create(spark, p, CdcStream.binlogSchema, numBuckets = 4)
+    val ev = EventGen.events(spark, 2000L, nRepos = 20, pathsPerRepo = 5)
+    LakeMerge.mergeBatch(t, ev.where(col("lsn") < 1000L), Some(("cl", 0L)))
+    val ckpt = tmpDir("cl-ckpt")
+    val seen = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+    def runOnce(): Unit = {
+      seen.clear()
+      val q = spark.readStream.format("graft").option("startingVersion", 0)
+        .load(p)
+        .writeStream
+        .foreachBatch((df: org.apache.spark.sql.DataFrame, _: Long) => {
+          seen ++= df.collect(); ()
+        })
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runOnce()
+    assert(seen.nonEmpty, "first run must stream the retained history")
+    assert(seen.forall(_.getAs[Long]("lsn") < 1000L))
+    val firstRun = seen.toList
+    // second epoch lands; a RESTARTED stream resumes from the checkpoint
+    // and must see only the new commits' rows
+    LakeMerge.mergeBatch(t, ev.where(col("lsn") >= 1000L), Some(("cl", 1L)))
+    runOnce()
+    assert(seen.nonEmpty && seen.forall(_.getAs[Long]("lsn") >= 1000L),
+      "restart must stream only commits after the checkpointed offset")
+    // the streamed changelog IS the table: LWW-resolving everything the
+    // stream delivered reproduces the table's live state exactly
+    val streamed = spark.createDataFrame(
+      new java.util.ArrayList((firstRun ++ seen).asJava), CdcStream.binlogSchema)
+    val resolved = MergeEngine.liveView(MergeEngine.dedupBatch(streamed))
+    assert(lib(resolved) == lib(LakeMerge.readState(t)))
   }
 
   test("catalog DDL: SHOW TABLES, CREATE TABLE with CDC envelope, DROP TABLE") {
