@@ -215,7 +215,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   * is rejected — truncating an LWW CDC table silently would break the
   * replay/fence contract. */
 final case class GraftTable(path: String, asOfVersion: Option[Int])
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
   def lake(spark: SparkSession): LakeTable = LakeTable.load(spark, path)
 
@@ -253,11 +253,24 @@ final case class GraftTable(path: String, asOfVersion: Option[Int])
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE)
 
+  /** Reads never execute through this scan — [[GraftTableResolution]]
+    * substitutes the relation at analysis. It exists because DELETE
+    * planning legitimately wraps the (guarded, unsubstituted) target in a
+    * scan relation to resolve the condition against; `DeleteFromTableExec`
+    * never runs it. Executing it (a read in a session missing the
+    * extensions) fails with the setup hint. */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    throw new IllegalStateException(
-      "graft tables resolve through the GraftTableResolution analyzer rule; " +
-        "add spark.sql.extensions=graft.GraftExtensions to the session config " +
-        "(or call graft.sql.GraftSql.attach(spark))")
+    new ScanBuilder {
+      override def build(): org.apache.spark.sql.connector.read.Scan =
+        new org.apache.spark.sql.connector.read.Scan {
+          override def readSchema(): StructType = GraftTable.this.schema
+          override def toBatch: org.apache.spark.sql.connector.read.Batch =
+            throw new IllegalStateException(
+              "graft tables resolve through the GraftTableResolution analyzer rule; " +
+                "add spark.sql.extensions=graft.GraftExtensions to the session config " +
+                "(or call graft.sql.GraftSql.attach(spark))")
+        }
+    }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(asOfVersion.isEmpty,
@@ -277,6 +290,66 @@ final case class GraftTable(path: String, asOfVersion: Option[Int])
           }
       }
     }
+  }
+
+  /** `DELETE FROM graft.ns.t WHERE …` — CDC-honest deletion: each matched
+    * key gets a TOMBSTONE ordered just above its current winner (same
+    * winning `commit`, `lsn + 1`), written through the same LWW merge as
+    * everything else. The delete therefore wins over the state it matched,
+    * loses to any later real event (a subsequent higher-ordered upsert
+    * resurrects the key — CDC semantics, not physical erasure), replays
+    * idempotently, and is purged like any tombstone at the compaction
+    * watermark. Only filter-translatable conditions qualify
+    * (`canDeleteWhere`); anything else fails the statement cleanly. */
+  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    asOfVersion.isEmpty && filters.forall(FilterToColumn.translate(_).isDefined)
+
+  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val spark = SparkSession.active
+    val t = lake(spark)
+    val cond = filters.flatMap(FilterToColumn.translate(_))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val keys = MergeEngine.keyCols
+    val tableSchema = t.schema
+    val payload = tableSchema.fieldNames
+      .filterNot(n => keys.contains(n) || MergeEngine.orderCols.contains(n) || n == "op")
+    // matched keys' winners carry the ordering the tombstone must beat
+    val tomb = LakeMerge.readState(t).where(cond).select(
+      keys.map(col) ++ Seq(
+        col("commit"), (col("lsn") + 1L).as("lsn"), lit("D").as("op")) ++
+        payload.map(n => lit(null).cast(tableSchema(n).dataType).as(n)): _*)
+    if (!tomb.isEmpty) { LakeMerge.mergeBatch(t, tomb); () }
+  }
+}
+
+/** V1 data-source `Filter` → `Column` translation for [[GraftTable]]'s
+  * `DELETE FROM` path. `None` = not expressible (the statement is then
+  * rejected by `canDeleteWhere`, Spark's contract for partial support). */
+private object FilterToColumn {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{col, lit}
+  import org.apache.spark.sql.sources._
+
+  def translate(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v) => Some(col(a) === lit(v))
+    case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+    case GreaterThan(a, v) => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v) => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case In(a, vs) => Some(col(a).isInCollection(vs.toSeq))
+    case IsNull(a) => Some(col(a).isNull)
+    case IsNotNull(a) => Some(col(a).isNotNull)
+    case StringStartsWith(a, v) => Some(col(a).startsWith(v))
+    case StringEndsWith(a, v) => Some(col(a).endsWith(v))
+    case StringContains(a, v) => Some(col(a).contains(v))
+    case And(l, r) => for { lc <- translate(l); rc <- translate(r) } yield lc && rc
+    case Or(l, r) => for { lc <- translate(l); rc <- translate(r) } yield lc || rc
+    case Not(c) => translate(c).map(!_)
+    case AlwaysTrue() => Some(lit(true))
+    case AlwaysFalse() => Some(lit(false))
+    case _ => None
   }
 }
 

@@ -45,21 +45,41 @@ final class GraftChangelogSource(
     spark: SparkSession,
     path: String,
     startingVersion: Option[Int]
-) extends Source {
+) extends Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   private val table = LakeTable.load(spark, path)
   private val startVersion: Int = startingVersion.getOrElse(table.currentVersion)
   override val schema: StructType = table.schema
 
-  private def versionOf(o: Offset): Int = o match {
-    case l: LongOffset => l.offset.toInt
-    // checkpoint-recovered offsets arrive serialized (json = the long)
-    case other => other.json().trim.toInt
-  }
+  private def versionOf(o: org.apache.spark.sql.connector.read.streaming.Offset): Int =
+    o match {
+      case l: LongOffset => l.offset.toInt
+      // checkpoint-recovered offsets arrive serialized (json = the long)
+      case other => other.json().trim.toInt
+    }
 
   override def getOffset: Option[Offset] = {
     val v = table.currentVersion
     if (v <= startVersion) None else Some(LongOffset(v.toLong))
+  }
+
+  // ----- Trigger.AvailableNow: pin the target version at query start so
+  // the run drains exactly the snapshots that existed then and stops —
+  // without this Spark falls back to a single-batch heuristic that can
+  // stop early on a previously-uncommitted batch
+  @volatile private var availableNowBound: Option[Int] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowBound = Some(table.currentVersion)
+
+  override def latestOffset(
+      start: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : org.apache.spark.sql.connector.read.streaming.Offset = {
+    val from = Option(start).map(versionOf).getOrElse(startVersion)
+    val v = availableNowBound.getOrElse(table.currentVersion)
+    if (v <= from) null else LongOffset(v.toLong)
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {

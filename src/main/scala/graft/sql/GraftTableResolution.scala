@@ -2,7 +2,7 @@ package graft.sql
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, EqualTo, Expression, Literal}
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, InsertIntoStatement, LogicalPlan, Project, SubqueryAlias}
+import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, Filter, InsertIntoStatement, LogicalPlan, MergeIntoTable, Project, SubqueryAlias, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.types.StringType
@@ -95,6 +95,12 @@ class GraftTableResolution(spark: SparkSession) extends Rule[LogicalPlan] {
     plan.foreach {
       case i: InsertIntoStatement =>
         graftOf(i.table).foreach { case (r, _) => writeTargets.add(r); () }
+      case d: DeleteFromTable =>
+        graftOf(d.table).foreach { case (r, _) => writeTargets.add(r); () }
+      case u: UpdateTable =>
+        graftOf(u.table).foreach { case (r, _) => writeTargets.add(r); () }
+      case m: MergeIntoTable =>
+        graftOf(m.targetTable).foreach { case (r, _) => writeTargets.add(r); () }
       case _ => ()
     }
     def readable(p: LogicalPlan): Option[(DataSourceV2Relation, GraftTable)] =

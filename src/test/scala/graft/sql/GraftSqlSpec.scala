@@ -154,6 +154,29 @@ class GraftSqlSpec extends SparkSpec {
     sql.sql("DROP TABLE graft.ns.w")
   }
 
+  test("DELETE FROM tombstones matched keys above their winners (CDC deletion)") {
+    sql.sql("CREATE TABLE graft.ns.d (repo STRING, path STRING, `commit` STRING, " +
+      "lsn BIGINT, op STRING, content STRING) TBLPROPERTIES ('buckets'='2')")
+    sql.sql("INSERT INTO graft.ns.d VALUES " +
+      "('r1','p1','c1',1,'a'), ('r1','p2','c1',2,'b'), ('r2','p1','c1',3,'c')")
+    sql.sql("DELETE FROM graft.ns.d WHERE repo = 'r1'")
+    assert(lib(sql.sql("SELECT repo, path, content FROM graft.ns.d")) ==
+      Set(Seq("r2", "p1", "c")))
+    // CDC semantics: a later HIGHER-ordered upsert resurrects the key —
+    // the tombstone was an event, not physical erasure
+    sql.sql("INSERT INTO graft.ns.d VALUES ('r1','p1','c2',10,'a2')")
+    assert(lib(sql.sql("SELECT repo, path, content FROM graft.ns.d")) ==
+      Set(Seq("r1", "p1", "a2"), Seq("r2", "p1", "c")))
+    // the library view agrees (the DELETE went through the real merge)
+    val t = LakeTable.load(spark, s"$warehouse/ns/d")
+    assert(lib(sql.sql("SELECT * FROM graft.ns.d")) == lib(LakeMerge.readState(t)))
+    // a non-filter-translatable predicate fails the statement cleanly
+    intercept[Exception] {
+      sql.sql("DELETE FROM graft.ns.d WHERE length(content) > 1")
+    }
+    sql.sql("DROP TABLE graft.ns.d")
+  }
+
   test("TIMESTAMP AS OF resolves to the latest snapshot at or before the time") {
     val t = LakeTable.load(spark, tablePath)
     val v0 = t.commitForFence("sqlspec", 0L).get.version
