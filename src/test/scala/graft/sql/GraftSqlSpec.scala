@@ -151,6 +151,14 @@ class GraftSqlSpec extends SparkSpec {
     intercept[Exception] {
       sql.sql("INSERT OVERWRITE graft.ns.w VALUES ('r9','p9','c1',1,'y')")
     }
+    // self-referential INSERT … SELECT: the SOURCE relation must be
+    // substituted with the read plan while the TARGET stays a relation —
+    // the sharpest exercise of the write-target guard
+    sql.sql("""INSERT INTO graft.ns.w
+              |SELECT repo, path, 'c9', lsn + 100, concat(content, '!')
+              |FROM graft.ns.w WHERE repo = 'r1'""".stripMargin)
+    assert(lib(sql.sql("SELECT repo, content FROM graft.ns.w")) ==
+      Set(Seq("r1", "v2!"), Seq("r2", "x")))
     sql.sql("DROP TABLE graft.ns.w")
   }
 
