@@ -240,6 +240,33 @@ object CdcQueries {
                 |FROM graft.ns.ins""".stripMargin)
     }),
 
+    // SQL DELETE: insert the stream (upserts only), DELETE a deterministic
+    // key subset through the catalog, read back. The tombstones are
+    // engine-fabricated (winner commit, lsn+1), so the oracle expresses the
+    // NET effect instead: LWW winners of the non-delete input minus the
+    // predicate-matched keys — the hash compare verifies the delete hit
+    // exactly the matched keys and nothing else.
+    "q_sql_delete" -> ((s, _) => {
+      val dir = s"$ExportRoot/q_sql_delete"
+      Fs.rmTree(java.nio.file.Paths.get(dir))
+      val events = EventGen.events(s, 8000L, nRepos = 50, pathsPerRepo = 6,
+        langFromLsn = 2000L)
+      events.write.mode("overwrite").parquet(s"$dir/input")
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/wh/ns"))
+      val sql = graft.sql.GraftSql.attach(s, root = Some(s"$dir/wh"))
+      sql.sql("CREATE TABLE graft.ns.del (repo STRING, path STRING, " +
+        "`commit` STRING, lsn BIGINT, op STRING, lang STRING, content STRING) " +
+        "TBLPROPERTIES ('buckets'='8')")
+      sql.read.parquet(s"$dir/input").createOrReplaceTempView("q_sql_delete_src")
+      sql.sql("""INSERT INTO graft.ns.del
+                |SELECT repo, path, `commit`, lsn, lang, content
+                |FROM q_sql_delete_src WHERE op <> 'D'""".stripMargin)
+      sql.sql("DELETE FROM graft.ns.del WHERE repo < 'repo_00010'")
+      sql.sql("""SELECT repo, path, `commit`, lsn, lang,
+                |       sha2(content, 256) AS content_sha
+                |FROM graft.ns.del""".stripMargin)
+    }),
+
     // STATE-AS-STREAM: the table's changelog consumed through
     // `spark.readStream.format("graft")` (offsets = table versions,
     // AvailableNow drain), LWW-resolved — the hash compare proves the
@@ -340,6 +367,14 @@ object CdcQueries {
     "q_sql_changelog" -> lwwOracle(
       s"$ExportRoot/q_sql_changelog/events/*.parquet",
       """repo, path, "commit", lsn, lang, sha256(content) AS content_sha"""),
+
+    "q_sql_delete" ->
+      s"""SELECT repo, path, "commit", lsn, lang, sha256(content) AS content_sha
+         |FROM (SELECT *, row_number() OVER (PARTITION BY repo, path
+         |                                   ORDER BY "commit" DESC, lsn DESC) rn
+         |      FROM read_parquet('$ExportRoot/q_sql_delete/input/*.parquet')
+         |      WHERE op <> 'D')
+         |WHERE rn = 1 AND NOT (repo < 'repo_00010')""".stripMargin,
 
     "q_sql_insert" ->
       s"""SELECT repo, path, "commit", lsn, lang, sha256(content) AS content_sha
