@@ -267,6 +267,73 @@ object CdcQueries {
                 |FROM graft.ns.del""".stripMargin)
     }),
 
+    // SQL MERGE INTO: the canonical CDC statement. First slice inserted,
+    // second slice applied via `MERGE … WHEN MATCHED THEN UPDATE SET * WHEN
+    // NOT MATCHED THEN INSERT *` (the analyzer rewrites this shape to the
+    // library's LWW merge), then `WHEN MATCHED THEN DELETE` tombstones a
+    // deterministic key subset. Tombstones are engine-fabricated, so the
+    // oracle expresses the net effect: LWW winners of the non-delete input
+    // minus the deleted keys — hash-verifying that MERGE upserts resolve
+    // and MERGE delete hit exactly the matched keys.
+    "q_sql_merge" -> ((s, _) => {
+      val dir = s"$ExportRoot/q_sql_merge"
+      Fs.rmTree(java.nio.file.Paths.get(dir))
+      val events = EventGen.events(s, 8000L, nRepos = 50, pathsPerRepo = 6,
+        langFromLsn = 2000L)
+      events.write.mode("overwrite").parquet(s"$dir/input")
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/wh/ns"))
+      val sql = graft.sql.GraftSql.attach(s, root = Some(s"$dir/wh"))
+      sql.sql("CREATE TABLE graft.ns.mrg (repo STRING, path STRING, " +
+        "`commit` STRING, lsn BIGINT, op STRING, lang STRING, content STRING) " +
+        "TBLPROPERTIES ('buckets'='8')")
+      sql.read.parquet(s"$dir/input").createOrReplaceTempView("q_sql_merge_src")
+      sql.sql("""INSERT INTO graft.ns.mrg
+                |SELECT repo, path, `commit`, lsn, lang, content
+                |FROM q_sql_merge_src WHERE lsn < 4000 AND op <> 'D'""".stripMargin)
+      sql.sql("""MERGE INTO graft.ns.mrg t
+                |USING (SELECT repo, path, `commit`, lsn, lang, content
+                |       FROM q_sql_merge_src WHERE lsn >= 4000 AND op <> 'D') s
+                |ON t.repo = s.repo AND t.path = s.path
+                |WHEN MATCHED THEN UPDATE SET *
+                |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      sql.sql("""MERGE INTO graft.ns.mrg t
+                |USING (SELECT DISTINCT repo, path FROM q_sql_merge_src
+                |       WHERE repo < 'repo_00008') s
+                |ON t.repo = s.repo AND t.path = s.path
+                |WHEN MATCHED THEN DELETE""".stripMargin)
+      sql.sql("""SELECT repo, path, `commit`, lsn, lang,
+                |       sha2(content, 256) AS content_sha
+                |FROM graft.ns.mrg""".stripMargin)
+    }),
+
+    // SQL UPDATE: matched winners re-emitted as op='U' events with the SET
+    // expressions applied at (commit, lsn+1). The oracle recomputes the net
+    // effect — LWW winners with the SET applied AND lsn bumped on matched
+    // rows — so both the payload rewrite and the fabricated ordering are
+    // hash-verified.
+    "q_sql_update" -> ((s, _) => {
+      val dir = s"$ExportRoot/q_sql_update"
+      Fs.rmTree(java.nio.file.Paths.get(dir))
+      val events = EventGen.events(s, 8000L, nRepos = 50, pathsPerRepo = 6,
+        langFromLsn = 2000L)
+      events.write.mode("overwrite").parquet(s"$dir/input")
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/wh/ns"))
+      val sql = graft.sql.GraftSql.attach(s, root = Some(s"$dir/wh"))
+      sql.sql("CREATE TABLE graft.ns.upd (repo STRING, path STRING, " +
+        "`commit` STRING, lsn BIGINT, op STRING, lang STRING, content STRING) " +
+        "TBLPROPERTIES ('buckets'='8')")
+      sql.read.parquet(s"$dir/input").createOrReplaceTempView("q_sql_update_src")
+      sql.sql("""INSERT INTO graft.ns.upd
+                |SELECT repo, path, `commit`, lsn, lang, content
+                |FROM q_sql_update_src WHERE op <> 'D'""".stripMargin)
+      sql.sql("""UPDATE graft.ns.upd
+                |SET content = concat(content, '+'), lang = 'updated'
+                |WHERE repo < 'repo_00008'""".stripMargin)
+      sql.sql("""SELECT repo, path, `commit`, lsn, lang,
+                |       sha2(content, 256) AS content_sha
+                |FROM graft.ns.upd""".stripMargin)
+    }),
+
     // STATE-AS-STREAM: the table's changelog consumed through
     // `spark.readStream.format("graft")` (offsets = table versions,
     // AvailableNow drain), LWW-resolved — the hash compare proves the
@@ -375,6 +442,26 @@ object CdcQueries {
          |      FROM read_parquet('$ExportRoot/q_sql_delete/input/*.parquet')
          |      WHERE op <> 'D')
          |WHERE rn = 1 AND NOT (repo < 'repo_00010')""".stripMargin,
+
+    "q_sql_update" ->
+      s"""SELECT repo, path, "commit",
+         |       CASE WHEN repo < 'repo_00008' THEN lsn + 1 ELSE lsn END AS lsn,
+         |       CASE WHEN repo < 'repo_00008' THEN 'updated' ELSE lang END AS lang,
+         |       sha256(CASE WHEN repo < 'repo_00008' THEN content || '+'
+         |              ELSE content END) AS content_sha
+         |FROM (SELECT *, row_number() OVER (PARTITION BY repo, path
+         |                                   ORDER BY "commit" DESC, lsn DESC) rn
+         |      FROM read_parquet('$ExportRoot/q_sql_update/input/*.parquet')
+         |      WHERE op <> 'D')
+         |WHERE rn = 1""".stripMargin,
+
+    "q_sql_merge" ->
+      s"""SELECT repo, path, "commit", lsn, lang, sha256(content) AS content_sha
+         |FROM (SELECT *, row_number() OVER (PARTITION BY repo, path
+         |                                   ORDER BY "commit" DESC, lsn DESC) rn
+         |      FROM read_parquet('$ExportRoot/q_sql_merge/input/*.parquet')
+         |      WHERE op <> 'D')
+         |WHERE rn = 1 AND NOT (repo < 'repo_00008')""".stripMargin,
 
     "q_sql_insert" ->
       s"""SELECT repo, path, "commit", lsn, lang, sha256(content) AS content_sha

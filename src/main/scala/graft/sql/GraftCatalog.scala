@@ -283,10 +283,7 @@ final case class GraftTable(path: String, asOfVersion: Option[Int])
               "INSERT OVERWRITE is not supported: graft tables are LWW CDC " +
                 "merges — write tombstones (op='D') through the library API " +
                 "or drop and recreate the table")
-            LakeMerge.mergeBatch(
-              LakeTable.load(data.sparkSession, path),
-              data.withColumn("op", org.apache.spark.sql.functions.lit("U")))
-            ()
+            GraftDml.upsert(data.sparkSession, path, data)
           }
       }
     }
@@ -305,21 +302,12 @@ final case class GraftTable(path: String, asOfVersion: Option[Int])
     asOfVersion.isEmpty && filters.forall(FilterToColumn.translate(_).isDefined)
 
   override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
-    import org.apache.spark.sql.functions.{col, lit}
-    val spark = SparkSession.active
-    val t = lake(spark)
+    val t = lake(SparkSession.active)
     val cond = filters.flatMap(FilterToColumn.translate(_))
-      .reduceOption(_ && _).getOrElse(lit(true))
-    val keys = MergeEngine.keyCols
-    val tableSchema = t.schema
-    val payload = tableSchema.fieldNames
-      .filterNot(n => keys.contains(n) || MergeEngine.orderCols.contains(n) || n == "op")
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
     // matched keys' winners carry the ordering the tombstone must beat
-    val tomb = LakeMerge.readState(t).where(cond).select(
-      keys.map(col) ++ Seq(
-        col("commit"), (col("lsn") + 1L).as("lsn"), lit("D").as("op")) ++
-        payload.map(n => lit(null).cast(tableSchema(n).dataType).as(n)): _*)
-    if (!tomb.isEmpty) { LakeMerge.mergeBatch(t, tomb); () }
+    GraftDml.tombstone(t, LakeMerge.readState(t).where(cond))
   }
 }
 

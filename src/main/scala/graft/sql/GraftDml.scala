@@ -1,0 +1,100 @@
+package graft.sql
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Attribute
+import org.apache.spark.sql.catalyst.plans.QueryPlan
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.functions.{col, lit}
+
+import graft.cdc.{LakeMerge, MergeEngine}
+import graft.lake.LakeTable
+
+/** Shared SQL-DML building blocks: every DML statement on a graft table is
+  * expressed as CDC events through the ONE fenced LWW merge — upserts are
+  * op='U' rows, deletes are tombstones ordered just above each matched
+  * key's current winner. Used by the INSERT bridge, DELETE FROM, and the
+  * MERGE INTO rewrite. */
+object GraftDml {
+
+  /** Upsert `rows` (table columns minus `op`) through the LWW merge. */
+  def upsert(spark: SparkSession, path: String, rows: DataFrame): Unit = {
+    LakeMerge.mergeBatch(LakeTable.load(spark, path), rows.withColumn("op", lit("U")))
+    ()
+  }
+
+  /** Tombstone the keys of `matched` — rows FROM `readState(t)` (so they
+    * carry each key's winning commit/lsn): the tombstone is ordered at
+    * (winning commit, lsn+1), beating the state it matched and losing to
+    * any later real event. */
+  def tombstone(t: LakeTable, matched: DataFrame): Unit = {
+    val keys = MergeEngine.keyCols
+    val tableSchema = t.schema
+    val payload = tableSchema.fieldNames
+      .filterNot(n => keys.contains(n) || MergeEngine.orderCols.contains(n) || n == "op")
+    val tomb = matched.select(
+      keys.map(col) ++ Seq(
+        col("commit"), (col("lsn") + 1L).as("lsn"), lit("D").as("op")) ++
+        payload.map(n => lit(null).cast(tableSchema(n).dataType).as(n)): _*)
+    if (!tomb.isEmpty) { LakeMerge.mergeBatch(t, tomb); () }
+  }
+}
+
+/** `MERGE INTO graft.ns.t USING src ON <keys> WHEN MATCHED THEN UPDATE SET *
+  * WHEN NOT MATCHED THEN INSERT *` — the canonical CDC upsert, rewritten by
+  * [[GraftTableResolution]] to this command. `source` is a FIELD, not a
+  * child: the command re-plans it as its own Dataset at run time (so graft
+  * relations inside it resolve through the normal substitution). */
+final case class GraftMergeUpsertCommand(path: String, source: LogicalPlan)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+  override def innerChildren: Seq[QueryPlan[_]] = Seq(source)
+  override def run(spark: SparkSession): Seq[Row] = {
+    GraftDml.upsert(spark, path,
+      org.apache.spark.sql.graftshim.SessionBridge.ofRows(spark, source))
+    Nil
+  }
+}
+
+/** `UPDATE graft.ns.t SET <payload assignments> WHERE cond` — `source` is
+  * the captured plan `Project(assignments applied, Filter(cond, relation))`:
+  * at run time its graft relation resolves to the LWW live state, so the
+  * projected rows are each matched key's WINNER with the SET expressions
+  * applied and the winner's (commit, lsn) intact. The command re-emits them
+  * as op='U' events at (commit, lsn+1) — beating the state they matched,
+  * losing to any later real event (the same ordering rule as DELETE's
+  * tombstones). Key/ordering/op assignments are rejected at rewrite. */
+final case class GraftUpdateCommand(path: String, source: LogicalPlan)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+  override def innerChildren: Seq[QueryPlan[_]] = Seq(source)
+  override def run(spark: SparkSession): Seq[Row] = {
+    val updated = org.apache.spark.sql.graftshim.SessionBridge
+      .ofRows(spark, source)
+      .withColumn("lsn", col("lsn") + lit(1L))
+    // a no-match UPDATE must not commit an empty table version
+    if (!updated.isEmpty) GraftDml.upsert(spark, path, updated)
+    Nil
+  }
+}
+
+/** `MERGE INTO graft.ns.t USING src ON <keys> WHEN MATCHED THEN DELETE` —
+  * tombstone every target key present in the source. */
+final case class GraftMergeDeleteCommand(path: String, sourceKeys: LogicalPlan)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+  override def innerChildren: Seq[QueryPlan[_]] = Seq(sourceKeys)
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = LakeTable.load(spark, path)
+    val keys = org.apache.spark.sql.graftshim.SessionBridge
+      .ofRows(spark, sourceKeys).distinct()
+    // inner using-join on the DEDUPED key set ≡ left-semi, but avoids the
+    // PushDownLeftSemiAntiJoin ↔ ColumnPruning/CollapseProject optimizer
+    // oscillation this shape triggers (semi-join under a pruned projection
+    // over the max_by resolution — observed non-convergence at 100 iters)
+    val matched = LakeMerge.readState(t)
+      .join(keys, MergeEngine.keyCols.toSeq, "inner")
+    GraftDml.tombstone(t, matched)
+    Nil
+  }
+}

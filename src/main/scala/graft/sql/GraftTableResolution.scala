@@ -1,8 +1,8 @@
 package graft.sql
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, EqualTo, Expression, Literal}
-import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, Filter, InsertIntoStatement, LogicalPlan, MergeIntoTable, Project, SubqueryAlias, UpdateTable}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeSet, Cast, EqualTo, Expression, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, Filter, InsertAction, InsertIntoStatement, LogicalPlan, MergeIntoTable, Project, SubqueryAlias, UpdateAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.types.StringType
@@ -106,6 +106,12 @@ class GraftTableResolution(spark: SparkSession) extends Rule[LogicalPlan] {
     def readable(p: LogicalPlan): Option[(DataSourceV2Relation, GraftTable)] =
       graftOf(p).filterNot { case (r, _) => writeTargets.contains(r) }
     plan.resolveOperatorsDown {
+      // canonical MERGE INTO forms → the library merge (see mergeRewrite)
+      case m: MergeIntoTable if m.resolved && graftOf(m.targetTable).isDefined =>
+        mergeRewrite(m).getOrElse(m)
+      // UPDATE → re-emit matched winners as op='U' events (see updateRewrite)
+      case u: UpdateTable if u.resolved && graftOf(u.table).isDefined =>
+        updateRewrite(u).getOrElse(u)
       // Filter directly over the relation: route a repo point-lookup through
       // metadata pruning (matched top-down so this wins over the bare case)
       case f @ Filter(cond, child) if f.resolved && readable(child).isDefined =>
@@ -115,6 +121,113 @@ class GraftTableResolution(spark: SparkSession) extends Rule[LogicalPlan] {
       case p if readable(p).isDefined =>
         val (r, t) = readable(p).get
         substitute(r, t, None)
+    }
+  }
+
+  // ----------------------------------------------------------- MERGE INTO
+  // Graft tables don't implement row-level-operation planning (the LWW
+  // merge IS the row-level operation); instead the two MERGE shapes whose
+  // semantics the CDC merge expresses EXACTLY are rewritten to it:
+  //   ON <all key cols equal>
+  //   WHEN MATCHED THEN UPDATE SET *  WHEN NOT MATCHED THEN INSERT *
+  //     → upsert every source row (GraftMergeUpsertCommand), and
+  //   WHEN MATCHED THEN DELETE (nothing else)
+  //     → tombstone target keys present in the source.
+  // Anything else (partial SET lists, action conditions, not-matched-by-
+  // source clauses, non-key ON) is NOT a plain LWW upsert/delete — left
+  // unrewritten, so Spark fails it with its own unsupported-table error.
+
+  /** `e` is column `name` of `from` (through resolution-inserted casts). */
+  private def sameCol(e: Expression, name: String, from: AttributeSet): Boolean = e match {
+    case a: Attribute => a.name == name && from.contains(a)
+    case c: Cast => sameCol(c.child, name, from)
+    case Alias(inner, _) => sameCol(inner, name, from)
+    case _ => false
+  }
+
+  /** ON clause = conjunction of target.k == source.k over EXACTLY the merge
+    * key columns. */
+  private def keyEquiCondition(
+      cond: Expression, tOut: AttributeSet, sOut: AttributeSet): Option[Map[String, Attribute]] = {
+    val pairs = conjuncts(cond).map {
+      case EqualTo(a: Attribute, b: Attribute)
+        if tOut.contains(a) && sOut.contains(b) && a.name == b.name => Some(a.name -> b)
+      case EqualTo(b: Attribute, a: Attribute)
+        if tOut.contains(a) && sOut.contains(b) && a.name == b.name => Some(a.name -> b)
+      case _ => None
+    }
+    val m = pairs.flatten.toMap
+    if (pairs.forall(_.isDefined) && m.keySet == MergeEngine.keyCols.toSet) Some(m)
+    else None
+  }
+
+  /** Assignments are the expanded `SET *` / `INSERT *`: every target column
+    * assigned its same-named source column. */
+  private def starAssignments(
+      assigns: Seq[Assignment], targetOut: Seq[Attribute], sOut: AttributeSet): Boolean = {
+    val byName = assigns.flatMap(a => a.key match {
+      case k: Attribute => Some(k.name -> a.value)
+      case _ => None
+    }).toMap
+    byName.size == assigns.size && targetOut.length == assigns.size &&
+      targetOut.forall(t => byName.get(t.name).exists(sameCol(_, t.name, sOut)))
+  }
+
+  // -------------------------------------------------------------- UPDATE
+  /** `UPDATE t SET <payload cols> WHERE cond` → [[GraftUpdateCommand]] over
+    * the captured plan `Project(SET applied, Filter(cond, relation))`. The
+    * relation resolves to the live state at RUN time (it is no longer under
+    * a DML statement node in the captured plan), so the projection yields
+    * each matched winner with the new payload and its original ordering.
+    * Assignments to key/ordering/op columns are rejected loudly — changing
+    * a key is a DELETE + INSERT, and the ordering is engine-fabricated. */
+  private def updateRewrite(u: UpdateTable): Option[LogicalPlan] = {
+    val (r, t) = graftOf(u.table).get
+    if (t.asOfVersion.isDefined)
+      throw new UnsupportedOperationException(
+        "UPDATE on a versioned (AS OF) graft relation is not supported")
+    val byName = u.assignments.flatMap(a => a.key match {
+      case k: Attribute => Some(k.name -> a.value)
+      case _ => None
+    }).toMap
+    if (byName.size != u.assignments.size) return None
+    val protectedCols = (MergeEngine.keyCols ++ MergeEngine.orderCols :+ "op").toSet
+    val hit = byName.keySet.intersect(protectedCols)
+    if (hit.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"UPDATE may not set ${hit.mkString(", ")}: key columns identify the " +
+          "CDC entity (use DELETE + INSERT) and ordering/op are engine-fabricated")
+    val proj = r.output.map { o =>
+      byName.get(o.name) match {
+        case Some(v) if v.dataType == o.dataType => Alias(v, o.name)()
+        case Some(v) => Alias(Cast(v, o.dataType,
+          Some(spark.sessionState.conf.sessionLocalTimeZone)), o.name)()
+        case None => o
+      }
+    }
+    Some(GraftUpdateCommand(t.path,
+      Project(proj, u.condition.map(Filter(_, u.table)).getOrElse(u.table))))
+  }
+
+  private def mergeRewrite(m: MergeIntoTable): Option[LogicalPlan] = {
+    val (r, t) = graftOf(m.targetTable).get
+    if (t.asOfVersion.isDefined || m.notMatchedBySourceActions.nonEmpty) return None
+    val sOut = m.sourceTable.outputSet
+    keyEquiCondition(m.mergeCondition, AttributeSet(r.output), sOut).flatMap { keyAttrs =>
+      (m.matchedActions, m.notMatchedActions) match {
+        case (Seq(UpdateAction(None, up, _)), Seq(InsertAction(None, ins)))
+            if starAssignments(up, r.output, sOut) && starAssignments(ins, r.output, sOut) =>
+          val byName = ins.flatMap(a => a.key match {
+            case k: Attribute => Some(k.name -> a.value)
+            case _ => None
+          }).toMap
+          Some(GraftMergeUpsertCommand(t.path,
+            Project(r.output.map(o => Alias(byName(o.name), o.name)()), m.sourceTable)))
+        case (Seq(DeleteAction(None)), Seq()) =>
+          Some(GraftMergeDeleteCommand(t.path,
+            Project(MergeEngine.keyCols.map(k => Alias(keyAttrs(k), k)()), m.sourceTable)))
+        case _ => None
+      }
     }
   }
 }

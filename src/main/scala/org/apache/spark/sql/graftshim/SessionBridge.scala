@@ -10,6 +10,15 @@ object SessionBridge {
   def extensionsOf(spark: SparkSession): SparkSessionExtensions =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].extensions
 
+  /** Plan a captured LogicalPlan as a DataFrame (`Dataset.ofRows` is
+    * `private[sql]`) — how the DML commands re-plan their source field. */
+  def ofRows(
+      spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+  ): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** Re-wrap a batch DataFrame as a STREAMING one (isStreaming = true) —
     * what MicroBatchExecution requires of a V1 `Source.getBatch` result.
     * Same mechanism as Spark's own FileStreamSource: the batch plan's

@@ -185,6 +185,90 @@ class GraftSqlSpec extends SparkSpec {
     sql.sql("DROP TABLE graft.ns.d")
   }
 
+  test("MERGE INTO: canonical upsert and delete shapes route through the LWW merge") {
+    sql.sql("CREATE TABLE graft.ns.m (repo STRING, path STRING, `commit` STRING, " +
+      "lsn BIGINT, op STRING, content STRING) TBLPROPERTIES ('buckets'='2')")
+    sql.sql("INSERT INTO graft.ns.m VALUES ('r1','p1','c1',1,'a'), ('r2','p1','c1',2,'b')")
+    sql.sql("CREATE OR REPLACE TEMPORARY VIEW m_src AS SELECT * FROM VALUES " +
+      "('r1','p1','c2',5,'a2'), ('r3','p1','c1',3,'new') " +
+      "AS v(repo, path, `commit`, lsn, content)")
+    // the canonical CDC upsert: ON <keys>, UPDATE SET * / INSERT *
+    sql.sql("""MERGE INTO graft.ns.m t USING m_src s
+              |ON t.repo = s.repo AND t.path = s.path
+              |WHEN MATCHED THEN UPDATE SET *
+              |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(lib(sql.sql("SELECT repo, content FROM graft.ns.m")) ==
+      Set(Seq("r1", "a2"), Seq("r2", "b"), Seq("r3", "new")))
+    // MERGE is still the LWW merge: a stale-ordered redelivery must lose
+    sql.sql("CREATE OR REPLACE TEMPORARY VIEW m_stale AS SELECT * FROM VALUES " +
+      "('r1','p1','c0',0,'stale') AS v(repo, path, `commit`, lsn, content)")
+    sql.sql("""MERGE INTO graft.ns.m t USING m_stale s
+              |ON t.repo = s.repo AND t.path = s.path
+              |WHEN MATCHED THEN UPDATE SET *
+              |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(lib(sql.sql("SELECT content FROM graft.ns.m WHERE repo = 'r1'")) ==
+      Set(Seq("a2")))
+    // WHEN MATCHED THEN DELETE alone → tombstone keys present in the source
+    sql.sql("""MERGE INTO graft.ns.m t
+              |USING (SELECT 'r2' AS repo, 'p1' AS path) s
+              |ON t.repo = s.repo AND t.path = s.path
+              |WHEN MATCHED THEN DELETE""".stripMargin)
+    assert(lib(sql.sql("SELECT repo FROM graft.ns.m")) ==
+      Set(Seq("r1"), Seq("r3")))
+    // the SQL path wrote through the real merge: the library view agrees
+    val t = LakeTable.load(spark, s"$warehouse/ns/m")
+    assert(lib(sql.sql("SELECT * FROM graft.ns.m")) == lib(LakeMerge.readState(t)))
+    // a non-canonical shape (partial SET list ≠ plain LWW upsert) is rejected
+    intercept[Exception] {
+      sql.sql("""MERGE INTO graft.ns.m t USING m_src s
+                |ON t.repo = s.repo AND t.path = s.path
+                |WHEN MATCHED THEN UPDATE SET content = s.content""".stripMargin)
+    }
+    // non-key ON condition is NOT an LWW upsert either
+    intercept[Exception] {
+      sql.sql("""MERGE INTO graft.ns.m t USING m_src s
+                |ON t.repo = s.repo
+                |WHEN MATCHED THEN UPDATE SET *
+                |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    sql.sql("DROP TABLE graft.ns.m")
+  }
+
+  test("UPDATE re-emits matched winners as higher-ordered upserts") {
+    sql.sql("CREATE TABLE graft.ns.u (repo STRING, path STRING, `commit` STRING, " +
+      "lsn BIGINT, op STRING, content STRING) TBLPROPERTIES ('buckets'='2')")
+    sql.sql("INSERT INTO graft.ns.u VALUES " +
+      "('r1','p1','c1',1,'a'), ('r1','p2','c1',2,'b'), ('r2','p1','c1',3,'c')")
+    // expression SET over a predicate: winners get the new payload at
+    // (commit, lsn+1) — ordering visible in the read-back
+    sql.sql("UPDATE graft.ns.u SET content = concat(content, '!') WHERE repo = 'r1'")
+    assert(lib(sql.sql("SELECT repo, path, lsn, content FROM graft.ns.u")) ==
+      Set(Seq("r1", "p1", 2L, "a!"), Seq("r1", "p2", 3L, "b!"), Seq("r2", "p1", 3L, "c")))
+    // a second UPDATE stacks (reads the NEW winners)
+    sql.sql("UPDATE graft.ns.u SET content = upper(content) WHERE repo = 'r1' AND path = 'p1'")
+    assert(lib(sql.sql("SELECT content FROM graft.ns.u WHERE repo = 'r1' AND path = 'p1'")) ==
+      Set(Seq("A!")))
+    // CDC semantics: the update is an event — a later higher-ordered real
+    // event still wins over it
+    sql.sql("INSERT INTO graft.ns.u VALUES ('r1','p1','c9',99,'fresh')")
+    assert(lib(sql.sql("SELECT content FROM graft.ns.u WHERE repo = 'r1' AND path = 'p1'")) ==
+      Set(Seq("fresh")))
+    // no WHERE → all rows
+    sql.sql("UPDATE graft.ns.u SET content = 'X'")
+    assert(lib(sql.sql("SELECT DISTINCT content FROM graft.ns.u")) == Set(Seq("X")))
+    // the library view agrees (UPDATE went through the real merge)
+    val t = LakeTable.load(spark, s"$warehouse/ns/u")
+    assert(lib(sql.sql("SELECT * FROM graft.ns.u")) == lib(LakeMerge.readState(t)))
+    // key / ordering columns are not updatable — loud failure
+    intercept[Exception] {
+      sql.sql("UPDATE graft.ns.u SET repo = 'r9' WHERE path = 'p1'")
+    }
+    intercept[Exception] {
+      sql.sql("UPDATE graft.ns.u SET lsn = 0 WHERE repo = 'r1'")
+    }
+    sql.sql("DROP TABLE graft.ns.u")
+  }
+
   test("TIMESTAMP AS OF resolves to the latest snapshot at or before the time") {
     val t = LakeTable.load(spark, tablePath)
     val v0 = t.commitForFence("sqlspec", 0L).get.version
