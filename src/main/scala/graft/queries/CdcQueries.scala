@@ -334,6 +334,39 @@ object CdcQueries {
                 |FROM graft.ns.upd""".stripMargin)
     }),
 
+    // STREAMING SINK surface: the binlog tailed through plain Structured
+    // Streaming — `readStream.parquet → writeStream.format("graft")` —
+    // every micro-batch one fenced LWW merge commit (exactly-once via the
+    // (checkpointLocation, batchId) fence). Two AvailableNow runs over a
+    // growing input prove checkpoint resume; the oracle resolves the whole
+    // exported stream.
+    "q_sql_sink" -> ((s, _) => {
+      val dir = s"$ExportRoot/q_sql_sink"
+      Fs.rmTree(java.nio.file.Paths.get(dir))
+      val events = EventGen.events(s, 8000L, nRepos = 50, pathsPerRepo = 6,
+        langFromLsn = 4000L)
+      events.where(col("lsn") < 4000L).coalesce(2)
+        .write.mode("append").parquet(s"$dir/in")
+      val table = LakeTable.create(s, s"$dir/table", CdcStream.binlogSchema, numBuckets = 8)
+      def drain(): Unit = {
+        val q = s.readStream.schema(CdcStream.binlogSchema).parquet(s"$dir/in")
+          .writeStream.format("graft")
+          .option("path", s"$dir/table")
+          .option("checkpointLocation", s"$dir/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      drain()
+      // second slice arrives; the restarted stream resumes from the fence
+      events.where(col("lsn") >= 4000L).coalesce(2)
+        .write.mode("append").parquet(s"$dir/in")
+      drain()
+      LakeMerge.readState(table)
+        .select(col("repo"), col("path"), col("commit"), col("lsn"),
+          col("lang"), sha2(col("content"), 256).as("content_sha"))
+    }),
+
     // STATE-AS-STREAM: the table's changelog consumed through
     // `spark.readStream.format("graft")` (offsets = table versions,
     // AvailableNow drain), LWW-resolved — the hash compare proves the
@@ -430,6 +463,10 @@ object CdcQueries {
          |      WHERE lsn < 4000)
          |WHERE rn = 1 AND op <> 'D'
          |GROUP BY lang""".stripMargin,
+
+    "q_sql_sink" -> lwwOracle(
+      s"$ExportRoot/q_sql_sink/in/*.parquet",
+      """repo, path, "commit", lsn, lang, sha256(content) AS content_sha"""),
 
     "q_sql_changelog" -> lwwOracle(
       s"$ExportRoot/q_sql_changelog/events/*.parquet",

@@ -36,7 +36,7 @@ import graft.lake.LakeTable
   * lookups, parquet filter pushdown, column pruning) survives the SQL
   * surface unchanged.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCatalog {
 
   private var catalogName: String = "graft"
   private var root: String = _
@@ -67,8 +67,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def loadTable(ident: Identifier): Table = {
     val path = pathOf(ident)
-    if (!LakeTable.exists(path)) throw tableNotFound(ident)
-    GraftTable(path, None)
+    if (LakeTable.exists(path)) return GraftTable(path, None)
+    // Iceberg-style inspection tables: `graft.ns.t.snapshots` parses as
+    // namespace (ns, t) + name "snapshots" — if the namespace prefix IS a
+    // lake table and the trailing segment names a metadata view, serve it.
+    // A real table named like a suffix wins (checked above).
+    if (ident.namespace().nonEmpty && GraftMetaTable.kinds.contains(ident.name())) {
+      val parent = pathOf(ident.namespace())
+      if (LakeTable.exists(parent)) return GraftMetaTable(parent, ident.name())
+    }
+    throw tableNotFound(ident)
   }
 
   /** `SELECT … FROM graft.ns.t VERSION AS OF 7` — time travel to a
@@ -150,6 +158,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   private def tableNotFound(ident: Identifier) =
     new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
       Seq(catalogName) ++ ident.namespace().toSeq ++ Seq(ident.name()))
+
+  // ------------------------------------------------------------ procedures
+
+  /** `CALL graft.compact('ns.t')` etc — see [[GraftProcedures]]. */
+  override def loadProcedure(ident: Identifier): org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    GraftProcedures.load(root, ident)
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty)
+      GraftProcedures.names.map(Identifier.of(Array.empty[String], _)).toArray
+    else Array.empty
 
   // ------------------------------------------------------------ namespaces
 
@@ -306,8 +325,10 @@ final case class GraftTable(path: String, asOfVersion: Option[Int])
     val cond = filters.flatMap(FilterToColumn.translate(_))
       .reduceOption(_ && _)
       .getOrElse(org.apache.spark.sql.functions.lit(true))
-    // matched keys' winners carry the ordering the tombstone must beat
-    GraftDml.tombstone(t, LakeMerge.readState(t).where(cond))
+    // matched keys' winners carry the ordering the tombstone must beat;
+    // liveWinners' window shape lets the payload columns prune out of the
+    // scan (tombstones only need key + ordering)
+    GraftDml.tombstone(t, GraftDml.liveWinners(t).where(cond))
   }
 }
 
@@ -349,9 +370,24 @@ private object FilterToColumn {
   * doesn't claim MICRO_BATCH_READ. */
 class GraftTableProvider extends org.apache.spark.sql.connector.catalog.TableProvider
     with org.apache.spark.sql.sources.DataSourceRegister
-    with org.apache.spark.sql.sources.StreamSourceProvider {
+    with org.apache.spark.sql.sources.StreamSourceProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider {
 
   override def shortName(): String = "graft"
+
+  /** `df.writeStream.format("graft")` — each micro-batch is one fenced LWW
+    * merge commit; see [[GraftStreamSink]] for the exactly-once contract. */
+  override def createSink(
+      ctx: org.apache.spark.sql.SQLContext,
+      parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode): org.apache.spark.sql.execution.streaming.Sink = {
+    require(partitionColumns.isEmpty,
+      "graft tables are hash-bucketed on the merge key internally; partitionBy is not supported")
+    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
+      s"graft sink ingests CDC EVENTS (append-mode rows); got $outputMode")
+    GraftStreamSink.fromParameters(ctx.sparkSession, parameters)
+  }
 
   override def sourceSchema(
       ctx: org.apache.spark.sql.SQLContext,

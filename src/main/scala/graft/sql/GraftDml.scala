@@ -23,19 +23,31 @@ object GraftDml {
     ()
   }
 
-  /** Tombstone the keys of `matched` — rows FROM `readState(t)` (so they
-    * carry each key's winning commit/lsn): the tombstone is ordered at
-    * (winning commit, lsn+1), beating the state it matched and losing to
-    * any later real event. */
-  def tombstone(t: LakeTable, matched: DataFrame): Unit = {
+  /** Column-pruning-friendly resolved live state (the window shape, not
+    * readState's max_by — max_by buries payload in a struct and forces the
+    * scan to read `content` even when the consumer only needs keys +
+    * ordering, which is exactly the tombstone-fabrication case). */
+  def liveWinners(t: LakeTable): DataFrame =
+    MergeEngine.prunableLiveView(t.read())
+
+  /** The tombstone rows for `matched` — winner rows (they carry each key's
+    * winning commit/lsn): ordered at (winning commit, lsn+1), beating the
+    * state they matched and losing to any later real event. Payload columns
+    * are null literals, so over [[liveWinners]] the scan reads only
+    * key + ordering + op bytes. */
+  def tombstoneFrame(t: LakeTable, matched: DataFrame): DataFrame = {
     val keys = MergeEngine.keyCols
     val tableSchema = t.schema
     val payload = tableSchema.fieldNames
       .filterNot(n => keys.contains(n) || MergeEngine.orderCols.contains(n) || n == "op")
-    val tomb = matched.select(
+    matched.select(
       keys.map(col) ++ Seq(
         col("commit"), (col("lsn") + 1L).as("lsn"), lit("D").as("op")) ++
         payload.map(n => lit(null).cast(tableSchema(n).dataType).as(n)): _*)
+  }
+
+  def tombstone(t: LakeTable, matched: DataFrame): Unit = {
+    val tomb = tombstoneFrame(t, matched)
     if (!tomb.isEmpty) { LakeMerge.mergeBatch(t, tomb); () }
   }
 }
@@ -91,8 +103,8 @@ final case class GraftMergeDeleteCommand(path: String, sourceKeys: LogicalPlan)
     // inner using-join on the DEDUPED key set ≡ left-semi, but avoids the
     // PushDownLeftSemiAntiJoin ↔ ColumnPruning/CollapseProject optimizer
     // oscillation this shape triggers (semi-join under a pruned projection
-    // over the max_by resolution — observed non-convergence at 100 iters)
-    val matched = LakeMerge.readState(t)
+    // over the resolution — observed non-convergence at 100 iters)
+    val matched = GraftDml.liveWinners(t)
       .join(keys, MergeEngine.keyCols.toSeq, "inner")
     GraftDml.tombstone(t, matched)
     Nil

@@ -1,0 +1,121 @@
+package graft.sql
+
+import java.util
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.lake.LakeTable
+
+/** Driver-resident rows surfaced as a V2 [[LocalScan]]: Spark plans this as
+  * a LocalTableScanExec — no job, no files opened. The right shape for
+  * table METADATA, which is already O(manifest) and driver-held; a
+  * distributed scan would serialize the same rows through a cluster for
+  * nothing. */
+final case class GraftLocalScan(schema: StructType, data: Array[InternalRow])
+    extends LocalScan {
+  override def readSchema(): StructType = schema
+  override def rows(): Array[InternalRow] = data
+}
+
+/** Iceberg-style inspection tables, resolved by [[GraftCatalog]] when a
+  * multipart name extends a lake table by one trailing segment:
+  * {{{
+  *   SELECT * FROM graft.ns.t.snapshots   -- commit history (metadata only)
+  *   SELECT * FROM graft.ns.t.files       -- current data files + footer stats
+  *   SELECT * FROM graft.ns.t.fences      -- streaming query fences
+  * }}}
+  * A real table named like a metadata suffix always wins (the catalog
+  * checks `LakeTable.exists` first). Everything here reads snapshot
+  * manifests only — no data file is ever opened, so `…files` over a
+  * million-file table is one manifest-list walk. */
+final case class GraftMetaTable(path: String, kind: String)
+    extends Table with SupportsRead {
+
+  override def name(): String = s"$path#$kind"
+
+  override def schema: StructType = GraftMetaTable.schemas(kind)
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan =
+        GraftLocalScan(schema, GraftMetaTable.rows(SparkSession.active, path, kind))
+    }
+}
+
+object GraftMetaTable {
+  val kinds: Set[String] = Set("snapshots", "files", "fences")
+
+  val schemas: Map[String, StructType] = Map(
+    "snapshots" -> StructType(Seq(
+      StructField("version", IntegerType, nullable = false),
+      StructField("snapshot_id", LongType, nullable = false),
+      StructField("parent_snapshot_id", LongType, nullable = false),
+      StructField("committed_at_ms", LongType, nullable = false),
+      StructField("operation", StringType),
+      StructField("schema_id", IntegerType, nullable = false),
+      StructField("data_files", IntegerType, nullable = false),
+      StructField("delta_files", IntegerType, nullable = false),
+      StructField("summary", MapType(StringType, StringType)))),
+    "files" -> StructType(Seq(
+      StructField("file_path", StringType, nullable = false),
+      StructField("bucket", IntegerType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("bytes", LongType, nullable = false),
+      StructField("rows", LongType),
+      StructField("min_lsn", LongType),
+      StructField("max_lsn", LongType),
+      StructField("schema_id", IntegerType, nullable = false))),
+    "fences" -> StructType(Seq(
+      StructField("query_id", StringType, nullable = false),
+      StructField("last_epoch", LongType, nullable = false))))
+
+  private def utf8(s: String): UTF8String =
+    if (s == null) null else UTF8String.fromString(s)
+
+  private def mapData(m: Map[String, String]) = {
+    val sorted = m.toSeq.sortBy(_._1)
+    org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+      sorted.map(kv => utf8(kv._1)).toArray, sorted.map(kv => utf8(kv._2)).toArray)
+  }
+
+  def rows(spark: SparkSession, path: String, kind: String): Array[InternalRow] = {
+    val t = LakeTable.load(spark, path)
+    kind match {
+      case "snapshots" =>
+        (t.minVersionAvailable to t.currentVersion).iterator.map { v =>
+          val s = t.snapshotAt(v)
+          new GenericInternalRow(Array[Any](
+            s.version, s.snapshotId, s.parentSnapshotId, s.timestampMs,
+            utf8(s.opKind), s.schemaId, s.fileCount, s.deltaCount,
+            mapData(s.summary)))
+        }.toArray
+      case "files" =>
+        val snap = t.snapshot
+        t.filesOf(snap).iterator.map { f =>
+          new GenericInternalRow(Array[Any](
+            utf8(f.path), f.bucket, utf8(f.kind), f.bytes,
+            if (f.rows >= 0L) f.rows else null,
+            if (f.minLsn != Long.MinValue) f.minLsn else null,
+            if (f.maxLsn != Long.MaxValue) f.maxLsn else null,
+            f.schemaId))
+        }.toArray
+      case "fences" =>
+        t.snapshot.fences.toSeq.sortBy(_._1).iterator.map { case (q, e) =>
+          new GenericInternalRow(Array[Any](utf8(q), e))
+        }.toArray
+      case other =>
+        throw new IllegalArgumentException(s"unknown metadata table: $other")
+    }
+  }
+}

@@ -1,0 +1,147 @@
+package graft.sql
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.Scan
+import org.apache.spark.sql.types._
+
+import graft.cdc.LakeMerge
+import graft.lake.LakeTable
+
+/** SQL maintenance surface: the library's table-maintenance entry points as
+  * catalog stored procedures (Spark 4 `ProcedureCatalog` / `CALL`):
+  * {{{
+  *   CALL graft.compact('ns.t')                  -- full LWW compaction (resolves L0)
+  *   CALL graft.compact('ns.t', 4)               -- only if ≥4 deltas in a bucket
+  *   CALL graft.flush_l0('ns.t')                 -- fold L0 files into their buckets
+  *   CALL graft.expire_snapshots('ns.t', 10)     -- retain last 10, reclaim the rest
+  *   CALL graft.gc_orphans('ns.t')               -- delete unreferenced staging files
+  * }}}
+  * Each returns its result facts as a one-row LocalScan (no Spark job for
+  * the result itself). The table argument is catalog-relative
+  * (`'ns.t'` under the catalog's root), matching how the tables are named
+  * in SQL. */
+object GraftProcedures {
+
+  val names: Seq[String] = Seq("compact", "flush_l0", "expire_snapshots", "gc_orphans")
+
+  def load(root: String, ident: Identifier): UnboundProcedure = {
+    require(ident.namespace().isEmpty || ident.namespace().sameElements(Array("system")),
+      s"unknown procedure namespace: ${ident.namespace().mkString(".")}")
+    ident.name().toLowerCase match {
+      case "compact" => new CompactProcedure(root)
+      case "flush_l0" => new FlushL0Procedure(root)
+      case "expire_snapshots" => new ExpireProcedure(root)
+      case "gc_orphans" => new GcProcedure(root)
+      case other =>
+        throw new UnsupportedOperationException(
+          s"no such procedure: $other (available: ${names.mkString(", ")})")
+    }
+  }
+
+  private def lakeOf(root: String, tableArg: String): LakeTable = {
+    val path = (Seq(root) ++ tableArg.split('.').toSeq).mkString("/")
+    require(LakeTable.exists(path), s"not a lake table: $tableArg (resolved $path)")
+    LakeTable.load(SparkSession.active, path)
+  }
+
+  private def utf8(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+
+  /** One-row result via [[GraftLocalScan]]. */
+  private def result(schema: StructType, values: Any*): java.util.Iterator[Scan] =
+    java.util.List.of[Scan](
+      GraftLocalScan(schema, Array(new GenericInternalRow(values.toArray)))).iterator()
+
+  private def tableParam = ProcedureParameter
+    .in("table", StringType).comment("catalog-relative table name, e.g. 'ns.t'").build()
+
+  /** Base: a procedure that is both unbound and bound (parameters are
+    * static — bind only validates arity/coercion, which Spark drives off
+    * `parameters()`). */
+  private abstract class MaintenanceProcedure(root: String)
+      extends UnboundProcedure with BoundProcedure {
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    protected def lake(input: InternalRow): LakeTable =
+      lakeOf(root, input.getUTF8String(0).toString)
+    protected def optInt(input: InternalRow, i: Int, default: Int): Int =
+      if (input.numFields > i && !input.isNullAt(i)) input.getInt(i) else default
+  }
+
+  private val CompactSchema = StructType(Seq(
+    StructField("compacted", BooleanType, nullable = false),
+    StructField("version", IntegerType, nullable = false),
+    StructField("data_files", IntegerType, nullable = false),
+    StructField("delta_files", IntegerType, nullable = false)))
+
+  private final class CompactProcedure(root: String) extends MaintenanceProcedure(root) {
+    override def name(): String = "compact"
+    override def description(): String =
+      "LWW-compact a lake table (resolves deltas and L0 into per-bucket bases; " +
+        "tombstones at/below the watermark are purged). if_deltas_at_least > 0 " +
+        "compacts only buckets with at least that many deltas (minor, tiered)."
+    override def parameters(): Array[ProcedureParameter] = Array(
+      tableParam,
+      ProcedureParameter.in("if_deltas_at_least", IntegerType).defaultValue("0").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val t = lake(input)
+      val did = LakeMerge.compact(t, ifDeltasAtLeast = optInt(input, 1, 0))
+      val snap = t.snapshot
+      result(CompactSchema, did, snap.version, snap.fileCount, snap.deltaCount)
+    }
+  }
+
+  private val FlushSchema = StructType(Seq(
+    StructField("flushed", BooleanType, nullable = false),
+    StructField("version", IntegerType, nullable = false)))
+
+  private final class FlushL0Procedure(root: String) extends MaintenanceProcedure(root) {
+    override def name(): String = "flush_l0"
+    override def description(): String =
+      "Fold unsorted L0 ingest files into their hash buckets (exact lineage backfill included)."
+    override def parameters(): Array[ProcedureParameter] = Array(
+      tableParam,
+      ProcedureParameter.in("min_files", IntegerType).defaultValue("1").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val t = lake(input)
+      val did = LakeMerge.flushL0(t, minFiles = optInt(input, 1, 1))
+      result(FlushSchema, did, t.snapshot.version)
+    }
+  }
+
+  private val ExpireSchema = StructType(Seq(
+    StructField("expired_versions", IntegerType, nullable = false),
+    StructField("manifests_deleted", IntegerType, nullable = false),
+    StructField("data_files_deleted", IntegerType, nullable = false),
+    StructField("bytes_reclaimed", LongType, nullable = false)))
+
+  private final class ExpireProcedure(root: String) extends MaintenanceProcedure(root) {
+    override def name(): String = "expire_snapshots"
+    override def description(): String =
+      "Expire history older than the last retain_last snapshots and reclaim " +
+        "files only they referenced. Time travel below the new floor fails loudly."
+    override def parameters(): Array[ProcedureParameter] = Array(
+      tableParam,
+      ProcedureParameter.in("retain_last", IntegerType).build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val r = lake(input).expireSnapshots(retainLast = optInt(input, 1, 2))
+      result(ExpireSchema, r.expiredVersions, r.manifestsDeleted,
+        r.dataFilesDeleted, r.bytesReclaimed)
+    }
+  }
+
+  private val GcSchema = StructType(Seq(
+    StructField("files_deleted", IntegerType, nullable = false)))
+
+  private final class GcProcedure(root: String) extends MaintenanceProcedure(root) {
+    override def name(): String = "gc_orphans"
+    override def description(): String =
+      "Delete staged files no retained snapshot references (crash leftovers)."
+    override def parameters(): Array[ProcedureParameter] = Array(tableParam)
+    override def call(input: InternalRow): java.util.Iterator[Scan] =
+      result(GcSchema, lake(input).gcOrphans())
+  }
+}

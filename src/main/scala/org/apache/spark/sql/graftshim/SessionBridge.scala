@@ -29,4 +29,16 @@ object SessionBridge {
     spark.internalCreateDataFrame(
       df.queryExecution.toRdd, df.schema, isStreaming = true)
   }
+
+  /** The inverse: re-wrap a streaming MICRO-BATCH DataFrame (as handed to a
+    * V1 `Sink.addBatch`) as a plain batch frame over the already-planned
+    * InternalRow RDD — Spark's own ForeachBatchSink mechanism. The sink can
+    * then run an arbitrary multi-stage pipeline (repartition, staged write,
+    * metadata probes) that the incremental streaming plan itself would
+    * reject. */
+  def asBatchFrame(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    spark.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = false)
+  }
 }

@@ -336,6 +336,124 @@ class GraftSqlSpec extends SparkSpec {
     assert(lib(resolved) == lib(LakeMerge.readState(t)))
   }
 
+  test("tombstone fabrication prunes payload columns out of the scan") {
+    val t = LakeTable.load(spark, tablePath)
+    val tomb = GraftDml.tombstoneFrame(t,
+      GraftDml.liveWinners(t).where(col("repo") === "nonexistent"))
+    val planStr = tomb.queryExecution.executedPlan.toString
+    // a DELETE writes null payloads — reading `content` (the dominant
+    // bytes) for it would be the readState max_by shape's bug. The null
+    // literal `null AS content` in the Project is fine; the SCAN schema
+    // must not include it.
+    val readSchemas = planStr.linesIterator.flatMap(
+      _.split("ReadSchema: ").drop(1)).toSeq
+    assert(readSchemas.nonEmpty && readSchemas.forall(!_.contains("content")),
+      s"tombstone scan must not read payload columns:\n$planStr")
+    assert(tomb.columns.toSet == t.schema.fieldNames.toSet)
+  }
+
+  test("metadata tables: snapshots / files / fences, served driver-side from manifests") {
+    val t = LakeTable.load(spark, tablePath)
+    val snaps = sql.sql(
+      "SELECT version, operation, data_files, summary FROM graft.ns.t.snapshots ORDER BY version")
+    // zero Spark jobs: a LocalTableScan over driver-resident metadata rows
+    assert(snaps.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      s"metadata table must plan as LocalTableScan:\n${snaps.queryExecution.executedPlan}")
+    val snapRows = snaps.collect()
+    assert(snapRows.length == t.currentVersion - t.minVersionAvailable + 1)
+    assert(snapRows.last.getInt(0) == t.currentVersion)
+    assert(snapRows.map(_.getString(1)).contains("append"))
+    // the free-form commit summary rides along as a map column
+    assert(snapRows.map(_.getMap[String, String](3)).exists(
+      _.get("operation").contains("merge-append")))
+    val files = sql.sql("SELECT file_path, bucket, kind, bytes FROM graft.ns.t.files").collect()
+    assert(files.length == t.filesOf(t.snapshot).size)
+    assert(files.forall(_.getLong(3) > 0L))
+    val fences = sql.sql("SELECT query_id, last_epoch FROM graft.ns.t.fences")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(fences.get("sqlspec").contains(1L))
+    // SQL aggregation over an inspection table (the ops-dashboard shape)
+    val byKind = sql.sql(
+      "SELECT kind, count(*) AS n, sum(bytes) AS b FROM graft.ns.t.files GROUP BY kind")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byKind.values.sum == files.length)
+    // an unknown suffix is still a missing table, not a metadata view
+    intercept[Exception] { sql.sql("SELECT * FROM graft.ns.t.nope").collect() }
+  }
+
+  test("CALL procedures: compact / expire_snapshots / flush_l0 / gc_orphans") {
+    sql.sql("CREATE TABLE graft.ns.p (repo STRING, path STRING, `commit` STRING, " +
+      "lsn BIGINT, op STRING, content STRING) TBLPROPERTIES ('buckets'='2')")
+    sql.sql("INSERT INTO graft.ns.p VALUES ('r1','p1','c1',1,'a'), ('r2','p1','c1',2,'b')")
+    sql.sql("INSERT INTO graft.ns.p VALUES ('r1','p1','c2',5,'a2'), ('r3','p1','c1',3,'c')")
+    val pre = lib(sql.sql("SELECT * FROM graft.ns.p"))
+    val t = LakeTable.load(spark, s"$warehouse/ns/p")
+    assert(t.snapshot.deltaCount > 0, "two merges must leave deltas to compact")
+    // compact with the default arg (DefaultValue path) — state unchanged
+    val c = sql.sql("CALL graft.compact('ns.p')").collect()
+    assert(c.length == 1 && c.head.getBoolean(0), "compaction must run")
+    assert(LakeTable.load(spark, s"$warehouse/ns/p").snapshot.deltaCount == 0)
+    assert(lib(sql.sql("SELECT * FROM graft.ns.p")) == pre,
+      "compaction must not change the resolved state")
+    // no L0 on the SQL-ingest path: flush_l0 reports a no-op, doesn't fail
+    val f = sql.sql("CALL graft.flush_l0('ns.p')").collect()
+    assert(!f.head.getBoolean(0))
+    val e = sql.sql("CALL graft.expire_snapshots('ns.p', 1)").collect()
+    assert(e.head.getInt(0) > 0, "create+2 merges+compact must expire something")
+    assert(lib(sql.sql("SELECT * FROM graft.ns.p")) == pre)
+    val g = sql.sql("CALL graft.gc_orphans('ns.p')").collect()
+    assert(g.head.getInt(0) == 0, "clean table has no orphans")
+    intercept[Exception] { sql.sql("CALL graft.no_such_proc('ns.p')").collect() }
+    sql.sql("DROP TABLE graft.ns.p")
+  }
+
+  test("writeStream.format(graft): each micro-batch is one fenced exactly-once merge commit") {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$warehouse/ns4"))
+    val p = s"$warehouse/ns4/sink"
+    LakeTable.create(spark, p, CdcStream.binlogSchema, numBuckets = 4)
+    val events = EventGen.events(spark, 3000L, nRepos = 30, pathsPerRepo = 5)
+    val in = tmpDir("sink-in")
+    val ckpt = tmpDir("sink-ckpt")
+    def deliver(lo: Long, hi: Long): Unit =
+      events.where(col("lsn") >= lo && col("lsn") < hi)
+        .coalesce(1).write.mode("append").parquet(in)
+    def run(): Unit = {
+      val q = spark.readStream.schema(CdcStream.binlogSchema).parquet(in)
+        .writeStream.format("graft")
+        .option("path", p)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def oracle(upToLsn: Long) = lib(MergeEngine.liveView(MergeEngine.dedupBatch(
+      events.where(col("lsn") < upToLsn))))
+    deliver(0L, 1500L)
+    run()
+    val t1 = LakeTable.load(spark, p)
+    assert(lib(LakeMerge.readState(t1)) == oracle(1500L))
+    val fence1 = t1.fence(ckpt)
+    assert(fence1 >= 0L, "the sink must fence under the checkpoint identity")
+    // restart with nothing new: state unchanged
+    run()
+    assert(lib(LakeMerge.readState(LakeTable.load(spark, p))) == oracle(1500L))
+    // new arrivals resume exactly-once from the checkpoint
+    deliver(1500L, 3000L)
+    run()
+    val t2 = LakeTable.load(spark, p)
+    assert(lib(LakeMerge.readState(t2)) == oracle(3001L))
+    assert(t2.fence(ckpt) > fence1, "fence must advance with the new epoch")
+    // the sink requires an existing table and a stable fence identity
+    intercept[Exception] {
+      spark.readStream.schema(CdcStream.binlogSchema).parquet(in)
+        .writeStream.format("graft")
+        .option("path", s"$warehouse/ns4/missing")
+        .option("checkpointLocation", tmpDir("sink-ckpt2"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+    }
+  }
+
   test("catalog DDL: SHOW TABLES, CREATE TABLE with CDC envelope, DROP TABLE") {
     val shown = sql.sql("SHOW TABLES IN graft.ns").collect().map(_.getString(1)).toSet
     assert(shown.contains("t"))
