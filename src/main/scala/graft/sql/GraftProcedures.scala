@@ -26,7 +26,8 @@ import graft.lake.LakeTable
   * in SQL. */
 object GraftProcedures {
 
-  val names: Seq[String] = Seq("compact", "flush_l0", "expire_snapshots", "gc_orphans")
+  val names: Seq[String] =
+    Seq("compact", "flush_l0", "expire_snapshots", "gc_orphans", "rollback")
 
   def load(root: String, ident: Identifier): UnboundProcedure = {
     require(ident.namespace().isEmpty || ident.namespace().sameElements(Array("system")),
@@ -36,6 +37,7 @@ object GraftProcedures {
       case "flush_l0" => new FlushL0Procedure(root)
       case "expire_snapshots" => new ExpireProcedure(root)
       case "gc_orphans" => new GcProcedure(root)
+      case "rollback" => new RollbackProcedure(root)
       case other =>
         throw new UnsupportedOperationException(
           s"no such procedure: $other (available: ${names.mkString(", ")})")
@@ -135,6 +137,26 @@ object GraftProcedures {
 
   private val GcSchema = StructType(Seq(
     StructField("files_deleted", IntegerType, nullable = false)))
+
+  private val RollbackSchema = StructType(Seq(
+    StructField("version", IntegerType, nullable = false),
+    StructField("snapshot_id", LongType, nullable = false)))
+
+  private final class RollbackProcedure(root: String) extends MaintenanceProcedure(root) {
+    override def name(): String = "rollback"
+    override def description(): String =
+      "Roll the table back to a retained version (a NEW commit whose content " +
+        "is the old snapshot — history stays append-only; changelog readers " +
+        "crossing the rollback fail loudly and re-baseline)."
+    override def parameters(): Array[ProcedureParameter] = Array(
+      tableParam,
+      ProcedureParameter.in("to_version", IntegerType).build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      require(input.numFields > 1 && !input.isNullAt(1), "to_version is required")
+      val snap = lake(input).rollback(input.getInt(1))
+      result(RollbackSchema, snap.version, snap.snapshotId)
+    }
+  }
 
   private final class GcProcedure(root: String) extends MaintenanceProcedure(root) {
     override def name(): String = "gc_orphans"

@@ -403,6 +403,15 @@ class GraftSqlSpec extends SparkSpec {
     assert(lib(sql.sql("SELECT * FROM graft.ns.p")) == pre)
     val g = sql.sql("CALL graft.gc_orphans('ns.p')").collect()
     assert(g.head.getInt(0) == 0, "clean table has no orphans")
+    // rollback to the pre-second-insert version: a NEW commit with the old
+    // content (append-only history)
+    sql.sql("INSERT INTO graft.ns.p VALUES ('r9','p9','c1',1,'z')")
+    val tNow = LakeTable.load(spark, s"$warehouse/ns/p")
+    val vBefore = tNow.currentVersion - 1
+    val rb = sql.sql(s"CALL graft.rollback('ns.p', $vBefore)").collect()
+    assert(rb.head.getInt(0) > vBefore, "rollback commits a NEW version")
+    assert(lib(sql.sql("SELECT * FROM graft.ns.p")) == pre,
+      "rollback must restore the pre-insert state")
     intercept[Exception] { sql.sql("CALL graft.no_such_proc('ns.p')").collect() }
     sql.sql("DROP TABLE graft.ns.p")
   }
