@@ -35,6 +35,20 @@ import graft.lake.LakeTable
   *  - `startingVersion` — version to tail from (exclusive). Default: the
   *    table's current version when the stream starts ("latest", new
   *    changes only). `0` streams every retained commit first.
+  *  - `maxVersionsPerTrigger` — admit at most this many APPEND commits per
+  *    micro-batch. Without it, a catch-up read (`startingVersion=0` on a
+  *    table with months of history) delivers the whole retained changelog
+  *    as ONE batch — one giant shuffle-and-sink unit the consumer's
+  *    checkpoint can't subdivide. Metadata/compaction commits carry no
+  *    change rows and ride along free.
+  *  - `maxRowsPerTrigger` — admit append commits until their cumulative
+  *    added-row count would exceed this (at least one commit is always
+  *    admitted, so an oversized single commit still makes progress —
+  *    commits are the atomic offset unit and are never split). Row counts
+  *    come from file metadata in the manifests: admission control costs
+  *    zero Spark jobs. Both caps compose with `Trigger.AvailableNow`,
+  *    which then drains the backlog as a SEQUENCE of bounded batches
+  *    instead of one unbounded one.
   *
   * Schema evolution: the source schema is pinned at stream start (the
   * Structured Streaming contract — a restart picks up the evolved shape);
@@ -44,9 +58,14 @@ import graft.lake.LakeTable
 final class GraftChangelogSource(
     spark: SparkSession,
     path: String,
-    startingVersion: Option[Int]
+    startingVersion: Option[Int],
+    maxVersionsPerTrigger: Option[Int] = None,
+    maxRowsPerTrigger: Option[Long] = None
 ) extends Source
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  require(maxVersionsPerTrigger.forall(_ > 0), "maxVersionsPerTrigger must be > 0")
+  require(maxRowsPerTrigger.forall(_ > 0), "maxRowsPerTrigger must be > 0")
 
   private val table = LakeTable.load(spark, path)
   private val startVersion: Int = startingVersion.getOrElse(table.currentVersion)
@@ -78,8 +97,47 @@ final class GraftChangelogSource(
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
       : org.apache.spark.sql.connector.read.streaming.Offset = {
     val from = Option(start).map(versionOf).getOrElse(startVersion)
-    val v = availableNowBound.getOrElse(table.currentVersion)
+    val target = availableNowBound.getOrElse(table.currentVersion)
+    val v = if (target <= from) from else admit(from, target)
     if (v <= from) null else LongOffset(v.toLong)
+  }
+
+  /** Walk versions forward from `from` toward `target`, stopping when an
+    * admission cap would be exceeded. Driver-side manifest reads only —
+    * per-commit added-row counts come from the files' `rows` metadata
+    * (diffed against the previous snapshot's path set, carried
+    * incrementally so the walk is O(admitted versions × files)). Non-append
+    * commits (metadata, compaction, rollback) carry no change rows and
+    * never count against a cap; a rollback is still ADMITTED (never
+    * skipped past) so `getBatch` fails loudly per the changelog contract.
+    * At least one append commit is always admitted: commits are the
+    * atomic offset unit, so an oversized commit is delivered whole rather
+    * than stalling the stream. */
+  private def admit(from: Int, target: Int): Int = {
+    if (maxVersionsPerTrigger.isEmpty && maxRowsPerTrigger.isEmpty) return target
+    var v = from
+    var appends = 0
+    var rows = 0L
+    // from=0 is the synthetic "before everything" offset — no snapshot
+    var prevPaths =
+      if (from <= 0) Set.empty[String]
+      else table.filesOf(table.snapshotAt(from)).map(_.path).toSet
+    var capped = false
+    while (!capped && v < target) {
+      val snap = table.snapshotAt(v + 1)
+      val paths = table.filesOf(snap)
+      if (snap.opKind == "append") {
+        val added = paths.iterator.filterNot(f => prevPaths.contains(f.path))
+        val addedRows = added.map(f => math.max(0L, f.rows)).sum
+        val exceeds =
+          maxVersionsPerTrigger.exists(m => appends + 1 > m) ||
+            maxRowsPerTrigger.exists(m => rows + addedRows > m)
+        if (exceeds && appends > 0) capped = true
+        else { appends += 1; rows += addedRows }
+      }
+      if (!capped) { prevPaths = paths.map(_.path).toSet; v += 1 }
+    }
+    v
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
@@ -103,7 +161,10 @@ object GraftChangelogSource {
     val path = parameters.getOrElse("path",
       throw new IllegalArgumentException(
         "path required: spark.readStream.format(\"graft\").load(path)"))
-    new GraftChangelogSource(spark, path, parameters.get("startingVersion").map(_.toInt))
+    new GraftChangelogSource(spark, path,
+      parameters.get("startingVersion").map(_.toInt),
+      parameters.get("maxVersionsPerTrigger").map(_.toInt),
+      parameters.get("maxRowsPerTrigger").map(_.toLong))
   }
 
   def schemaOf(ctx: SQLContext, parameters: Map[String, String]): StructType = {

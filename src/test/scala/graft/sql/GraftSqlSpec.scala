@@ -336,6 +336,53 @@ class GraftSqlSpec extends SparkSpec {
     assert(lib(resolved) == lib(LakeMerge.readState(t)))
   }
 
+  test("changelog admission control: maxVersionsPerTrigger / maxRowsPerTrigger chunk catch-up") {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$warehouse/ns4"))
+    val p = s"$warehouse/ns4/rl"
+    val t = LakeTable.create(spark, p, CdcStream.binlogSchema, numBuckets = 4)
+    val ev = EventGen.events(spark, 1000L, nRepos = 20, pathsPerRepo = 5)
+    (0 until 5).foreach { e =>
+      LakeMerge.mergeBatch(
+        t, ev.where(col("lsn") >= e * 200L && col("lsn") < (e + 1) * 200L),
+        Some(("rl", e.toLong)))
+    }
+    def drain(opts: Map[String, String]): Seq[Long] = {
+      val sizes = scala.collection.mutable.ArrayBuffer[Long]()
+      var reader = spark.readStream.format("graft").option("startingVersion", 0)
+      opts.foreach { case (k, v) => reader = reader.option(k, v) }
+      val q = reader.load(p)
+        .writeStream
+        .foreachBatch((df: org.apache.spark.sql.DataFrame, _: Long) => {
+          sizes += df.count(); ()
+        })
+        .option("checkpointLocation", tmpDir("rl-ckpt"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      sizes.toSeq.filter(_ > 0)
+    }
+    // uncapped: the whole retained history arrives as ONE batch — the
+    // behavior admission control exists to bound
+    val uncapped = drain(Map.empty)
+    assert(uncapped.size == 1, s"uncapped catch-up must be one batch: $uncapped")
+    val total = uncapped.sum
+    // version cap: 5 append commits at 2/trigger = 3 batches, same rows
+    val byVersion = drain(Map("maxVersionsPerTrigger" -> "2"))
+    assert(byVersion.sum == total, "chunking must not lose or duplicate rows")
+    assert(byVersion.size == 3, s"ceil(5 appends / 2) = 3 batches, got $byVersion")
+    // rows cap: admission accumulates per-commit added-row counts from
+    // file metadata; each commit here lands ~100 winners, so a 150-row cap
+    // admits exactly one commit per trigger = 5 batches
+    val perCommit = total / 5
+    val byRows = drain(Map("maxRowsPerTrigger" -> (perCommit + perCommit / 2).toString))
+    assert(byRows.sum == total, "chunking must not lose or duplicate rows")
+    assert(byRows.size == 5, s"one commit per trigger expected, got $byRows")
+    // progress guarantee: a cap smaller than any single commit still
+    // advances one whole commit per trigger (commits are never split)
+    val tiny = drain(Map("maxRowsPerTrigger" -> "1"))
+    assert(tiny.sum == total && tiny.size == 5, s"oversized commits delivered whole: $tiny")
+  }
+
   test("tombstone fabrication prunes payload columns out of the scan") {
     val t = LakeTable.load(spark, tablePath)
     val tomb = GraftDml.tombstoneFrame(t,
