@@ -341,6 +341,59 @@ final class LakeTable private (val root: String, val spark: SparkSession) {
     }
   }
 
+  // ------------------------------------------------------------ named refs
+
+  /** Named snapshot tags (Iceberg-style refs): `name -> version`. Stored in
+    * an atomically-swapped `refs.json` sidecar — table-level MUTABLE state,
+    * deliberately outside the append-only snapshot chain (re-pointing a tag
+    * must not fabricate a data commit). */
+  def tags: Map[String, Int] = {
+    val p = metaDir.resolve("refs.json")
+    if (!Files.exists(p)) Map.empty
+    else mapper.readValue(Files.readString(p), classOf[java.util.Map[String, Integer]])
+      .asScala.map { case (k, v) => k -> v.intValue }.toMap
+  }
+
+  /** Tag a retained snapshot as `name` (default: the current version).
+    * Tagged history is pinned against [[expireSnapshots]]: a tag moves the
+    * retention FLOOR — every snapshot at or after the oldest tag survives —
+    * rather than carving holes in the contiguous version range the linear
+    * metadata layout (and its binary searches) requires. Numeric names are
+    * rejected: `VERSION AS OF` could not tell them from literal versions.
+    * Cross-process races are last-tagger-wins (operator metadata, not
+    * data). Returns the tagged version. */
+  def setTag(name: String, version: Int = -1): Int = synchronized {
+    require(name.nonEmpty && !name.matches("-?\\d+"),
+      s"tag name must be non-empty and non-numeric, got '$name'")
+    val v = if (version < 0) currentVersion else version
+    snapshotAt(v) // must exist and still be retained
+    writeRefs(tags + (name -> v))
+    v
+  }
+
+  /** Remove a tag; its history becomes expirable again. False if absent. */
+  def deleteTag(name: String): Boolean = synchronized {
+    val t = tags
+    if (!t.contains(name)) false
+    else { writeRefs(t - name); true }
+  }
+
+  /** Resolve a `VERSION AS OF` spec: an integer literal is a version, any
+    * other string is a tag name (which must exist). */
+  def resolveVersion(spec: String): Int = {
+    val s = spec.trim
+    if (s.matches("-?\\d+")) s.toInt
+    else tags.getOrElse(s, throw new NoSuchElementException(
+      s"no tag '$s' on $root (tags: ${tags.keys.toSeq.sorted.mkString(", ")})"))
+  }
+
+  private def writeRefs(refs: Map[String, Int]): Unit = {
+    val tmp = metaDir.resolve(s".refs-${UUID.randomUUID()}")
+    Files.writeString(tmp, mapper.writeValueAsString(refs))
+    Files.move(tmp, metaDir.resolve("refs.json"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
   private def readFiles(snap: Snapshot, files: Seq[DataFileMeta]): DataFrame = {
     val target = snap.schema
     if (files.isEmpty) {
@@ -756,7 +809,11 @@ final class LakeTable private (val root: String, val spark: SparkSession) {
       catch { case NonFatal(_) => false })
     require(retainLast >= 1, "must retain at least the current snapshot")
     val cur = currentVersion
-    val minRetained = math.max(minVersionAvailable, cur - retainLast + 1)
+    // a named tag pins the retention floor: every snapshot at or after the
+    // oldest tagged version survives (see setTag — floor, not holes)
+    val tagFloor = tags.values.foldLeft(Int.MaxValue)(math.min)
+    val minRetained =
+      math.max(minVersionAvailable, math.min(cur - retainLast + 1, tagFloor))
     val retained = (minRetained to cur).map(snapshotAt)
     val keepManifests = retained.flatMap(_.manifests.map(_.path)).toSet
     val keepFiles = keepManifests.flatMap(p => loadManifest(p).map(_.path))

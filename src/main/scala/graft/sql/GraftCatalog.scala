@@ -84,7 +84,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
   override def loadTable(ident: Identifier, version: String): Table = {
     val path = pathOf(ident)
     if (!LakeTable.exists(path)) throw tableNotFound(ident)
-    GraftTable(path, Some(version.toInt))
+    // an integer is a version; any other string resolves as a tag name,
+    // so `VERSION AS OF 'release'` pins whatever the tag points at
+    GraftTable(path,
+      Some(LakeTable.load(SparkSession.active, path).resolveVersion(version)))
   }
 
   /** `SELECT … FROM graft.ns.t TIMESTAMP AS OF '2026-08-17 12:00:00'` —
@@ -407,7 +410,9 @@ class GraftTableProvider extends org.apache.spark.sql.connector.catalog.TablePro
   private def tableOf(options: CaseInsensitiveStringMap): GraftTable = {
     val path = Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException("path required: spark.read.format(\"graft\").load(path)"))
-    val version = Option(options.get("versionAsOf")).map(_.toInt)
+    // versionAsOf accepts a version number OR a tag name (named ref)
+    val version = Option(options.get("versionAsOf"))
+      .map(LakeTable.load(SparkSession.active, path).resolveVersion)
       .orElse(Option(options.get("timestampAsOf")).map(ts =>
         LakeTable.load(SparkSession.active, path).versionAtTimestamp(ts.toLong)))
     GraftTable(path, version)

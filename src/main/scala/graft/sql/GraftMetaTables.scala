@@ -54,7 +54,7 @@ final case class GraftMetaTable(path: String, kind: String)
 }
 
 object GraftMetaTable {
-  val kinds: Set[String] = Set("snapshots", "files", "fences")
+  val kinds: Set[String] = Set("snapshots", "files", "fences", "refs")
 
   val schemas: Map[String, StructType] = Map(
     "snapshots" -> StructType(Seq(
@@ -78,7 +78,11 @@ object GraftMetaTable {
       StructField("schema_id", IntegerType, nullable = false))),
     "fences" -> StructType(Seq(
       StructField("query_id", StringType, nullable = false),
-      StructField("last_epoch", LongType, nullable = false))))
+      StructField("last_epoch", LongType, nullable = false))),
+    "refs" -> StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("version", IntegerType, nullable = false),
+      StructField("snapshot_id", LongType))))
 
   private def utf8(s: String): UTF8String =
     if (s == null) null else UTF8String.fromString(s)
@@ -113,6 +117,14 @@ object GraftMetaTable {
       case "fences" =>
         t.snapshot.fences.toSeq.sortBy(_._1).iterator.map { case (q, e) =>
           new GenericInternalRow(Array[Any](utf8(q), e))
+        }.toArray
+      case "refs" =>
+        t.tags.toSeq.sortBy(_._1).iterator.map { case (name, v) =>
+          // snapshot_id is null if the tagged version was expired before
+          // the tag-floor rule existed (legacy) — never under the rule
+          val sid = try Long.box(t.snapshotAt(v).snapshotId)
+          catch { case _: Exception => null }
+          new GenericInternalRow(Array[Any](utf8(name), v, sid))
         }.toArray
       case other =>
         throw new IllegalArgumentException(s"unknown metadata table: $other")

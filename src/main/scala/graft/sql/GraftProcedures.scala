@@ -27,7 +27,8 @@ import graft.lake.LakeTable
 object GraftProcedures {
 
   val names: Seq[String] =
-    Seq("compact", "flush_l0", "expire_snapshots", "gc_orphans", "rollback")
+    Seq("compact", "flush_l0", "expire_snapshots", "gc_orphans", "rollback",
+      "tag", "drop_tag")
 
   def load(root: String, ident: Identifier): UnboundProcedure = {
     require(ident.namespace().isEmpty || ident.namespace().sameElements(Array("system")),
@@ -38,6 +39,8 @@ object GraftProcedures {
       case "expire_snapshots" => new ExpireProcedure(root)
       case "gc_orphans" => new GcProcedure(root)
       case "rollback" => new RollbackProcedure(root)
+      case "tag" => new TagProcedure(root)
+      case "drop_tag" => new DropTagProcedure(root)
       case other =>
         throw new UnsupportedOperationException(
           s"no such procedure: $other (available: ${names.mkString(", ")})")
@@ -155,6 +158,44 @@ object GraftProcedures {
       require(input.numFields > 1 && !input.isNullAt(1), "to_version is required")
       val snap = lake(input).rollback(input.getInt(1))
       result(RollbackSchema, snap.version, snap.snapshotId)
+    }
+  }
+
+  private val TagSchema = StructType(Seq(
+    StructField("name", StringType, nullable = false),
+    StructField("version", IntegerType, nullable = false)))
+
+  private final class TagProcedure(root: String) extends MaintenanceProcedure(root) {
+    override def name(): String = "tag"
+    override def description(): String =
+      "Tag a retained snapshot with a name (default: current version). " +
+        "Readable as VERSION AS OF '<name>'; the oldest tag pins the " +
+        "retention floor against expire_snapshots. Re-tagging re-points."
+    override def parameters(): Array[ProcedureParameter] = Array(
+      tableParam,
+      ProcedureParameter.in("name", StringType).build(),
+      ProcedureParameter.in("version", IntegerType).defaultValue("-1").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      require(input.numFields > 1 && !input.isNullAt(1), "name is required")
+      val tagName = input.getUTF8String(1).toString
+      val v = lake(input).setTag(tagName, optInt(input, 2, -1))
+      result(TagSchema, utf8(tagName), v)
+    }
+  }
+
+  private val DropTagSchema = StructType(Seq(
+    StructField("dropped", BooleanType, nullable = false)))
+
+  private final class DropTagProcedure(root: String) extends MaintenanceProcedure(root) {
+    override def name(): String = "drop_tag"
+    override def description(): String =
+      "Remove a named tag; its pinned history becomes expirable again."
+    override def parameters(): Array[ProcedureParameter] = Array(
+      tableParam,
+      ProcedureParameter.in("name", StringType).build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      require(input.numFields > 1 && !input.isNullAt(1), "name is required")
+      result(DropTagSchema, lake(input).deleteTag(input.getUTF8String(1).toString))
     }
   }
 

@@ -443,6 +443,37 @@ class LakeTableSpec extends SparkSpec {
       .select("content").collect().map(_.getString(0)).toSet == Set("c"))
   }
 
+  test("named tags resolve version specs and pin the retention floor") {
+    val root = tmpDir("lake")
+    val t = LakeTable.create(spark, root, baseSchema, numBuckets = 2)
+    def write(v: String): Unit = {
+      val df = Seq((s"r$v", "p", "c1", 1L, null: String, v))
+        .toDF(baseSchema.fieldNames.toSeq: _*).withColumn("bucket", lit(0))
+      t.appendCommit(t.stage(df, 0, kind = "delta"))
+    }
+    (1 to 6).foreach(i => write(s"v$i")) // versions 2..7
+    val early = t.currentVersion - 4
+    assert(t.setTag("release", early) == early)
+    assert(t.tags == Map("release" -> early))
+    assert(t.resolveVersion("release") == early)
+    assert(t.resolveVersion(early.toString) == early)
+    intercept[NoSuchElementException](t.resolveVersion("nope"))
+    intercept[IllegalArgumentException](t.setTag("123"))
+    intercept[Exception](t.setTag("future", t.currentVersion + 10))
+    // retainLast=1 would drop all history below current; the tag moves the
+    // retention floor to `early`, which must still time-travel afterwards
+    t.expireSnapshots(retainLast = 1)
+    assert(t.readVersion(early).count() == early - 1)
+    assert(t.minVersionAvailable <= early)
+    // dropping the tag makes the pinned history expirable again
+    assert(t.deleteTag("release"))
+    assert(!t.deleteTag("release"), "second delete reports absence")
+    t.expireSnapshots(retainLast = 1)
+    intercept[Exception](t.readVersion(early))
+    // default-version tagging points at the current snapshot
+    assert(t.setTag("head") == t.currentVersion)
+  }
+
   test("expireSnapshots with minAgeMs spares young unreferenced files (concurrent-writer guard)") {
     val root = tmpDir("lake")
     val t = LakeTable.create(spark, root, baseSchema, numBuckets = 2)

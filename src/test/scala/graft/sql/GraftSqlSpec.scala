@@ -336,6 +336,32 @@ class GraftSqlSpec extends SparkSpec {
     assert(lib(resolved) == lib(LakeMerge.readState(t)))
   }
 
+  test("named tags: CALL graft.tag, VERSION AS OF 'name', refs inspection table") {
+    val t = LakeTable.load(spark, tablePath)
+    val v0 = t.commitForFence("sqlspec", 0L).get.version
+    val tagged = sql.sql(s"CALL graft.tag('ns.t', 'first_batch', $v0)").collect()
+    assert(tagged.head.getString(0) == "first_batch" && tagged.head.getInt(1) == v0)
+    // the tag resolves identically to the literal version in SQL…
+    assert(lib(sql.sql("SELECT * FROM graft.ns.t VERSION AS OF 'first_batch'")) ==
+      lib(sql.sql(s"SELECT * FROM graft.ns.t VERSION AS OF $v0")))
+    // …and through the option-based reader
+    assert(lib(sql.read.format("graft")
+        .option("versionAsOf", "first_batch").load(tablePath)) ==
+      lib(sql.read.format("graft")
+        .option("versionAsOf", v0.toString).load(tablePath)))
+    // refs inspection table lists it (driver-side, zero jobs)
+    val refs = sql.sql("SELECT name, version FROM graft.ns.t.refs")
+    assert(refs.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+    assert(refs.collect().map(r => (r.getString(0), r.getInt(1))).toSet ==
+      Set(("first_batch", v0)))
+    // drop: resolution fails loudly afterwards; state restored for peers
+    assert(sql.sql("CALL graft.drop_tag('ns.t', 'first_batch')").collect()
+      .head.getBoolean(0))
+    intercept[Exception] {
+      sql.sql("SELECT * FROM graft.ns.t VERSION AS OF 'first_batch'").collect()
+    }
+  }
+
   test("changelog admission control: maxVersionsPerTrigger / maxRowsPerTrigger chunk catch-up") {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$warehouse/ns4"))
     val p = s"$warehouse/ns4/rl"
