@@ -130,9 +130,16 @@ object GraftProcedures {
         "files only they referenced. Time travel below the new floor fails loudly."
     override def parameters(): Array[ProcedureParameter] = Array(
       tableParam,
-      ProcedureParameter.in("retain_last", IntegerType).build())
+      ProcedureParameter.in("retain_last", IntegerType).build(),
+      ProcedureParameter.in("min_age_ms", LongType).defaultValue("0")
+        .comment("spare unreferenced files younger than this — the " +
+          "concurrent-writer guard; must exceed the longest stage→commit window")
+        .build())
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
-      val r = lake(input).expireSnapshots(retainLast = optInt(input, 1, 2))
+      val minAge =
+        if (input.numFields > 2 && !input.isNullAt(2)) input.getLong(2) else 0L
+      val r = lake(input).expireSnapshots(
+        retainLast = optInt(input, 1, 2), minAgeMs = minAge)
       result(ExpireSchema, r.expiredVersions, r.manifestsDeleted,
         r.dataFilesDeleted, r.bytesReclaimed)
     }

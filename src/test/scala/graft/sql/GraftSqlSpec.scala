@@ -471,8 +471,13 @@ class GraftSqlSpec extends SparkSpec {
     // no L0 on the SQL-ingest path: flush_l0 reports a no-op, doesn't fail
     val f = sql.sql("CALL graft.flush_l0('ns.p')").collect()
     assert(!f.head.getBoolean(0))
+    // age-guarded form first: every file is younger than an hour, so the
+    // metadata expires but no file may be reclaimed (concurrent-writer guard)
+    val eGuard = sql.sql("CALL graft.expire_snapshots('ns.p', 1, 3600000)").collect()
+    assert(eGuard.head.getInt(2) == 0, "hour-old guard must spare all young files")
     val e = sql.sql("CALL graft.expire_snapshots('ns.p', 1)").collect()
-    assert(e.head.getInt(0) > 0, "create+2 merges+compact must expire something")
+    assert(e.head.getInt(0) > 0 || eGuard.head.getInt(0) > 0,
+      "create+2 merges+compact must expire something")
     assert(lib(sql.sql("SELECT * FROM graft.ns.p")) == pre)
     val g = sql.sql("CALL graft.gc_orphans('ns.p')").collect()
     assert(g.head.getInt(0) == 0, "clean table has no orphans")
