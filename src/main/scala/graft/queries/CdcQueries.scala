@@ -189,9 +189,10 @@ object CdcQueries {
                 |FROM graft.ns.t""".stripMargin)
     }),
 
-    // Time travel through SQL: merge two epochs, read VERSION AS OF the
-    // first commit — the oracle recomputes LWW over only the first epoch's
-    // events, so the snapshot isolation itself is hash-verified.
+    // Time travel through SQL: merge two epochs, tag the first commit and
+    // read VERSION AS OF the TAG — the oracle recomputes LWW over only the
+    // first epoch's events, so snapshot isolation AND named-ref resolution
+    // are hash-verified together.
     "q_sql_timetravel" -> ((s, _) => {
       val dir = s"$ExportRoot/q_sql_timetravel"
       Fs.rmTree(java.nio.file.Paths.get(dir))
@@ -201,11 +202,11 @@ object CdcQueries {
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/wh/ns"))
       val table = LakeTable.create(s, s"$dir/wh/ns/t", CdcStream.binlogSchema, numBuckets = 8)
       LakeMerge.mergeBatch(table, events.where(col("lsn") < 4000L), Some(("ttq", 0L)))
-      val v0 = table.currentVersion
+      table.setTag("epoch0")
       LakeMerge.mergeBatch(table, events.where(col("lsn") >= 4000L), Some(("ttq", 1L)))
       val sql = graft.sql.GraftSql.attach(s, root = Some(s"$dir/wh"))
       sql.sql(s"""SELECT lang, count(*) AS n_rows, max(lsn) AS max_lsn
-                 |FROM graft.ns.t VERSION AS OF $v0
+                 |FROM graft.ns.t VERSION AS OF 'epoch0'
                  |GROUP BY lang""".stripMargin)
     }),
 
