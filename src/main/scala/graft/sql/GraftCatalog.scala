@@ -10,7 +10,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.sources.InsertableRelation
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.cdc.{LakeMerge, MergeEngine}
@@ -109,14 +109,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     require(partitions.isEmpty,
       "graft tables are hash-bucketed on the merge key internally; " +
         "PARTITIONED BY is not supported")
-    val missing = (MergeEngine.keyCols ++ MergeEngine.orderCols :+ "op")
+    val missing = (MergeEngine.keyCols ++ MergeEngine.orderCols)
       .filterNot(schema.fieldNames.contains)
     require(missing.isEmpty,
       s"graft tables need the CDC envelope columns; missing: ${missing.mkString(", ")}")
+    // the read surface hides the engine-managed op column, so a
+    // CREATE TABLE … AS SELECT from another graft table arrives without
+    // it — complete the envelope (the write path stamps op itself)
+    val full =
+      if (schema.fieldNames.contains("op")) schema
+      else StructType(schema.fields :+ StructField("op", StringType))
     val path = pathOf(ident)
     require(!LakeTable.exists(path), s"table already exists: $ident")
     val buckets = Option(properties.get("buckets")).map(_.toInt).getOrElse(16)
-    LakeTable.create(SparkSession.active, path, schema, buckets,
+    LakeTable.create(SparkSession.active, path, full, buckets,
       properties = properties.asScala.toMap - "buckets")
     GraftTable(path, None)
   }

@@ -336,6 +336,26 @@ class GraftSqlSpec extends SparkSpec {
     assert(lib(resolved) == lib(LakeMerge.readState(t)))
   }
 
+  test("CREATE TABLE AS SELECT completes the hidden op envelope and runs the merge") {
+    // the SELECT's schema is the READ surface — no op column; createTable
+    // must complete the envelope, and the CTAS write runs the LWW upsert
+    sql.sql("CREATE TABLE graft.ns.ctas AS SELECT * FROM graft.ns.t")
+    assert(lib(sql.sql("SELECT * FROM graft.ns.ctas")) ==
+      lib(sql.sql("SELECT * FROM graft.ns.t")))
+    // the derived table is a full CDC table: a later insert upserts (LWW)
+    val one = sql.sql("SELECT repo, path FROM graft.ns.ctas LIMIT 1").collect().head
+    sql.sql(s"INSERT INTO graft.ns.ctas VALUES " +
+      s"('${one.getString(0)}','${one.getString(1)}','zzz',${Long.MaxValue - 1},'xx','new')")
+    val rows = sql.sql(s"SELECT content FROM graft.ns.ctas WHERE repo = " +
+      s"'${one.getString(0)}' AND path = '${one.getString(1)}'").collect()
+    assert(rows.length == 1 && rows.head.getString(0) == "new",
+      "insert into a CTAS table must upsert, not append a duplicate key")
+    // SHOW CREATE TABLE renders through the V2 catalog
+    val ddl = sql.sql("SHOW CREATE TABLE graft.ns.ctas").collect().head.getString(0)
+    assert(ddl.contains("CREATE TABLE") && ddl.contains("repo"))
+    sql.sql("DROP TABLE graft.ns.ctas")
+  }
+
   test("named tags: CALL graft.tag, VERSION AS OF 'name', refs inspection table") {
     val t = LakeTable.load(spark, tablePath)
     val v0 = t.commitForFence("sqlspec", 0L).get.version
