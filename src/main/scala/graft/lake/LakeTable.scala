@@ -363,9 +363,13 @@ final class LakeTable private (val root: String, val spark: SparkSession) {
     * Cross-process races are last-tagger-wins (operator metadata, not
     * data). Returns the tagged version. */
   def setTag(name: String, version: Int = -1): Int = synchronized {
-    require(name.nonEmpty && !name.matches("-?\\d+"),
-      s"tag name must be non-empty and non-numeric, got '$name'")
-    val v = if (version < 0) currentVersion else version
+    require(name.nonEmpty && name.trim == name && !name.matches("-?\\d+"),
+      // resolveVersion trims its spec, so a padded name could never
+      // resolve — yet would still pin the retention floor forever
+      s"tag name must be non-empty, non-numeric, without surrounding " +
+        s"whitespace, got '$name'")
+    require(version >= -1, s"version must be -1 (current) or a real version, got $version")
+    val v = if (version == -1) currentVersion else version
     snapshotAt(v) // must exist and still be retained
     writeRefs(tags + (name -> v))
     v
@@ -387,12 +391,8 @@ final class LakeTable private (val root: String, val spark: SparkSession) {
       s"no tag '$s' on $root (tags: ${tags.keys.toSeq.sorted.mkString(", ")})"))
   }
 
-  private def writeRefs(refs: Map[String, Int]): Unit = {
-    val tmp = metaDir.resolve(s".refs-${UUID.randomUUID()}")
-    Files.writeString(tmp, mapper.writeValueAsString(refs))
-    Files.move(tmp, metaDir.resolve("refs.json"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-  }
+  private def writeRefs(refs: Map[String, Int]): Unit =
+    atomicWriteMeta("refs.json", mapper.writeValueAsString(refs))
 
   private def readFiles(snap: Snapshot, files: Seq[DataFileMeta]): DataFrame = {
     val target = snap.schema
@@ -669,24 +669,37 @@ final class LakeTable private (val root: String, val spark: SparkSession) {
     require(fromVersion <= toVersion, s"$fromVersion > $toVersion")
     val changed = (fromVersion + 1 to toVersion).flatMap { v =>
       val snap = snapshotAt(v)
-      snap.opKind match {
-        case "rollback" =>
-          throw new IllegalStateException(
-            s"rollback at v$v inside ($fromVersion, $toVersion]: incremental " +
-              "reads cannot express un-happened rows — re-baseline from a full scan")
-        case "append" =>
-          val before = filesOf(snapshotAt(v - 1)).map(_.path).toSet
-          filesOf(snap).filterNot(f => before.contains(f.path))
-        case _ => Nil
-      }
+      if (snap.opKind == "rollback")
+        throw new IllegalStateException(
+          s"rollback at v$v inside ($fromVersion, $toVersion]: incremental " +
+            "reads cannot express un-happened rows — re-baseline from a full scan")
+      // the previous snapshot is only consulted for change-carrying commits
+      // (v=1 is always "create" — snapshotAt(0) does not exist)
+      if (snap.opKind != "append") Nil
+      else addedFilesOf(snap, filesOf(snapshotAt(v - 1)).map(_.path).toSet)
     }
     readFiles(snapshotAt(toVersion), changed)
   }
 
-  private def writeHint(v: Int): Unit = {
-    val tmp = metaDir.resolve(s".hint-${UUID.randomUUID()}")
-    Files.writeString(tmp, v.toString)
-    Files.move(tmp, metaDir.resolve("version-hint.text"),
+  /** The files ADDED by a snapshot relative to `beforePaths` — the change
+    * unit [[readChangesBetween]] delivers and streaming admission control
+    * counts. Only `opKind == "append"` commits carry changes (compaction
+    * re-houses rows; metadata commits touch no data); both callers MUST
+    * share this classification or capped batches would disagree with what
+    * the batch read actually delivers. */
+  def addedFilesOf(snap: Snapshot, beforePaths: Set[String]): Seq[DataFileMeta] =
+    if (snap.opKind != "append") Nil
+    else filesOf(snap).filterNot(f => beforePaths.contains(f.path))
+
+  private def writeHint(v: Int): Unit =
+    atomicWriteMeta("version-hint.text", v.toString)
+
+  /** Write-temp-then-atomic-rename into metaDir: a crash leaves at worst an
+    * orphaned dot-temp file (ignored by every reader), never a torn target. */
+  private def atomicWriteMeta(fileName: String, content: String): Unit = {
+    val tmp = metaDir.resolve(s".$fileName-${UUID.randomUUID()}")
+    Files.writeString(tmp, content)
+    Files.move(tmp, metaDir.resolve(fileName),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 

@@ -105,14 +105,18 @@ final class GraftChangelogSource(
   /** Walk versions forward from `from` toward `target`, stopping when an
     * admission cap would be exceeded. Driver-side manifest reads only —
     * per-commit added-row counts come from the files' `rows` metadata
-    * (diffed against the previous snapshot's path set, carried
-    * incrementally so the walk is O(admitted versions × files)). Non-append
-    * commits (metadata, compaction, rollback) carry no change rows and
-    * never count against a cap; a rollback is still ADMITTED (never
-    * skipped past) so `getBatch` fails loudly per the changelog contract.
-    * At least one append commit is always admitted: commits are the
-    * atomic offset unit, so an oversized commit is delivered whole rather
-    * than stalling the stream. */
+    * ([[LakeTable.addedFilesOf]], the same change classification
+    * `getBatch`'s range read uses, diffed against a path set carried
+    * incrementally so the walk is O(admitted versions × files)). A commit
+    * containing a file with UNKNOWN row count (legacy files, failed footer
+    * read) is treated as cap-busting, not free: it is admitted ALONE under
+    * a rows cap — failing closed to the smallest batch, never open to an
+    * unbounded one. Non-append commits (metadata, compaction, rollback)
+    * carry no change rows and never count against a cap; a rollback is
+    * still ADMITTED (never skipped past) so `getBatch` fails loudly per
+    * the changelog contract. At least one append commit is always
+    * admitted: commits are the atomic offset unit, so an oversized commit
+    * is delivered whole rather than stalling the stream. */
   private def admit(from: Int, target: Int): Int = {
     if (maxVersionsPerTrigger.isEmpty && maxRowsPerTrigger.isEmpty) return target
     var v = from
@@ -125,17 +129,18 @@ final class GraftChangelogSource(
     var capped = false
     while (!capped && v < target) {
       val snap = table.snapshotAt(v + 1)
-      val paths = table.filesOf(snap)
       if (snap.opKind == "append") {
-        val added = paths.iterator.filterNot(f => prevPaths.contains(f.path))
-        val addedRows = added.map(f => math.max(0L, f.rows)).sum
+        val added = table.addedFilesOf(snap, prevPaths)
+        val addedRows =
+          if (added.exists(_.rows < 0L)) Long.MaxValue / 2 // unknown: cap-busting
+          else added.iterator.map(_.rows).sum
         val exceeds =
           maxVersionsPerTrigger.exists(m => appends + 1 > m) ||
             maxRowsPerTrigger.exists(m => rows + addedRows > m)
         if (exceeds && appends > 0) capped = true
         else { appends += 1; rows += addedRows }
       }
-      if (!capped) { prevPaths = paths.map(_.path).toSet; v += 1 }
+      if (!capped) { prevPaths = table.filesOf(snap).map(_.path).toSet; v += 1 }
     }
     v
   }

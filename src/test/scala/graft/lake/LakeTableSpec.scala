@@ -459,6 +459,8 @@ class LakeTableSpec extends SparkSpec {
     assert(t.resolveVersion(early.toString) == early)
     intercept[NoSuchElementException](t.resolveVersion("nope"))
     intercept[IllegalArgumentException](t.setTag("123"))
+    intercept[IllegalArgumentException](t.setTag(" padded "))
+    intercept[IllegalArgumentException](t.setTag("neg", -7))
     intercept[Exception](t.setTag("future", t.currentVersion + 10))
     // retainLast=1 would drop all history below current; the tag moves the
     // retention floor to `early`, which must still time-travel afterwards

@@ -392,11 +392,11 @@ class GraftSqlSpec extends SparkSpec {
         t, ev.where(col("lsn") >= e * 200L && col("lsn") < (e + 1) * 200L),
         Some(("rl", e.toLong)))
     }
-    def drain(opts: Map[String, String]): Seq[Long] = {
+    def drain(opts: Map[String, String], path: String = p): Seq[Long] = {
       val sizes = scala.collection.mutable.ArrayBuffer[Long]()
       var reader = spark.readStream.format("graft").option("startingVersion", 0)
       opts.foreach { case (k, v) => reader = reader.option(k, v) }
-      val q = reader.load(p)
+      val q = reader.load(path)
         .writeStream
         .foreachBatch((df: org.apache.spark.sql.DataFrame, _: Long) => {
           sizes += df.count(); ()
@@ -427,6 +427,28 @@ class GraftSqlSpec extends SparkSpec {
     // advances one whole commit per trigger (commits are never split)
     val tiny = drain(Map("maxRowsPerTrigger" -> "1"))
     assert(tiny.sum == total && tiny.size == 5, s"oversized commits delivered whole: $tiny")
+    // UNKNOWN row counts must fail CLOSED: a table without an lsn column
+    // keeps rows=-1 file stats, so every commit is cap-busting and gets its
+    // own batch — counting unknown as zero would deliver ONE unbounded batch
+    val pu = s"$warehouse/ns4/rlu"
+    val schU = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("repo",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("path",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.StringType)))
+    val tu = LakeTable.create(spark, pu, schU, numBuckets = 2)
+    (1 to 3).foreach { i =>
+      val df = spark.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row(s"r$i", "p", "x")), schU)
+        .withColumn("bucket", lit(0))
+      tu.appendCommit(tu.stage(df, 0))
+    }
+    assert(tu.files.forall(_.rows < 0L), "no-lsn files must have unknown counts")
+    val unknown = drain(Map("maxRowsPerTrigger" -> "1000000000"), pu)
+    assert(unknown.size == 3 && unknown.sum == 3,
+      s"unknown-count commits must each be their own batch: $unknown")
   }
 
   test("tombstone fabrication prunes payload columns out of the scan") {
