@@ -161,6 +161,18 @@ object Bench {
       rs
     }
 
+    // Headline-only mode: quiet-window re-runs of phase 1 without paying
+    // for the scaling children (A/B regression checks, window hygiene).
+    if (sys.env.contains("SPARK_GRAFT_BENCH_HEADLINE_ONLY")) {
+      val qs0 = results.map { case (k, v, _) => "\"" + k + f"\":$v%.3f" }
+        .mkString("{", ",", "}")
+      val failed0 = results.filterNot(_._3).map("\"" + _._1 + "\"").mkString("[", ",", "]")
+      val total0 = results.map(_._2).sum
+      println(
+        f"""{"metric":"total","value":$total0%.3f,"unit":"sec","queries":$qs0,"failed":$failed0,"sf":"$sfDir","loadavg_at_headline":$loadAtHeadline%.2f}""")
+      return
+    }
+
     // ---- phase 2: scaling evidence (N vs 4N executor JVMs, same input) ----
     val binlog = Files.createTempDirectory(Paths.get(benchTmp), "graft-bench-binlog").toString
     locally {
