@@ -71,9 +71,11 @@ object LakeMerge {
     // bucket computed driver-side (LakeTable.bucketOf — same hash, zero
     // Spark jobs); the point lookup plans exactly one pruned scan
     val bucket = LakeTable.bucketOf(repo, table.snapshot.numBuckets)
+    // two-level metadata pruning: hash bucket (1/numBuckets of the files)
+    // then per-file key bloom (only the files that actually carry the key)
     MergeEngine.liveView(
       MergeEngine.dedupBatch(
-        table.readBuckets(Set(bucket, LakeTable.L0Bucket))
+        table.readBuckets(Set(bucket, LakeTable.L0Bucket), Some(repo))
           .where(col("repo") === repo)))
   }
 

@@ -35,7 +35,11 @@ final case class DataFileMeta(
     kind: String = "base",
     minLsn: Long = Long.MinValue,
     maxLsn: Long = Long.MaxValue,
-    rows: Long = -1L
+    rows: Long = -1L,
+    // [[KeyBloom]] over the file's distinct `repo` values, lifted from its
+    // parquet dictionary pages at stage time; null (legacy manifests,
+    // dictionary-overflow files) = unknown → the file is never key-pruned
+    keyBloom: String = null
 )
 
 /** A pinned, versioned schema (Spark DDL string). `fieldIds` maps each
@@ -285,10 +289,25 @@ final class LakeTable private (val root: String, val spark: SparkSession) {
     * (an L0 file may hold rows of ANY bucket), while a rewrite that
     * replaces only bucketed files passes `Set(b)`. */
   def filesOf(snap: Snapshot, buckets: Set[Int]): Seq[DataFileMeta] =
-    snap.manifests
+    filesOf(snap, buckets, None)
+
+  /** As above, plus per-file key-bloom pruning for a point lookup on
+    * `repo = repoKey`: files whose bloom proves the key absent are skipped
+    * (driver-side bit probe over metadata, zero file IO — see [[KeyBloom]]).
+    * Files without a bloom (legacy manifests, dictionary-overflow) always
+    * survive, so pruning can only remove files that cannot contribute rows
+    * (or tombstones — a key's tombstone carries the key) to the lookup. */
+  def filesOf(snap: Snapshot, buckets: Set[Int], repoKey: Option[String]): Seq[DataFileMeta] = {
+    val fs = snap.manifests
       .filter(_.buckets.exists(buckets.contains))
       .flatMap(m => loadManifest(m.path))
       .filter(f => buckets.contains(f.bucket))
+    repoKey match {
+      case Some(k) =>
+        fs.filter(f => f.keyBloom == null || KeyBloom.mightContain(f.keyBloom, k))
+      case None => fs
+    }
+  }
 
   private def loadManifest(path: String): Seq[DataFileMeta] =
     manifestCache.computeIfAbsent(path, p =>
@@ -309,9 +328,14 @@ final class LakeTable private (val root: String, val spark: SparkSession) {
     * their bucket-spanning rows are filtered back down to `buckets` with
     * the table's partition expression — unless every bucket is requested,
     * in which case the per-row filter would be a no-op and is skipped. */
-  def readBuckets(buckets: Set[Int]): DataFrame = {
+  def readBuckets(buckets: Set[Int]): DataFrame = readBuckets(buckets, None)
+
+  /** As above with key-bloom file skipping for a `repo = repoKey` point
+    * lookup (callers MUST still apply the row filter — blooms admit false
+    * positives and L0 files span buckets). */
+  def readBuckets(buckets: Set[Int], repoKey: Option[String]): DataFrame = {
     val snap = snapshot
-    val files = filesOf(snap, buckets)
+    val files = filesOf(snap, buckets, repoKey)
     val df = readFiles(snap, files)
     val wantsAll = (0 until snap.numBuckets).forall(buckets.contains)
     if (wantsAll || !files.exists(_.kind == "l0")) df
@@ -452,10 +476,12 @@ final class LakeTable private (val root: String, val spark: SparkSession) {
     if (sys.env.contains("GRAFT_TRACE"))
       System.err.println(f"""{"trace":"write","sec":${(System.nanoTime() - tW) / 1e9}%.2f}""")
     val hasLsn = df.columns.contains("lsn")
+    val hasRepo = df.schema.fields.exists(f =>
+      f.name == "repo" && f.dataType == org.apache.spark.sql.types.StringType)
     val listed0 = listParquet(dir, schemaId).map(_.copy(kind = kind))
     val listed =
       if (kind == "l0") listed0.map(_.copy(bucket = LakeTable.L0Bucket)) else listed0
-    if (!hasLsn) listed
+    if (!hasLsn && !hasRepo) listed
     else {
       // footer reads are independent ~ms-scale IO — collect them in
       // parallel so stats never add measurable driver time to a commit
@@ -465,18 +491,20 @@ final class LakeTable private (val root: String, val spark: SparkSession) {
       Await.result(
         Future.traverse(listed) { f =>
           Future {
-            val (lo, hi, n) = lsnFooterStats(f.path)
-            f.copy(minLsn = lo, maxLsn = hi, rows = n)
+            val (lo, hi, n, bloom) = footerStats(f.path, hasLsn, hasRepo)
+            f.copy(minLsn = lo, maxLsn = hi, rows = n, keyBloom = bloom.orNull)
           }
         }, 10.minutes)
     }
   }
 
-  /** Lift the lsn column's min/max plus the file row count from the parquet
-    * footer (one footer read per staged file — O(files added), never
-    * touches data pages). Unknown stats degrade to the full range (file
-    * never pruned) and rows = -1. */
-  private def lsnFooterStats(path: String): (Long, Long, Long) =
+  /** Lift per-file statistics from the parquet footer — O(files added)
+    * footer reads, never data pages: the lsn column's min/max plus the row
+    * count (when `wantLsn`), and the repo-key bloom from dictionary pages
+    * (when `wantBloom`, see [[KeyBloom]]). Unknown stats degrade to the
+    * full range / no bloom (file never pruned) and rows = -1. */
+  private def footerStats(
+      path: String, wantLsn: Boolean, wantBloom: Boolean): (Long, Long, Long, Option[String]) =
     try {
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
         new org.apache.hadoop.fs.Path(path), spark.sparkContext.hadoopConfiguration)
@@ -484,17 +512,22 @@ final class LakeTable private (val root: String, val spark: SparkSession) {
       try {
         val blocks = reader.getFooter.getBlocks.asScala
         val rowCount = blocks.map(_.getRowCount).sum
-        val stats = blocks.flatMap(_.getColumns.asScala
-          .find(_.getPath.toDotString == "lsn").map(_.getStatistics))
+        val bloom =
+          if (!wantBloom) None
+          else KeyBloom.liftDictionary(reader, "repo").flatMap(KeyBloom.build)
+        val stats =
+          if (!wantLsn) Seq.empty
+          else blocks.flatMap(_.getColumns.asScala
+            .find(_.getPath.toDotString == "lsn").map(_.getStatistics))
         if (stats.isEmpty || stats.exists(s => s == null || !s.hasNonNullValue))
-          (Long.MinValue, Long.MaxValue, rowCount)
+          (Long.MinValue, Long.MaxValue, rowCount, bloom)
         else {
           val mins = stats.map(_.genericGetMin.asInstanceOf[Number].longValue())
           val maxs = stats.map(_.genericGetMax.asInstanceOf[Number].longValue())
-          (mins.min, maxs.max, rowCount)
+          (mins.min, maxs.max, rowCount, bloom)
         }
       } finally reader.close()
-    } catch { case NonFatal(_) => (Long.MinValue, Long.MaxValue, -1L) }
+    } catch { case NonFatal(_) => (Long.MinValue, Long.MaxValue, -1L, None) }
 
   private def listParquet(dir: Path, schemaId: Int): Seq[DataFileMeta] = {
     val out = Seq.newBuilder[DataFileMeta]

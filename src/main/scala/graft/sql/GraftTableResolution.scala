@@ -66,7 +66,8 @@ class GraftTableResolution(spark: SparkSession) extends Rule[LogicalPlan] {
         // resolution over that bucket's files only
         MergeEngine.prunableLiveView(
           lake.readBuckets(Set(graft.lake.LakeTable.bucketOf(
-            rv, lake.snapshot.numBuckets), graft.lake.LakeTable.L0Bucket))
+            rv, lake.snapshot.numBuckets), graft.lake.LakeTable.L0Bucket),
+            Some(rv))
             .where(org.apache.spark.sql.functions.col("repo") === rv))
       case (None, None) => MergeEngine.prunableLiveView(lake.read())
       case (Some(v), _) =>
