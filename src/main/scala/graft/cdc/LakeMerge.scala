@@ -68,15 +68,14 @@ object LakeMerge {
     * filters and resolves — at 100 TB this touches a handful of files, not
     * the table. The residual repo filter is pushed into the parquet scan. */
   def readRepo(table: LakeTable, repo: String): DataFrame = {
-    // bucket computed driver-side (LakeTable.bucketOf — same hash, zero
-    // Spark jobs); the point lookup plans exactly one pruned scan
-    val bucket = LakeTable.bucketOf(repo, table.snapshot.numBuckets)
-    // two-level metadata pruning: hash bucket (1/numBuckets of the files)
-    // then per-file key bloom (only the files that actually carry the key)
+    // three-level metadata pruning, all driver-side (zero Spark jobs before
+    // the action): per-era hash bucket (1/numBuckets of the files, probed
+    // under EVERY layout the table has written — bucket evolution), then
+    // per-file key bloom (only the files that actually carry the key), then
+    // the parquet-pushed residual filter below
     MergeEngine.liveView(
       MergeEngine.dedupBatch(
-        table.readBuckets(Set(bucket, LakeTable.L0Bucket), Some(repo))
-          .where(col("repo") === repo)))
+        table.readForKey(repo).where(col("repo") === repo)))
   }
 
   /** The write-aligned single-exchange LWW shape shared by the classic
@@ -188,7 +187,7 @@ object LakeMerge {
             pmod(xxhash64(col("path")), lit(saltPartitions.toLong))), "delta")
 
     val tStage = System.nanoTime()
-    val staged = table.stage(deltas, schemaId, kind = kind)
+    val staged = table.stage(deltas, schemaId, kind = kind, layoutBuckets = nBuckets)
     if (sys.env.contains("GRAFT_TRACE"))
       System.err.println(f"""{"trace":"stage","sec":${(System.nanoTime() - tStage) / 1e9}%.2f,"pre_sec":${(tStage - t0) / 1e9}%.2f,"files":${staged.size}}""")
     // deduped writes know the batch's distinct-key count for free from the
@@ -309,7 +308,8 @@ object LakeMerge {
     if (!due) return false
     val merged = lwwWriteShape(table.readSubset(l0), snap.numBuckets,
       snap.schema.fieldNames.toSeq, saltPartitions = 4)
-    val staged = table.stage(merged, snap.schemaId, kind = "delta")
+    val staged = table.stage(merged, snap.schemaId, kind = "delta",
+      layoutBuckets = snap.numBuckets)
     table.rewriteCommit(Set(LakeTable.L0Bucket), l0.map(_.path).toSet, staged,
       summary = Map(
         "operation" -> "flush-l0",
@@ -400,7 +400,8 @@ object LakeMerge {
         // delta per (bucket, salt) — same write-aligned single exchange
         val merged = lwwWriteShape(table.readSubset(minorFiles),
           snap.numBuckets, snap.schema.fieldNames.toSeq, saltPartitions = 4)
-        val staged = table.stage(merged, snap.schemaId, kind = "delta")
+        val staged = table.stage(merged, snap.schemaId, kind = "delta",
+          layoutBuckets = snap.numBuckets)
         table.rewriteCommit(
           minorFiles.map(_.bucket).toSet,
           minorFiles.map(_.path).toSet,
@@ -417,6 +418,14 @@ object LakeMerge {
       compacted = majorStats.compacted || minorStats.compacted,
       buckets = majorStats.buckets + minorStats.buckets,
       bytesWritten = majorStats.bytesWritten + minorStats.bytesWritten)
+  }
+
+  /** Major-compact exactly `buckets` (current-layout ids) — the targeted
+    * form [[compact]] drives; exposed for bucket-scoped maintenance and the
+    * layout-evolution purge-guard tests. */
+  def compactOnly(table: LakeTable, buckets: Set[Int]): CompactionStats = {
+    val snap = table.snapshot
+    compactBuckets(table, snap, table.filesOf(snap), buckets)
   }
 
   private def compactBuckets(
@@ -444,17 +453,31 @@ object LakeMerge {
     // tombstone here would resurrect that row at the next resolved read.
     // The purge simply waits for a pass that sees everything (full compact,
     // or any major after the L0 set has been flushed).
+    //
+    // The SAME hazard applies to bucket-layout evolution: a key resolved by
+    // this pass (bucket b under the current layout) can have an
+    // already-delivered OLDER row sitting in an old-era file whose bucket id
+    // differs (the key hashed elsewhere under that era's layout) — outside
+    // this resolution set. While any differently-laid-out file exists
+    // outside the read set, tombstones are retained; compaction migrates
+    // files to the current layout as it rewrites them, so the guard clears
+    // itself (a full compact clears it immediately).
     val l0Outside = !buckets.contains(LakeTable.L0Bucket) &&
       allFiles.exists(_.kind == "l0")
+    val readSetPaths = readSet
+    val mixedLayoutOutside = allFiles.exists(f =>
+      f.bucket != LakeTable.L0Bucket && !readSetPaths.contains(f.path) &&
+        LakeTable.layoutOf(f, snap) != snap.numBuckets)
     val resolved = lwwWriteShape(table.readBuckets(buckets),
       snap.numBuckets, snap.schema.fieldNames.toSeq, saltPartitions = 4)
     val purged =
-      if (snap.watermarkCommit == null || l0Outside) resolved
+      if (snap.watermarkCommit == null || l0Outside || mixedLayoutOutside) resolved
       else resolved.where(!(col("op") === "D" &&
         (col("commit") < lit(snap.watermarkCommit) ||
           (col("commit") === lit(snap.watermarkCommit) &&
             col("lsn") <= lit(snap.watermarkLsn)))))
-    val staged = table.stage(purged, snap.schemaId, kind = "base")
+    val staged = table.stage(purged, snap.schemaId, kind = "base",
+      layoutBuckets = snap.numBuckets)
     table.rewriteCommit(buckets, readSet, staged,
       summary = Map(
         "operation" -> "compact",

@@ -39,7 +39,13 @@ final case class DataFileMeta(
     // [[KeyBloom]] over the file's distinct `repo` values, lifted from its
     // parquet dictionary pages at stage time; null (legacy manifests,
     // dictionary-overflow files) = unknown → the file is never key-pruned
-    keyBloom: String = null
+    keyBloom: String = null,
+    // the bucket LAYOUT (total bucket count) `bucket` was computed under.
+    // 0 = the snapshot's current layout (every file of a never-evolved
+    // table); explicit after a [[LakeTable.rebucket]] layout evolution, so
+    // point lookups can match a key against EACH era's hash layout.
+    // Iceberg's partition-spec-id, reduced to the one spec shape used here.
+    layoutBuckets: Int = 0
 )
 
 /** A pinned, versioned schema (Spark DDL string). `fieldIds` maps each
@@ -126,8 +132,14 @@ final case class Snapshot(
     properties: Map[String, String] = Map.empty,
     // wall-clock commit time, stamped by commit(); -1 on pre-upgrade
     // snapshots (TIMESTAMP AS OF falls back to the metadata file's mtime)
-    timestampMs: Long = -1L
+    timestampMs: Long = -1L,
+    // every bucket layout the table has EVER written under, oldest first,
+    // current ([[numBuckets]]) last; null (never-evolved tables) =
+    // Seq(numBuckets). A point lookup probes the key's bucket under each
+    // era's layout — see [[LakeTable.rebucket]].
+    layouts: Seq[Int] = null
 ) {
+  def layoutsList: Seq[Int] = if (layouts == null) Seq(numBuckets) else layouts
   def schema: StructType = StructType.fromDDL(schemas.find(_.id == schemaId).get.ddl)
   def schemaById(id: Int): StructType = StructType.fromDDL(schemas.find(_.id == id).get.ddl)
   def fileCount: Int = manifests.map(_.fileCount).sum
@@ -365,6 +377,76 @@ final class LakeTable private (val root: String, val spark: SparkSession) {
     }
   }
 
+  // ------------------------------------------------------- layout evolution
+
+  /** Evolve the bucket layout: writes AFTER this commit bucket their rows
+    * under `newNumBuckets`; existing files keep their bytes AND their era's
+    * layout — NO data is rewritten (Iceberg-style partition evolution,
+    * reduced to the one spec shape used here). Point lookups probe the
+    * key's bucket under EVERY era ([[filesForKey]]); full reads are
+    * unaffected (old bucket ids are a subset of the grown range); compaction
+    * migrates rows to the current layout incrementally, because every
+    * rewrite re-buckets what it touches — a full compact unifies the table.
+    *
+    * Growth only: shrinking would put old bucket ids outside the current
+    * range and break the subset property full-table reads rely on.
+    *
+    * The commit stamps the outgoing layout on every file that carried it
+    * implicitly — a one-time O(table files) METADATA rewrite (the one
+    * departure from O(changed) commit cost, paid only at evolution time);
+    * data files are untouched. Manifests written by a lost optimistic-retry
+    * attempt are unreferenced and harmless (expired metadata GC territory). */
+  def rebucket(newNumBuckets: Int): Snapshot = {
+    require(newNumBuckets > snapshot.numBuckets,
+      s"bucket layout can only grow: ${snapshot.numBuckets} -> $newNumBuckets")
+    commit { s =>
+      require(newNumBuckets > s.numBuckets,
+        s"bucket layout can only grow: ${s.numBuckets} -> $newNumBuckets")
+      val ms = s.manifests.map { m =>
+        val fs = loadManifest(m.path).map(f =>
+          if (f.layoutBuckets > 0 || f.bucket == LakeTable.L0Bucket) f
+          else f.copy(layoutBuckets = s.numBuckets))
+        val p = metaDir.resolve(s"manifest-${UUID.randomUUID()}.json")
+        Files.writeString(p, mapper.writeValueAsString(fs))
+        manifestCache.put(p.toString, fs)
+        m.copy(path = p.toString)
+      }
+      s.copy(
+        numBuckets = newNumBuckets,
+        layouts = (s.layoutsList :+ newNumBuckets).distinct,
+        manifests = ms,
+        opKind = "metadata",
+        summary = Map(
+          "operation" -> "rebucket",
+          "from-buckets" -> s.numBuckets.toString,
+          "to-buckets" -> newNumBuckets.toString))
+    }
+  }
+
+  /** Every file that can hold rows of key `key`, across ALL bucket-layout
+    * eras: for each era the key's bucket id under that era's hash, plus any
+    * unflushed L0 files, then [[KeyBloom]] skipping on top. Manifests whose
+    * bucket stats intersect no candidate id are never opened. Callers must
+    * still row-filter on the key (bloom false positives; bucket companions;
+    * bucket-spanning L0 rows). */
+  def filesForKey(snap: Snapshot, key: String): Seq[DataFileMeta] = {
+    val byLayout = snap.layoutsList.map(n => n -> LakeTable.bucketOf(key, n)).toMap
+    val candidates = byLayout.values.toSet + LakeTable.L0Bucket
+    snap.manifests
+      .filter(_.buckets.exists(candidates.contains))
+      .flatMap(m => loadManifest(m.path))
+      .filter(f => f.bucket == LakeTable.L0Bucket ||
+        f.bucket == LakeTable.bucketOf(key, LakeTable.layoutOf(f, snap)))
+      .filter(f => f.keyBloom == null || KeyBloom.mightContain(f.keyBloom, key))
+  }
+
+  /** Point-lookup read: only the files [[filesForKey]] admits. The caller
+    * MUST filter `repo = key` on the result. */
+  def readForKey(key: String): DataFrame = {
+    val snap = snapshot
+    readFiles(snap, filesForKey(snap, key))
+  }
+
   // ------------------------------------------------------------ named refs
 
   /** Named snapshot tags (Iceberg-style refs): `name -> version`. Stored in
@@ -467,7 +549,13 @@ final class LakeTable private (val root: String, val spark: SparkSession) {
     * no exchange of any sort: each input task streams straight into its own
     * file (the LSM L0 shape). The files get the [[LakeTable.L0Bucket]]
     * sentinel and are re-bucketed later by compaction. */
-  def stage(df: DataFrame, schemaId: Int, kind: String = "base"): Seq[DataFileMeta] = {
+  /** @param layoutBuckets the bucket layout the frame's `bucket` column was
+    *        computed under; -1 = the current snapshot's. Writers that hold a
+    *        captured snapshot MUST pass its `numBuckets`: a concurrent
+    *        [[rebucket]] between their bucket computation and this stage
+    *        would otherwise mislabel the files' layout era. */
+  def stage(df: DataFrame, schemaId: Int, kind: String = "base",
+      layoutBuckets: Int = -1): Seq[DataFileMeta] = {
     val commitUuid = UUID.randomUUID().toString
     val dir = Paths.get(root, "data", commitUuid)
     val tW = System.nanoTime()
@@ -478,9 +566,13 @@ final class LakeTable private (val root: String, val spark: SparkSession) {
     val hasLsn = df.columns.contains("lsn")
     val hasRepo = df.schema.fields.exists(f =>
       f.name == "repo" && f.dataType == org.apache.spark.sql.types.StringType)
-    val listed0 = listParquet(dir, schemaId).map(_.copy(kind = kind))
+    val layout = if (layoutBuckets > 0) layoutBuckets else snapshot.numBuckets
+    val listed0 = listParquet(dir, schemaId)
+      .map(_.copy(kind = kind, layoutBuckets = layout))
     val listed =
-      if (kind == "l0") listed0.map(_.copy(bucket = LakeTable.L0Bucket)) else listed0
+      if (kind == "l0")
+        listed0.map(_.copy(bucket = LakeTable.L0Bucket, layoutBuckets = 0))
+      else listed0
     if (!hasLsn && !hasRepo) listed
     else {
       // footer reads are independent ~ms-scale IO — collect them in
@@ -977,6 +1069,12 @@ object LakeTable {
 
   /** Sentinel bucket id for L0 (unpartitioned, bucket-spanning) files. */
   val L0Bucket: Int = -1
+
+  /** The bucket layout `f.bucket` was computed under: the file's explicit
+    * era stamp, or the snapshot's current layout where implicit (every file
+    * of a never-evolved table). */
+  def layoutOf(f: DataFileMeta, snap: Snapshot): Int =
+    if (f.layoutBuckets > 0) f.layoutBuckets else snap.numBuckets
 
   /** Operation summaries that meant "rows were appended" before snapshots
     * carried a structural opKind (pre-round-3 metadata JSON) — used only to

@@ -427,6 +427,33 @@ object CdcQueries {
       LakeMerge.readState(table)
         .groupBy(col("language"))
         .agg(count(lit(1)).as("n_rows"), max(col("lsn")).as("max_lsn"))
+    }),
+
+    // Bucket-layout evolution mid-replay: batch 1 lands under 4 buckets,
+    // rebucket(16) evolves the layout WITHOUT rewriting data, batch 2
+    // (updates/deletes over batch 1's keys) lands under 16. The resolved
+    // read crosses both eras; an all-buckets major then MIGRATES every file
+    // to the current layout (exercising the evolution-aware tombstone-purge
+    // guard en route) and the final state is hash-checked against the LWW
+    // oracle over the raw exported events — wrong cross-era resolution,
+    // wrong migration, or a wrongly-purged tombstone all hash-mismatch.
+    "q_bucket_evolution" -> ((s, _) => {
+      val all = EventGen.events(s, 12000L, nRepos = 60, pathsPerRepo = 8,
+        langFromLsn = 6000L)
+      exportIf(all, s"$ExportRoot/q_bucket_evolution")
+      val dir = java.nio.file.Files.createTempDirectory("graft-evolveq").toString
+      val table = LakeTable.create(s, s"$dir/table", CdcStream.binlogSchema,
+        numBuckets = 4)
+      LakeMerge.mergeBatch(table, all.where(col("lsn") < 6000L), Some(("evq", 0L)))
+      table.rebucket(16)
+      LakeMerge.mergeBatch(table, all.where(col("lsn") >= 6000L), Some(("evq", 1L)))
+      LakeMerge.compactOnly(table, (0 until 16).toSet)
+      require(table.files.forall(f =>
+        graft.lake.LakeTable.layoutOf(f, table.snapshot) == 16),
+        "all-buckets major must unify the bucket layout")
+      LakeMerge.readState(table)
+        .select(col("repo"), col("path"), col("commit"), col("lsn"),
+          col("lang"), sha2(col("content"), 256).as("content_sha"))
     })
   )
 
@@ -513,6 +540,10 @@ object CdcQueries {
       s"$ExportRoot/q_schema_evolution/*.parquet",
       "lang AS language, count(*) AS n_rows, max(lsn) AS max_lsn",
       tail = "\nGROUP BY lang"),
+
+    "q_bucket_evolution" -> lwwOracle(
+      s"$ExportRoot/q_bucket_evolution/*.parquet",
+      """repo, path, "commit", lsn, lang, sha256(content) AS content_sha"""),
 
     "q_mart_streaming" -> lwwOracle(
       s"$ExportRoot/q_mart_streaming/binlog/segment-*.parquet",

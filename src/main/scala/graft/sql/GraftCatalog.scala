@@ -272,6 +272,7 @@ final case class GraftTable(path: String, asOfVersion: Option[Int])
       "snapshot-id" -> snap.snapshotId.toString,
       "committed-at-ms" -> snap.timestampMs.toString,
       "num-buckets" -> snap.numBuckets.toString,
+      "bucket-layouts" -> snap.layoutsList.mkString(","),
       "data-files" -> snap.fileCount.toString,
       "delta-files" -> snap.deltaCount.toString,
       "schema-id" -> snap.schemaId.toString)).asJava

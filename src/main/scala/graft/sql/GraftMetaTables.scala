@@ -75,7 +75,8 @@ object GraftMetaTable {
       StructField("rows", LongType),
       StructField("min_lsn", LongType),
       StructField("max_lsn", LongType),
-      StructField("schema_id", IntegerType, nullable = false))),
+      StructField("schema_id", IntegerType, nullable = false),
+      StructField("layout_buckets", IntegerType, nullable = false))),
     "fences" -> StructType(Seq(
       StructField("query_id", StringType, nullable = false),
       StructField("last_epoch", LongType, nullable = false))),
@@ -112,7 +113,7 @@ object GraftMetaTable {
             if (f.rows >= 0L) f.rows else null,
             if (f.minLsn != Long.MinValue) f.minLsn else null,
             if (f.maxLsn != Long.MaxValue) f.maxLsn else null,
-            f.schemaId))
+            f.schemaId, LakeTable.layoutOf(f, snap)))
         }.toArray
       case "fences" =>
         t.snapshot.fences.toSeq.sortBy(_._1).iterator.map { case (q, e) =>

@@ -28,7 +28,7 @@ object GraftProcedures {
 
   val names: Seq[String] =
     Seq("compact", "flush_l0", "expire_snapshots", "gc_orphans", "rollback",
-      "tag", "drop_tag")
+      "tag", "drop_tag", "rebucket")
 
   def load(root: String, ident: Identifier): UnboundProcedure = {
     require(ident.namespace().isEmpty || ident.namespace().sameElements(Array("system")),
@@ -41,6 +41,7 @@ object GraftProcedures {
       case "rollback" => new RollbackProcedure(root)
       case "tag" => new TagProcedure(root)
       case "drop_tag" => new DropTagProcedure(root)
+      case "rebucket" => new RebucketProcedure(root)
       case other =>
         throw new UnsupportedOperationException(
           s"no such procedure: $other (available: ${names.mkString(", ")})")
@@ -165,6 +166,29 @@ object GraftProcedures {
       require(input.numFields > 1 && !input.isNullAt(1), "to_version is required")
       val snap = lake(input).rollback(input.getInt(1))
       result(RollbackSchema, snap.version, snap.snapshotId)
+    }
+  }
+
+  private val RebucketSchema = StructType(Seq(
+    StructField("version", IntegerType, nullable = false),
+    StructField("num_buckets", IntegerType, nullable = false),
+    StructField("layouts", StringType, nullable = false)))
+
+  private final class RebucketProcedure(root: String) extends MaintenanceProcedure(root) {
+    override def name(): String = "rebucket"
+    override def description(): String =
+      "Grow the table's bucket layout (partition evolution): new writes " +
+        "bucket under the new count; existing files are NOT rewritten — " +
+        "point lookups probe every layout era, compaction migrates files " +
+        "to the current layout as it rewrites them."
+    override def parameters(): Array[ProcedureParameter] = Array(
+      tableParam,
+      ProcedureParameter.in("num_buckets", IntegerType).build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      require(input.numFields > 1 && !input.isNullAt(1), "num_buckets is required")
+      val snap = lake(input).rebucket(input.getInt(1))
+      result(RebucketSchema, snap.version, snap.numBuckets,
+        utf8(snap.layoutsList.mkString(",")))
     }
   }
 

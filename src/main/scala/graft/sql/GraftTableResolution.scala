@@ -62,12 +62,11 @@ class GraftTableResolution(spark: SparkSession) extends Rule[LogicalPlan] {
     // `SELECT repo FROM graft.t` must not read `content`
     val df = (t.asOfVersion, repo) match {
       case (None, Some(rv)) =>
-        // metadata bucket pruning for the point lookup, then the prunable
-        // resolution over that bucket's files only
+        // metadata pruning for the point lookup (per-era hash bucket +
+        // per-file key bloom), then the prunable resolution over only the
+        // files that can hold the key
         MergeEngine.prunableLiveView(
-          lake.readBuckets(Set(graft.lake.LakeTable.bucketOf(
-            rv, lake.snapshot.numBuckets), graft.lake.LakeTable.L0Bucket),
-            Some(rv))
+          lake.readForKey(rv)
             .where(org.apache.spark.sql.functions.col("repo") === rv))
       case (None, None) => MergeEngine.prunableLiveView(lake.read())
       case (Some(v), _) =>

@@ -1,0 +1,136 @@
+package graft.lake
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.cdc.{CdcStream, LakeMerge, MergeEngine}
+
+/** Bucket-layout evolution ([[LakeTable.rebucket]]): growing numBuckets
+  * without rewriting data. Old files keep their era's layout; point lookups
+  * probe every era; compaction migrates and the tombstone purge waits for a
+  * unified layout. */
+class BucketEvolutionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def batch(rows: Seq[(String, String, String, Long, String, String, String)]) =
+    rows.toDF("repo", "path", "commit", "lsn", "op", "lang", "content")
+
+  private def rows(repos: Seq[String], lsn0: Long, op: String = "I", v: String = "x") =
+    repos.zipWithIndex.flatMap { case (r, i) =>
+      (0 until 20).map(j => (r, s"p$j", f"c$lsn0%05d", lsn0 + i * 20 + j, op, "sc", s"$v$j"))
+    }
+
+  test("rebucket grows the layout; reads and point lookups stay correct across eras") {
+    val root = tmpDir("evolve")
+    val t = LakeTable.create(spark, root, CdcStream.binlogSchema, numBuckets = 4)
+    val before = Seq("alpha", "beta", "gamma", "delta", "epsilon")
+    LakeMerge.mergeBatch(t, batch(rows(before, 0L)), Some(("ev", 0L)))
+
+    t.rebucket(16)
+    assert(t.snapshot.numBuckets == 16)
+    assert(t.snapshot.layoutsList == Seq(4, 16))
+    // old files stamped with their era, none rewritten
+    val oldFiles = t.files
+    assert(oldFiles.forall(f => f.layoutBuckets == 4),
+      s"pre-evolution files must carry the old era: ${oldFiles.map(_.layoutBuckets)}")
+
+    val after = Seq("zeta", "eta", "alpha") // alpha gets NEWER rows post-evolution
+    LakeMerge.mergeBatch(t, batch(rows(after, 1000L, v = "y")), Some(("ev", 1L)))
+    val newFiles = t.files.filterNot(f => oldFiles.map(_.path).contains(f.path))
+    assert(newFiles.nonEmpty && newFiles.forall(_.layoutBuckets == 16))
+
+    // full read resolves across eras (alpha's post-evolution rows win)
+    val state = LakeMerge.readState(t)
+    assert(state.count() == (before ++ after).distinct.size * 20)
+    assert(state.where($"repo" === "alpha").select("content").as[String]
+      .collect().forall(_.startsWith("y")), "LWW winner must come from the new era")
+
+    // point lookups hit keys written before, after, and in both eras
+    for (r <- (before ++ after).distinct) {
+      val got = LakeMerge.readRepo(t, r).count()
+      assert(got == 20, s"$r: expected 20 rows, got $got")
+    }
+    assert(LakeMerge.readRepo(t, "never_written").isEmpty)
+
+    // the lookup reads only per-era-matching files: for a repo written only
+    // before evolution, no new-era file whose bucket mismatches is touched
+    val fGamma = t.filesForKey(t.snapshot, "gamma")
+    assert(fGamma.forall(f =>
+      f.bucket == LakeTable.bucketOf("gamma", LakeTable.layoutOf(f, t.snapshot))))
+    assert(fGamma.size < t.files.size)
+  }
+
+  test("rebucket rejects shrinking and no-op sizes") {
+    val root = tmpDir("evolve-shrink")
+    val t = LakeTable.create(spark, root, CdcStream.binlogSchema, numBuckets = 8)
+    intercept[IllegalArgumentException] { t.rebucket(4) }
+    intercept[IllegalArgumentException] { t.rebucket(8) }
+  }
+
+  test("full compaction migrates every file to the current layout") {
+    val root = tmpDir("evolve-compact")
+    val t = LakeTable.create(spark, root, CdcStream.binlogSchema, numBuckets = 2)
+    LakeMerge.mergeBatch(t, batch(rows(Seq("r1", "r2", "r3"), 0L)), Some(("ev", 0L)))
+    t.rebucket(8)
+    LakeMerge.mergeBatch(t, batch(rows(Seq("r4"), 1000L)), Some(("ev", 1L)))
+    val preState = MergeEngine.dedupBatch(t.read()).collect().map(_.toString).sorted
+    assert(LakeMerge.compact(t))
+    val t2 = LakeTable.load(spark, root)
+    assert(t2.files.forall(_.layoutBuckets == 8),
+      s"post-compact layouts: ${t2.files.map(f => (f.bucket, f.layoutBuckets)).mkString(", ")}")
+    assert(t2.files.forall(f => f.bucket >= 0 && f.bucket < 8))
+    val postState = MergeEngine.dedupBatch(t2.read()).collect().map(_.toString).sorted
+    assert(preState.toSeq == postState.toSeq, "compaction must not change the resolved state")
+    // point lookups prune under the unified layout again
+    assert(LakeMerge.readRepo(t2, "r1").count() == 20)
+  }
+
+  test("tombstone purge waits while old-era files sit outside the resolution set") {
+    val root = tmpDir("evolve-purge")
+    val t = LakeTable.create(spark, root, CdcStream.binlogSchema, numBuckets = 2)
+    // live row for k, then evolve, then tombstone k (new era, maybe another bucket)
+    LakeMerge.mergeBatch(t, batch(Seq(("k", "p", "c1", 1L, "I", "sc", "v1"))), Some(("ev", 0L)))
+    LakeMerge.mergeBatch(t, batch(rows(Seq("filler1", "filler2"), 100L)), Some(("ev", 1L)))
+    t.rebucket(32)
+    LakeMerge.mergeBatch(t, batch(Seq(("k", "p", "c2", 5000L, "D", null, null))), Some(("ev", 2L)))
+    LakeMerge.setWatermark(t, "c2", 5000L)
+    // major-compact ONLY the tombstone's current-era bucket: k's old live
+    // row sits in an old-era file outside the set — the purge must NOT
+    // drop the tombstone, or the old row would resurrect
+    val kb = LakeTable.bucketOf("k", 32)
+    LakeMerge.compactOnly(t, Set(kb))
+    val resolved = MergeEngine.dedupBatch(LakeTable.load(spark, root).read())
+      .where($"repo" === "k")
+    assert(resolved.count() == 1 && resolved.head().getAs[String]("op") == "D",
+      "tombstone must survive a major while old-era files exist outside the set")
+    assert(LakeMerge.readRepo(t, "k").isEmpty, "k stays deleted")
+    // a major over EVERY bucket (sees everything, unifies the layout) may
+    // finally purge: nothing differently-laid-out remains outside its set
+    LakeMerge.compactOnly(t, (0 until 32).toSet)
+    val t3 = LakeTable.load(spark, root)
+    assert(MergeEngine.dedupBatch(t3.read()).where($"repo" === "k").isEmpty,
+      "full compact at/below the watermark purges the tombstone")
+    assert(LakeMerge.readRepo(t3, "k").isEmpty)
+  }
+
+  test("SQL surface: CALL graft.rebucket + point lookup through the catalog") {
+    val warehouse = tmpDir("evolve-wh")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$warehouse/ns"))
+    val path = s"$warehouse/ns/ev"
+    val t = LakeTable.create(spark, path, CdcStream.binlogSchema, numBuckets = 2)
+    LakeMerge.mergeBatch(t, batch(rows(Seq("a1", "a2"), 0L)), Some(("ev", 0L)))
+    val sql = graft.sql.GraftSql.attach(spark, root = Some(warehouse))
+    val res = sql.sql("CALL graft.rebucket('ns.ev', 8)").collect()
+    assert(res.length == 1 && res(0).getInt(1) == 8 && res(0).getString(2) == "2,8")
+    LakeMerge.mergeBatch(LakeTable.load(spark, path),
+      batch(rows(Seq("a3"), 1000L)), Some(("ev", 1L)))
+    val got = sql.sql("SELECT * FROM graft.ns.ev WHERE repo = 'a2'").collect()
+    assert(got.length == 20)
+    assert(sql.sql("SELECT * FROM graft.ns.ev").count() == 60)
+    val props = sql.sql("SHOW TBLPROPERTIES graft.ns.ev").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props("num-buckets") == "8" && props("bucket-layouts") == "2,8")
+    val layouts = sql.sql("SELECT DISTINCT layout_buckets FROM graft.ns.ev.files")
+      .collect().map(_.getInt(0)).toSet
+    assert(layouts == Set(2, 8))
+  }
+}
