@@ -112,6 +112,76 @@ class BucketEvolutionSpec extends SparkSpec {
     assert(LakeMerge.readRepo(t3, "k").isEmpty)
   }
 
+  test("rebucket DURING a live stream with kill/restart: state converges, eras coexist") {
+    val dir = tmpDir("evolve-live")
+    val binlog = s"$dir/binlog"
+    val n = 8000L
+    graft.cdc.EventGen.writeBinlog(spark, binlog, n, segments = 8,
+      nRepos = 80, pathsPerRepo = 10)
+    val t = LakeTable.create(spark, s"$dir/table", CdcStream.binlogSchema, numBuckets = 4)
+    val metrics = CdcStream.metricsTable(spark, s"$dir/metrics")
+
+    // a couple of epochs under the old layout, then EVOLVE mid-stream from
+    // a SEPARATE table handle (optimistic-commit race with the ingest)
+    val q1 = CdcStream.start(spark, t, metrics, binlog, s"$dir/ckpt",
+      queryId = "evolve-live", maxFilesPerTrigger = 1, availableNow = false)
+    var waited = 0
+    while (t.fence("evolve-live") < 1L && waited < 300) { Thread.sleep(100); waited += 1 }
+    assert(t.fence("evolve-live") >= 1L)
+    LakeTable.load(spark, s"$dir/table").rebucket(32)
+    q1.stop() // kill mid-stream, after the evolution
+    val q2 = CdcStream.start(spark, t, metrics, binlog, s"$dir/ckpt",
+      queryId = "evolve-live", maxFilesPerTrigger = 3)
+    q2.awaitTermination()
+
+    // byte-exact convergence to the fold oracle across the evolution
+    val events = graft.cdc.EventGen.events(spark, n, nRepos = 80, pathsPerRepo = 10)
+      .orderBy("lsn").as[graft.cdc.ChangeEvent].collect().toSeq
+    val oracle = graft.cdc.MergeEngine.foldOracle(events).map { case (k, e) =>
+      k -> org.apache.commons.codec.digest.DigestUtils.sha256Hex(e.content)
+    }
+    val got = LakeMerge.readState(t).select($"repo", $"path", sha2($"content", 256))
+      .as[(String, String, String)].collect().map(x => (x._1, x._2) -> x._3).toMap
+    assert(got == oracle, "live-evolved replay must converge to the fold oracle")
+
+    val t2 = LakeTable.load(spark, s"$dir/table")
+    // the stream's own compaction may already have migrated old-era files
+    // to the current layout by drain time (that is the designed migration
+    // path); whatever survives must carry a coherent era stamp
+    val eras = t2.files.map(f => LakeTable.layoutOf(f, t2.snapshot)).toSet
+    assert(eras.nonEmpty && eras.subsetOf(Set(4, 32)), s"incoherent eras: $eras")
+    assert(t2.snapshot.layoutsList == Seq(4, 32))
+    // point lookup across the era boundary
+    val someRepo = oracle.keys.head._1
+    assert(LakeMerge.readRepo(t2, someRepo).count() ==
+      oracle.keys.count(_._1 == someRepo))
+  }
+
+  test("rebucket races concurrent mergeBatch writers without losing either") {
+    val root = tmpDir("evolve-race")
+    val t = LakeTable.create(spark, root, CdcStream.binlogSchema, numBuckets = 2)
+    LakeMerge.mergeBatch(t, batch(rows(Seq("seed"), 0L)), Some(("race", 0L)))
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val writer = new Thread(() => {
+      try (1 to 4).foreach { i =>
+        LakeMerge.mergeBatch(LakeTable.load(spark, root),
+          batch(rows(Seq(s"w$i"), i * 1000L)), Some(("race", i.toLong)))
+      } catch { case e: Throwable => errs.add(e) }
+    })
+    writer.start()
+    t.rebucket(8) // races the writer's stage/commit cycle
+    writer.join(120000)
+    assert(errs.isEmpty, s"concurrent writer failed: ${errs.peek()}")
+    val t2 = LakeTable.load(spark, root)
+    assert(t2.snapshot.numBuckets == 8)
+    val state = LakeMerge.readState(t2)
+    assert(state.count() == 5 * 20, "no batch lost across the rebucket race")
+    for (r <- Seq("seed", "w1", "w2", "w3", "w4"))
+      assert(LakeMerge.readRepo(t2, r).count() == 20, s"point lookup lost $r")
+    // every file readable under a coherent era stamp
+    assert(t2.files.forall(f => Set(2, 8).contains(LakeTable.layoutOf(f, t2.snapshot))))
+  }
+
   test("SQL surface: CALL graft.rebucket + point lookup through the catalog") {
     val warehouse = tmpDir("evolve-wh")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$warehouse/ns"))
