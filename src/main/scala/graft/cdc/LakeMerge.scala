@@ -454,24 +454,30 @@ object LakeMerge {
     // The purge simply waits for a pass that sees everything (full compact,
     // or any major after the L0 set has been flushed).
     //
-    // The SAME hazard applies to bucket-layout evolution: a key resolved by
-    // this pass (bucket b under the current layout) can have an
-    // already-delivered OLDER row sitting in an old-era file whose bucket id
-    // differs (the key hashed elsewhere under that era's layout) — outside
-    // this resolution set. While any differently-laid-out file exists
-    // outside the read set, tombstones are retained; compaction migrates
+    // The SAME hazard applies to bucket-layout evolution, in BOTH
+    // directions: under mixed layouts a key's rows live under SEVERAL
+    // bucket ids (one per era), so a key resolved by this pass can have an
+    // already-delivered OLDER row in a file outside the set — an old-era
+    // file whose id differs (key hashed elsewhere under that era), OR a
+    // current-era file while the key entered this set via an old-era one
+    // (round-5 review: purging the old-era tombstone would resurrect an
+    // out-of-order older row parked in its current-era bucket). So while
+    // the table holds ANY differently-laid-out file and this pass does not
+    // see every bucketed file, tombstones are retained; compaction migrates
     // files to the current layout as it rewrites them, so the guard clears
     // itself (a full compact clears it immediately).
     val l0Outside = !buckets.contains(LakeTable.L0Bucket) &&
       allFiles.exists(_.kind == "l0")
-    val readSetPaths = readSet
-    val mixedLayoutOutside = allFiles.exists(f =>
-      f.bucket != LakeTable.L0Bucket && !readSetPaths.contains(f.path) &&
+    val bucketedOutside = allFiles.exists(f =>
+      f.bucket != LakeTable.L0Bucket && !readSet.contains(f.path))
+    val anyMixedLayout = allFiles.exists(f =>
+      f.bucket != LakeTable.L0Bucket &&
         LakeTable.layoutOf(f, snap) != snap.numBuckets)
+    val mixedLayoutHazard = anyMixedLayout && bucketedOutside
     val resolved = lwwWriteShape(table.readBuckets(buckets),
       snap.numBuckets, snap.schema.fieldNames.toSeq, saltPartitions = 4)
     val purged =
-      if (snap.watermarkCommit == null || l0Outside || mixedLayoutOutside) resolved
+      if (snap.watermarkCommit == null || l0Outside || mixedLayoutHazard) resolved
       else resolved.where(!(col("op") === "D" &&
         (col("commit") < lit(snap.watermarkCommit) ||
           (col("commit") === lit(snap.watermarkCommit) &&

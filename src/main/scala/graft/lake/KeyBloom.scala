@@ -53,8 +53,13 @@ object KeyBloom {
       math.max(256, Integer.highestOneBit(n * BitsPerEntry - 1) << 1))
     val bits = new Array[Byte](mBits / 8)
     vs.foreach { v =>
+      val (h1, h2) = hashes(v)
       var i = 0
-      while (i < K) { val b = bitOf(v, i, mBits); bits(b >>> 3) = (bits(b >>> 3) | (1 << (b & 7))).toByte; i += 1 }
+      while (i < K) {
+        val b = bitOf(h1, h2, i, mBits)
+        bits(b >>> 3) = (bits(b >>> 3) | (1 << (b & 7))).toByte
+        i += 1
+      }
     }
     val out = new Array[Byte](5 + bits.length)
     out(0) = K.toByte
@@ -72,22 +77,26 @@ object KeyBloom {
       val mBits = ((raw(1) & 0xff) << 24) | ((raw(2) & 0xff) << 16) |
         ((raw(3) & 0xff) << 8) | (raw(4) & 0xff)
       if (k <= 0 || mBits <= 0 || raw.length < 5 + mBits / 8) return true
+      val (h1, h2) = hashes(value)
       var i = 0
       while (i < k) {
-        val b = bitOf(value, i, mBits)
+        val b = bitOf(h1, h2, i, mBits)
         if ((raw(5 + (b >>> 3)) & (1 << (b & 7))) == 0) return false
         i += 1
       }
       true
     } catch { case NonFatal(_) => true }
 
-  private def bitOf(v: String, i: Int, mBits: Int): Int = {
-    val h1 = MurmurHash3.stringHash(v, 0x9747b28c)
-    val h2 = MurmurHash3.stringHash(v, 0x1b873593) | 1
+  /** The two base hashes, computed ONCE per value (Kirsch–Mitzenmacher:
+    * index i derives from h1 + i·h2, not from i fresh string hashes). */
+  private def hashes(v: String): (Int, Int) =
+    (MurmurHash3.stringHash(v, 0x9747b28c),
+      MurmurHash3.stringHash(v, 0x1b873593) | 1)
+
+  private def bitOf(h1: Int, h2: Int, i: Int, mBits: Int): Int =
     // mBits is a power of two ≥ 256 — the non-negative double-hash value
     // mods uniformly
     (((h1.toLong & 0xffffffffL) + i.toLong * (h2.toLong & 0xffffffffL)) % mBits).toInt
-  }
 
   /** Lift the distinct values of string column `column` from a parquet
     * file's dictionary pages — one footer + one dictionary page read per

@@ -403,13 +403,20 @@ final class LakeTable private (val root: String, val spark: SparkSession) {
       require(newNumBuckets > s.numBuckets,
         s"bucket layout can only grow: ${s.numBuckets} -> $newNumBuckets")
       val ms = s.manifests.map { m =>
-        val fs = loadManifest(m.path).map(f =>
+        val loaded = loadManifest(m.path)
+        val fs = loaded.map(f =>
           if (f.layoutBuckets > 0 || f.bucket == LakeTable.L0Bucket) f
           else f.copy(layoutBuckets = s.numBuckets))
-        val p = metaDir.resolve(s"manifest-${UUID.randomUUID()}.json")
-        Files.writeString(p, mapper.writeValueAsString(fs))
-        manifestCache.put(p.toString, fs)
-        m.copy(path = p.toString)
+        // reuse untouched manifests by reference (everything already
+        // stamped — e.g. any rebucket after the first): the O(table-files)
+        // metadata rewrite is paid only for implicitly-laid-out entries
+        if (fs == loaded) m
+        else {
+          val p = metaDir.resolve(s"manifest-${UUID.randomUUID()}.json")
+          Files.writeString(p, mapper.writeValueAsString(fs))
+          manifestCache.put(p.toString, fs)
+          m.copy(path = p.toString)
+        }
       }
       s.copy(
         numBuckets = newNumBuckets,
@@ -435,8 +442,13 @@ final class LakeTable private (val root: String, val spark: SparkSession) {
     snap.manifests
       .filter(_.buckets.exists(candidates.contains))
       .flatMap(m => loadManifest(m.path))
-      .filter(f => f.bucket == LakeTable.L0Bucket ||
-        f.bucket == LakeTable.bucketOf(key, LakeTable.layoutOf(f, snap)))
+      .filter(f => f.bucket == LakeTable.L0Bucket || {
+        // O(eras) key hashes total, not O(files): every well-formed stamp
+        // is an era in layoutsList; an out-of-list stamp (foreign metadata)
+        // falls back to a direct computation rather than mis-pruning
+        val layout = LakeTable.layoutOf(f, snap)
+        f.bucket == byLayout.getOrElse(layout, LakeTable.bucketOf(key, layout))
+      })
       .filter(f => f.keyBloom == null || KeyBloom.mightContain(f.keyBloom, key))
   }
 

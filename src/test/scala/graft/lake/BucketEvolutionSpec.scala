@@ -112,6 +112,37 @@ class BucketEvolutionSpec extends SparkSpec {
     assert(LakeMerge.readRepo(t3, "k").isEmpty)
   }
 
+  test("purge hazard is two-directional: old-era tombstone survives a major containing it " +
+      "while the key's out-of-order older row sits in a current-era bucket outside") {
+    // round-5 review regression: under mixed layouts a key's rows live
+    // under SEVERAL bucket ids; purging a below-watermark tombstone read
+    // from an OLD-era file would resurrect an out-of-order OLDER row parked
+    // in the key's CURRENT-era bucket (legal arrival: it was above the
+    // watermark when delivered)
+    val k = (1 to 10000).map(i => s"key_$i")
+      .find(s => LakeTable.bucketOf(s, 4) != LakeTable.bucketOf(s, 16)).get
+    val root = tmpDir("evolve-purge2")
+    val t = LakeTable.create(spark, root, CdcStream.binlogSchema, numBuckets = 4)
+    LakeMerge.mergeBatch(t, batch(Seq((k, "p", "c9", 9L, "D", null, null))), Some(("pg", 0L)))
+    t.rebucket(16)
+    LakeMerge.mergeBatch(t, batch(Seq((k, "p", "c5", 5L, "I", "sc", "old"))), Some(("pg", 1L)))
+    LakeMerge.setWatermark(t, "c9", 9L)
+    // major over the tombstone's OLD-era id: the read set CONTAINS the
+    // old-era file; the current-era file (different id) is outside
+    LakeMerge.compactOnly(t, Set(LakeTable.bucketOf(k, 4)))
+    val t2 = LakeTable.load(spark, root)
+    assert(LakeMerge.readRepo(t2, k).isEmpty,
+      s"$k must stay deleted — purging its tombstone resurrects the c5 row")
+    val raw = MergeEngine.dedupBatch(t2.read()).where($"repo" === k).collect()
+    assert(raw.length == 1 && raw(0).getAs[String]("op") == "D",
+      "the tombstone must be retained while layouts are mixed")
+    // once every bucketed file is in one pass's read set, the purge fires
+    LakeMerge.compactOnly(t2, (0 until 16).toSet)
+    val t3 = LakeTable.load(spark, root)
+    assert(MergeEngine.dedupBatch(t3.read()).where($"repo" === k).isEmpty,
+      "the all-buckets major purges the tombstone AND the shadowed older row")
+  }
+
   test("rebucket DURING a live stream with kill/restart: state converges, eras coexist") {
     val dir = tmpDir("evolve-live")
     val binlog = s"$dir/binlog"
