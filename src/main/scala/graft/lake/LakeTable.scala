@@ -1037,17 +1037,31 @@ final class LakeTable private (val root: String, val spark: SparkSession) {
       filesOf(snapshotAt(v)).map(f =>
         Paths.get(f.path).getParent.getParent.getFileName.toString)
     }.toSet
-    val dataDir = Paths.get(root, "data")
-    if (!Files.exists(dataDir)) return 0
     val cutoff = System.currentTimeMillis() - minAgeMs
+    def oldEnough(p: Path): Boolean = minAgeMs == 0L ||
+      (try Files.getLastModifiedTime(p).toMillis <= cutoff
+      catch { case NonFatal(_) => false })
     var n = 0
-    graft.util.Fs.list(dataDir).foreach { d =>
-      val oldEnough = minAgeMs == 0L ||
-        (try Files.getLastModifiedTime(d).toMillis <= cutoff
-        catch { case NonFatal(_) => false })
-      if (!referenced.contains(d.getFileName.toString) && oldEnough) {
-        graft.util.Fs.rmTree(d)
-        n += 1
+    val dataDir = Paths.get(root, "data")
+    if (Files.exists(dataDir)) {
+      graft.util.Fs.list(dataDir).foreach { d =>
+        if (!referenced.contains(d.getFileName.toString) && oldEnough(d)) {
+          graft.util.Fs.rmTree(d)
+          n += 1
+        }
+      }
+    }
+    // manifest orphans: a lost optimistic-commit retry (rewrite/rebucket)
+    // writes manifests that no snapshot ever references — snapshot expiry
+    // never sees them, only this sweep does. The same age guard protects a
+    // concurrent writer's just-written, not-yet-committed manifests.
+    val referencedManifests = (minVersionAvailable to currentVersion)
+      .flatMap(v => snapshotAt(v).manifests.map(_.path)).toSet
+    graft.util.Fs.list(metaDir).foreach { p =>
+      val name = p.getFileName.toString
+      if (name.startsWith("manifest-") && name.endsWith(".json") &&
+          !referencedManifests.contains(p.toString) && oldEnough(p)) {
+        if (Files.deleteIfExists(p)) { manifestCache.remove(p.toString); n += 1 }
       }
     }
     n

@@ -569,4 +569,25 @@ class LakeTableSpec extends SparkSpec {
     assert(t.gcOrphans() == 1)
     assert(t.read().count() == 1)
   }
+
+  test("gcOrphans reclaims never-referenced manifests (lost optimistic retries)") {
+    val root = tmpDir("lake")
+    val t = LakeTable.create(spark, root, baseSchema, numBuckets = 2)
+    val df = Seq(("r1", "a", "c1", 1L, null: String, "x"))
+      .toDF(baseSchema.fieldNames.toSeq: _*).withColumn("bucket", lit(0))
+    t.appendCommit(t.stage(df, 0))
+    val live = t.snapshot.manifests.head.path
+    // simulate a lost retry: a manifest file no snapshot references
+    val orphan = java.nio.file.Paths.get(live).getParent
+      .resolve(s"manifest-${java.util.UUID.randomUUID()}.json")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(live), orphan)
+    // a generous age guard spares the young orphan (concurrent-writer safety)
+    assert(t.gcOrphans(minAgeMs = 3600000L) == 0)
+    assert(java.nio.file.Files.exists(orphan))
+    assert(t.gcOrphans() == 1)
+    assert(!java.nio.file.Files.exists(orphan))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(live)),
+      "referenced manifests must survive")
+    assert(t.read().count() == 1)
+  }
 }
