@@ -429,6 +429,26 @@ object CdcQueries {
         .agg(count(lit(1)).as("n_rows"), max(col("lsn")).as("max_lsn"))
     }),
 
+    // Metadata-pruned point lookup through readRepo, across a bucket-layout
+    // evolution: the key's bucket is probed under BOTH eras (4 and 16) and
+    // per-file key blooms skip bucket companions — the same files a 100 TB
+    // lookup would open. The resolved single-repo state is hash-checked
+    // against the LWW oracle filtered to that repo.
+    "q_point_lookup" -> ((s, _) => {
+      val all = EventGen.events(s, 10000L, nRepos = 50, pathsPerRepo = 10,
+        langFromLsn = 5000L)
+      exportIf(all, s"$ExportRoot/q_point_lookup")
+      val dir = java.nio.file.Files.createTempDirectory("graft-pointq").toString
+      val table = LakeTable.create(s, s"$dir/table", CdcStream.binlogSchema,
+        numBuckets = 4)
+      LakeMerge.mergeBatch(table, all.where(col("lsn") < 5000L), Some(("pq", 0L)))
+      table.rebucket(16)
+      LakeMerge.mergeBatch(table, all.where(col("lsn") >= 5000L), Some(("pq", 1L)))
+      LakeMerge.readRepo(table, "repo_00007")
+        .select(col("repo"), col("path"), col("commit"), col("lsn"),
+          col("lang"), sha2(col("content"), 256).as("content_sha"))
+    }),
+
     // Bucket-layout evolution mid-replay: batch 1 lands under 4 buckets,
     // rebucket(16) evolves the layout WITHOUT rewriting data, batch 2
     // (updates/deletes over batch 1's keys) lands under 16. The resolved
@@ -544,6 +564,11 @@ object CdcQueries {
     "q_bucket_evolution" -> lwwOracle(
       s"$ExportRoot/q_bucket_evolution/*.parquet",
       """repo, path, "commit", lsn, lang, sha256(content) AS content_sha"""),
+
+    "q_point_lookup" -> lwwOracle(
+      s"$ExportRoot/q_point_lookup/*.parquet",
+      """repo, path, "commit", lsn, lang, sha256(content) AS content_sha""",
+      tail = " AND repo = 'repo_00007'"),
 
     "q_mart_streaming" -> lwwOracle(
       s"$ExportRoot/q_mart_streaming/binlog/segment-*.parquet",
