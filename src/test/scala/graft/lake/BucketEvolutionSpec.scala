@@ -213,6 +213,41 @@ class BucketEvolutionSpec extends SparkSpec {
     assert(t2.files.forall(f => Set(2, 8).contains(LakeTable.layoutOf(f, t2.snapshot))))
   }
 
+  test("property: filesForKey admits every file that can hold the key (200 random keys, 3 eras)") {
+    // metadata-only simulation (no data files, no Spark jobs): fabricate
+    // file entries whose (bucket, layout) place random keys under each of
+    // three eras, commit them as manifests, and check COMPLETENESS — a
+    // point lookup that misses a file would be a silent wrong answer
+    val root = tmpDir("evolve-prop")
+    val t = LakeTable.create(spark, root, CdcStream.binlogSchema, numBuckets = 4)
+    t.rebucket(16)
+    t.rebucket(64)
+    val rnd = new scala.util.Random(42)
+    val eras = Seq(4, 16, 64)
+    val keys = (0 until 200).map(_ => rnd.alphanumeric.take(rnd.nextInt(20) + 1).mkString)
+    // each key gets one file in 1-3 random eras; plus a few L0 files
+    val assignment: Seq[(String, DataFileMeta)] = keys.flatMap { k =>
+      rnd.shuffle(eras).take(rnd.nextInt(3) + 1).map { era =>
+        k -> DataFileMeta(s"$root/fake/${k}_$era.parquet",
+          bucket = LakeTable.bucketOf(k, era), bytes = 1L, schemaId = 0,
+          kind = "delta", layoutBuckets = era)
+      }
+    }
+    val l0s = (0 until 5).map(i => DataFileMeta(s"$root/fake/l0_$i.parquet",
+      bucket = LakeTable.L0Bucket, bytes = 1L, schemaId = 0, kind = "l0"))
+    t.appendCommit(assignment.map(_._2) ++ l0s)
+    val snap = t.snapshot
+    keys.foreach { k =>
+      val admitted = t.filesForKey(snap, k).map(_.path).toSet
+      val required = assignment.collect { case (`k`, f) => f.path }.toSet ++
+        l0s.map(_.path)
+      val missed = required -- admitted
+      assert(missed.isEmpty,
+        s"filesForKey missed files for key '$k': $missed " +
+          s"(buckets ${eras.map(e => e -> LakeTable.bucketOf(k, e))})")
+    }
+  }
+
   test("SQL surface: CALL graft.rebucket + point lookup through the catalog") {
     val warehouse = tmpDir("evolve-wh")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$warehouse/ns"))
