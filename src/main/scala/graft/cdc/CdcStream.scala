@@ -148,7 +148,11 @@ object CdcStream {
       asyncCompact: Boolean = false,
       l0FlushBytes: Long = 0L,
       martFeeds: Seq[MartFeed] = Nil,
-      fastLineage: Option[Boolean] = None
+      fastLineage: Option[Boolean] = None,
+      // grow the bucket layout when mean bucket volume crosses this target
+      // (0 = off): checked per epoch from manifest metadata already in
+      // memory, committed as one metadata swap (LakeMerge.maybeRebucket)
+      autoRebucketBytes: Long = 0L
   ): StreamingQuery = {
     // async mode: flushL0/compactTiered run on a background thread instead
     // of inside foreachBatch — ingest never stalls behind a major. Safe
@@ -194,6 +198,10 @@ object CdcStream {
           expireEvery = expireEvery, expireRetain = expireRetain,
           l0Mode = l0Mode, compactor = compactor, l0FlushBytes = l0FlushBytes,
           martFeeds = martFeeds, fastLineage = fastLineage)
+        if (autoRebucketBytes > 0L &&
+            LakeMerge.maybeRebucket(table, autoRebucketBytes))
+          System.err.println(s"[cdc] $queryId: layout grown to " +
+            s"${table.snapshot.numBuckets} buckets (epoch $batchId)")
         ()
       }
 

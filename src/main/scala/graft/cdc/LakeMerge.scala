@@ -319,6 +319,29 @@ object LakeMerge {
     true
   }
 
+  /** Cost-based layout growth: evolve the bucket layout when the table has
+    * outgrown it — mean data volume per bucket above `targetBucketBytes`
+    * (total bytes / CURRENT numBuckets, layout-era-independent) doubles the
+    * bucket count until the mean fits, capped at `maxBuckets`. The check is
+    * manifest metadata already in memory (zero file IO, zero Spark jobs),
+    * so an ingest loop can call it every epoch; the evolution itself is one
+    * metadata commit ([[LakeTable.rebucket]] — no data rewritten). This is
+    * what keeps a table created at 64 buckets correctly partitioned at
+    * 1000× its initial size without an operator in the loop. Returns true
+    * when a rebucket was committed. */
+  def maybeRebucket(table: LakeTable, targetBucketBytes: Long,
+      maxBuckets: Int = 4096): Boolean = {
+    if (targetBucketBytes <= 0L) return false
+    val snap = table.snapshot
+    if (snap.numBuckets >= maxBuckets) return false
+    val bytes = table.filesOf(snap).map(_.bytes).sum
+    if (bytes / snap.numBuckets <= targetBucketBytes) return false
+    var n = snap.numBuckets
+    while (n < maxBuckets && bytes / n > targetBucketBytes) n *= 2
+    table.rebucket(math.min(n, maxBuckets))
+    true
+  }
+
   /** Size-tiered compaction policy: a bucket is due when its accumulated
     * delta BYTES reach `sizeRatio` × its base bytes (so each rewrite at
     * least doubles the base at ratio 1.0 — a key's bytes are rewritten

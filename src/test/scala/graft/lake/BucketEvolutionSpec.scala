@@ -248,6 +248,54 @@ class BucketEvolutionSpec extends SparkSpec {
     }
   }
 
+  test("maybeRebucket: grows past the target, caps, and no-ops below threshold") {
+    val root = tmpDir("evolve-auto")
+    val t = LakeTable.create(spark, root, CdcStream.binlogSchema, numBuckets = 2)
+    assert(!LakeMerge.maybeRebucket(t, 0L), "disabled target must no-op")
+    assert(!LakeMerge.maybeRebucket(t, 1L), "empty table must no-op")
+    LakeMerge.mergeBatch(t, batch(rows(Seq("r1", "r2", "r3", "r4"), 0L)), Some(("ar", 0L)))
+    val bytes = t.files.map(_.bytes).sum
+    assert(!LakeMerge.maybeRebucket(t, bytes), "mean below target must no-op")
+    // target = 1/16 of the mean → doubles until mean fits: 2 → 32
+    assert(LakeMerge.maybeRebucket(t, math.max(1L, bytes / 2 / 16)))
+    assert(t.snapshot.numBuckets == 32, s"got ${t.snapshot.numBuckets}")
+    assert(t.snapshot.layoutsList == Seq(2, 32))
+    // cap respected
+    assert(LakeMerge.maybeRebucket(t, 1L, maxBuckets = 64))
+    assert(t.snapshot.numBuckets == 64)
+    assert(!LakeMerge.maybeRebucket(t, 1L, maxBuckets = 64), "at cap must no-op")
+    assert(LakeMerge.readRepo(t, "r1").count() == 20)
+  }
+
+  test("autoRebucketBytes: the ingest stream grows its own layout mid-replay") {
+    val dir = tmpDir("evolve-autostream")
+    val n = 6000L
+    graft.cdc.EventGen.writeBinlog(spark, s"$dir/binlog", n, segments = 6,
+      nRepos = 60, pathsPerRepo = 10)
+    val t = LakeTable.create(spark, s"$dir/table", CdcStream.binlogSchema, numBuckets = 2)
+    val metrics = CdcStream.metricsTable(spark, s"$dir/metrics")
+    // a tiny per-bucket target forces growth while the stream runs; high
+    // compaction threshold keeps old-era files observable at the end
+    val q = CdcStream.start(spark, t, metrics, s"$dir/binlog", s"$dir/ckpt",
+      queryId = "auto-rb", maxFilesPerTrigger = 1, compactAtDeltas = 1000,
+      autoRebucketBytes = 4096L)
+    q.awaitTermination()
+    val t2 = LakeTable.load(spark, s"$dir/table")
+    assert(t2.snapshot.numBuckets > 2, "layout must have grown mid-replay")
+    assert(t2.snapshot.layoutsList.head == 2)
+    // byte-exact convergence across however many evolutions fired
+    val events = graft.cdc.EventGen.events(spark, n, nRepos = 60, pathsPerRepo = 10)
+      .orderBy("lsn").as[graft.cdc.ChangeEvent].collect().toSeq
+    val oracle = graft.cdc.MergeEngine.foldOracle(events).map { case (k, e) =>
+      k -> org.apache.commons.codec.digest.DigestUtils.sha256Hex(e.content)
+    }
+    val got = LakeMerge.readState(t2).select($"repo", $"path", sha2($"content", 256))
+      .as[(String, String, String)].collect().map(x => (x._1, x._2) -> x._3).toMap
+    assert(got == oracle)
+    val someRepo = oracle.keys.head._1
+    assert(LakeMerge.readRepo(t2, someRepo).count() == oracle.keys.count(_._1 == someRepo))
+  }
+
   test("SQL surface: CALL graft.rebucket + point lookup through the catalog") {
     val warehouse = tmpDir("evolve-wh")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$warehouse/ns"))
