@@ -68,14 +68,27 @@ object Soak {
     // BACKGROUND thread (asyncCompact) — byte-identical final state
     // required, and the per-epoch wall distribution shows the ingest loop
     // no longer absorbs compaction stalls (VERDICT r3 #2 evidence)
+    // ... and with a BUCKET-LAYOUT EVOLUTION landing mid-replay from a
+    // separate table handle (the racing-operator shape): the async path
+    // must still checksum byte-identical to every other path
     val l0Async = LakeTable.create(spark, s"$dir/l0async", CdcStream.binlogSchema, 64)
     val metricsAsync = CdcStream.metricsTable(spark, s"$dir/metricsAsync")
-    t("stream-l0-async replay") {
+    t("stream-l0-async replay (with mid-replay rebucket 64 -> 256)") {
+      val evolver = new Thread(() => {
+        while (l0Async.fence("soak-async") < 2L) Thread.sleep(200)
+        LakeTable.load(spark, s"$dir/l0async").rebucket(256)
+        log("l0-async: layout evolved 64 -> 256 mid-replay")
+      })
+      evolver.setDaemon(true)
+      evolver.start()
       CdcStream.start(spark, l0Async, metricsAsync, s"$dir/binlog", s"$dir/ckptAsync",
         queryId = "soak-async", maxFilesPerTrigger = 16, compactAtDeltas = 4,
         expireEvery = 3, expireRetain = 3, l0Mode = true, asyncCompact = true)
         .awaitTermination()
+      evolver.join(30000)
       CdcStream.drainCompaction("soak-async")
+      require(l0Async.snapshot.numBuckets == 256,
+        s"mid-replay evolution did not land (buckets=${l0Async.snapshot.numBuckets})")
     }
     def epochWalls(m: LakeTable): Seq[Long] =
       m.read().select(col("wall_ms")).collect().map(_.getLong(0)).sorted.toSeq
