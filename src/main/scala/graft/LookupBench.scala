@@ -52,9 +52,11 @@ object LookupBench {
     }
     val total = t.files.size
 
-    // the same table without blooms: copy metadata, strip keyBloom
+    // the same table without blooms: copy ONLY the metadata tree (the
+    // stripped replica keeps reading the original data files), strip
+    // keyBloom from the manifest copies
     val stripped = s"$root/stripped"
-    graft.util.Fs.walk(Paths.get(s"$root/table")).foreach { p =>
+    graft.util.Fs.walk(Paths.get(s"$root/table/metadata")).foreach { p =>
       val rel = Paths.get(s"$root/table").relativize(p)
       val dst = Paths.get(stripped).resolve(rel)
       Files.createDirectories(dst.getParent)
@@ -73,13 +75,18 @@ object LookupBench {
     }
     val tStripped = LakeTable.load(spark, stripped)
 
+    // repo 0 is the dedicated WARMUP key — excluded from the sample so all
+    // 20 measured lookups are cold w.r.t. this table handle. Measurement
+    // order (blooms first, stripped second over the same underlying data)
+    // leaves the stripped pass with a warmer page cache: the reported
+    // speedup is therefore a conservative FLOOR.
     val rnd = new scala.util.Random(7)
     val lookups = (0 until 20).map(_ =>
-      f"repo_${rnd.nextInt(batches * reposPerBatch)}%06d")
+      f"repo_${rnd.nextInt(batches * reposPerBatch - 1) + 1}%06d")
 
     def measure(table: LakeTable): (Double, Double) = {
-      // warmup one lookup (reader init)
-      LakeMerge.readRepo(table, lookups.head).count()
+      // warmup (reader init) on the excluded key
+      LakeMerge.readRepo(table, "repo_000000").count()
       val stats = lookups.map { r =>
         val files = table.filesForKey(table.snapshot, r).size
         val t0 = System.nanoTime()

@@ -334,12 +334,23 @@ object LakeMerge {
     if (targetBucketBytes <= 0L) return false
     val snap = table.snapshot
     if (snap.numBuckets >= maxBuckets) return false
-    val bytes = table.filesOf(snap).map(_.bytes).sum
+    // per-manifest byte totals from the snapshot itself — zero file IO
+    // even on a cold handle (filesOf would read every manifest JSON)
+    val bytes = snap.manifests.map(_.bytes).sum
     if (bytes / snap.numBuckets <= targetBucketBytes) return false
     var n = snap.numBuckets
     while (n < maxBuckets && bytes / n > targetBucketBytes) n *= 2
-    table.rebucket(math.min(n, maxBuckets))
-    true
+    // advisory, never stream-killing: a concurrent operator may have grown
+    // the layout past our target between the read and the commit (growth-
+    // only guard throws), or the commit may lose 10 optimistic retries to
+    // a busy compactor — either way the right move is "not this epoch",
+    // not an exception out of foreachBatch that kills the ingest query
+    try { table.rebucket(math.min(n, maxBuckets)); true }
+    catch {
+      case e @ (_: IllegalArgumentException | _: IllegalStateException) =>
+        System.err.println(s"[merge] auto-rebucket skipped: ${e.getMessage}")
+        false
+    }
   }
 
   /** Size-tiered compaction policy: a bucket is due when its accumulated

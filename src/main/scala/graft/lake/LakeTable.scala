@@ -977,14 +977,7 @@ final class LakeTable private (val root: String, val spark: SparkSession) {
 
     // 2. drop manifests referenced by no retained snapshot (includes
     //    leaked manifests from contended rewrite retries)
-    var mDeleted = 0
-    graft.util.Fs.list(metaDir).foreach { p =>
-      val name = p.getFileName.toString
-      if (name.startsWith("manifest-") && !keepManifests.contains(p.toString) &&
-        oldEnough(p)) {
-        if (Files.deleteIfExists(p)) { mDeleted += 1; manifestCache.remove(p.toString) }
-      }
-    }
+    val mDeleted = sweepUnreferencedManifests(keepManifests, oldEnough)
 
     // 3. drop data files referenced by no retained manifest, plus every
     //    sidecar (_SUCCESS, .crc) and directory in subtrees holding no
@@ -1052,19 +1045,31 @@ final class LakeTable private (val root: String, val spark: SparkSession) {
       }
     }
     // manifest orphans: a lost optimistic-commit retry (rewrite/rebucket)
-    // writes manifests that no snapshot ever references — snapshot expiry
-    // never sees them, only this sweep does. The same age guard protects a
-    // concurrent writer's just-written, not-yet-committed manifests.
+    // writes manifests no snapshot ever references. expireSnapshots sweeps
+    // these too (its step 2) — but only when it runs; tables that never
+    // expire history need this standalone sweep. Shared helper keeps the
+    // two call sites' predicate/delete logic identical. The same age guard
+    // protects a concurrent writer's just-written, not-yet-committed
+    // manifests.
     val referencedManifests = (minVersionAvailable to currentVersion)
       .flatMap(v => snapshotAt(v).manifests.map(_.path)).toSet
+    n += sweepUnreferencedManifests(referencedManifests, oldEnough)
+    n
+  }
+
+  /** Delete every `manifest-*` file under the metadata dir that is not in
+    * `keep` and passes the age guard; evicts the cache. Returns the count.
+    * Shared by [[expireSnapshots]] (step 2) and [[gcOrphans]]. */
+  private def sweepUnreferencedManifests(
+      keep: Set[String], oldEnough: Path => Boolean): Int = {
+    var deleted = 0
     graft.util.Fs.list(metaDir).foreach { p =>
-      val name = p.getFileName.toString
-      if (name.startsWith("manifest-") && name.endsWith(".json") &&
-          !referencedManifests.contains(p.toString) && oldEnough(p)) {
-        if (Files.deleteIfExists(p)) { manifestCache.remove(p.toString); n += 1 }
+      if (p.getFileName.toString.startsWith("manifest-") &&
+          !keep.contains(p.toString) && oldEnough(p)) {
+        if (Files.deleteIfExists(p)) { manifestCache.remove(p.toString); deleted += 1 }
       }
     }
-    n
+    deleted
   }
 
   /** Per-bucket health stats of the current snapshot, from METADATA ONLY
