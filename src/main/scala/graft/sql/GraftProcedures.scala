@@ -28,7 +28,7 @@ object GraftProcedures {
 
   val names: Seq[String] =
     Seq("compact", "flush_l0", "expire_snapshots", "gc_orphans", "rollback",
-      "tag", "drop_tag", "rebucket")
+      "tag", "drop_tag", "rebucket", "auto_rebucket")
 
   def load(root: String, ident: Identifier): UnboundProcedure = {
     require(ident.namespace().isEmpty || ident.namespace().sameElements(Array("system")),
@@ -42,6 +42,7 @@ object GraftProcedures {
       case "tag" => new TagProcedure(root)
       case "drop_tag" => new DropTagProcedure(root)
       case "rebucket" => new RebucketProcedure(root)
+      case "auto_rebucket" => new AutoRebucketProcedure(root)
       case other =>
         throw new UnsupportedOperationException(
           s"no such procedure: $other (available: ${names.mkString(", ")})")
@@ -189,6 +190,29 @@ object GraftProcedures {
       val snap = lake(input).rebucket(input.getInt(1))
       result(RebucketSchema, snap.version, snap.numBuckets,
         utf8(snap.layoutsList.mkString(",")))
+    }
+  }
+
+  private val AutoRebucketSchema = StructType(Seq(
+    StructField("rebucketed", BooleanType, nullable = false),
+    StructField("num_buckets", IntegerType, nullable = false)))
+
+  private final class AutoRebucketProcedure(root: String) extends MaintenanceProcedure(root) {
+    override def name(): String = "auto_rebucket"
+    override def description(): String =
+      "Grow the bucket layout iff mean data volume per bucket exceeds " +
+        "target_bytes (doubling until it fits, capped at max_buckets; " +
+        "metadata-only check, one metadata commit). No-op below the target."
+    override def parameters(): Array[ProcedureParameter] = Array(
+      tableParam,
+      ProcedureParameter.in("target_bytes", LongType).build(),
+      ProcedureParameter.in("max_buckets", IntegerType).defaultValue("4096").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      require(input.numFields > 1 && !input.isNullAt(1), "target_bytes is required")
+      val t = lake(input)
+      val did = LakeMerge.maybeRebucket(t, input.getLong(1),
+        optInt(input, 2, 4096))
+      result(AutoRebucketSchema, did, t.snapshot.numBuckets)
     }
   }
 

@@ -345,5 +345,11 @@ class BucketEvolutionSpec extends SparkSpec {
     val layouts = sql.sql("SELECT DISTINCT layout_buckets FROM graft.ns.ev.files")
       .collect().map(_.getInt(0)).toSet
     assert(layouts == Set(2, 8))
+    // cost-based growth via CALL: below target no-op, tiny target grows
+    val noop = sql.sql("CALL graft.auto_rebucket('ns.ev', 1000000000)").collect()
+    assert(!noop(0).getBoolean(0) && noop(0).getInt(1) == 8)
+    val grew = sql.sql("CALL graft.auto_rebucket('ns.ev', 1, 64)").collect()
+    assert(grew(0).getBoolean(0) && grew(0).getInt(1) == 64)
+    assert(sql.sql("SELECT * FROM graft.ns.ev WHERE repo = 'a2'").count() == 20)
   }
 }
