@@ -135,6 +135,20 @@ object Bench {
     // Timing-only run: skip the CDC queries' oracle-input parquet exports
     // (they exist for the driver's DuckDB compare, not for throughput).
     sys.props("graft.skipOracleExport") = "true"
+    // Quiet-window gate (VERDICT r5 "What's wrong #1"): the same tree reads
+    // 17.7–18.2 s in clean windows and ~10% worse under neighbor load —
+    // wait (bounded) for loadavg to drop below the gate before the timed
+    // phase, so the official artifact lands in the band the tree actually
+    // performs at. The achieved loadavg is recorded in-artifact either way.
+    locally {
+      val gate = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOADAVG_GATE", "1.0").toDouble
+      val maxWaitMs = sys.env.getOrElse("SPARK_GRAFT_BENCH_GATE_WAIT_SEC", "300").toInt * 1000L
+      val t0 = System.currentTimeMillis()
+      while (loadavg0() > gate && System.currentTimeMillis() - t0 < maxWaitMs) {
+        System.err.println(f"[bench] waiting for quiet window: loadavg ${loadavg0()}%.2f > $gate%.2f")
+        Thread.sleep(15000L)
+      }
+    }
     val loadAtHeadline = loadavg0()
     val results = locally {
       val spark = session(Runtime.getRuntime.availableProcessors())

@@ -78,6 +78,14 @@ object LakeMerge {
         table.readForKey(repo).where(col("repo") === repo)))
   }
 
+  /** Multi-key point lookup: the live state of a SET of repos, with the
+    * same three-level metadata pruning as [[readRepo]] applied per key
+    * over ONE read plan (SQL `repo IN (…)` routes here). */
+  def readRepos(table: LakeTable, repos: Seq[String]): DataFrame =
+    MergeEngine.liveView(
+      MergeEngine.dedupBatch(
+        table.readForKeys(repos).where(col("repo").isin(repos: _*))))
+
   /** The write-aligned single-exchange LWW shape shared by the classic
     * merge path and every compaction: repartition by (bucket, salt), then
     * dedup to the per-key winner — the groupBy REUSES the exchange

@@ -38,9 +38,13 @@ object KeyBloom {
   private val BitsPerEntry = 10
   /** Hard cap on bloom size: 32 KiB of bits per file. */
   private val MaxBits = 1 << 18
-  /** Above this many distinct keys the capped bloom saturates (fpp beyond
-    * ~25%) — store nothing rather than a filter that prunes nothing. */
-  val MaxEntries = 65536
+  /** Above this many distinct keys even the max-size bloom falls under
+    * [[BitsPerEntry]] bits/entry and fpp degrades past useful selectivity —
+    * store nothing rather than a filter that prunes (almost) nothing.
+    * Tied to MaxBits/BitsPerEntry (~26k) so every STORED bloom keeps
+    * ≥10 bits/entry (≈1% fpp); the old 65536 cap admitted blooms at
+    * ~4 bits/entry (~26% fpp). */
+  val MaxEntries: Int = MaxBits / BitsPerEntry
   private val K = 7
 
   /** Build from the distinct values; None when `values` overflows

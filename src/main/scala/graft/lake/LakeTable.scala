@@ -201,23 +201,37 @@ final class LakeTable private (val root: String, val spark: SparkSession) {
     * millis) — the `TIMESTAMP AS OF` resolution. Pre-upgrade snapshots
     * (no stamped commit time) use the metadata file's mtime. */
   def versionAtTimestamp(tsMs: Long): Int = {
+    def stamped(v: Int): Boolean = snapshotAt(v).timestampMs > 0
     def tsOf(v: Int): Long = {
       val snap = snapshotAt(v)
       if (snap.timestampMs > 0) snap.timestampMs
       else Files.getLastModifiedTime(metaDir.resolve(s"v$v.metadata.json")).toMillis
     }
-    // commit times are monotone (stamped under the same single-host swap
-    // that orders versions), so binary search over the retained range
-    var lo = minVersionAvailable
-    var hi = currentVersion
-    if (tsOf(lo) > tsMs)
+    val lo0 = minVersionAvailable
+    if (tsOf(lo0) > tsMs)
       throw new IllegalStateException(
-        s"no snapshot as of $tsMs: oldest retained (v$lo) is ${tsOf(lo)}")
-    while (lo < hi) {
-      val mid = lo + (hi - lo + 1) / 2
-      if (tsOf(mid) <= tsMs) lo = mid else hi = mid - 1
+        s"no snapshot as of $tsMs: oldest retained (v$lo0) is ${tsOf(lo0)}")
+    if (stamped(lo0)) {
+      // STAMPED commit times are monotone (written under the same
+      // single-host swap that orders versions), and stamps are a SUFFIX of
+      // the version range (every commit since the stamp upgrade carries
+      // one) — so if the oldest retained snapshot is stamped, every
+      // retained one is, and binary search is sound.
+      var lo = lo0
+      var hi = currentVersion
+      while (lo < hi) {
+        val mid = lo + (hi - lo + 1) / 2
+        if (tsOf(mid) <= tsMs) lo = mid else hi = mid - 1
+      }
+      lo
+    } else {
+      // Pre-upgrade snapshots in range fall back to metadata-file mtimes,
+      // which a copied/restored metadata directory resets — monotonicity
+      // is NOT guaranteed, so scan linearly for the last version at or
+      // before tsMs instead of silently returning a wrong binary-search hit.
+      (lo0 to currentVersion).takeWhile(v => tsOf(v) <= tsMs).lastOption
+        .getOrElse(lo0)
     }
-    lo
   }
 
   def snapshotAt(version: Int): Snapshot = {
@@ -348,11 +362,21 @@ final class LakeTable private (val root: String, val spark: SparkSession) {
   def readBuckets(buckets: Set[Int], repoKey: Option[String]): DataFrame = {
     val snap = snapshot
     val files = filesOf(snap, buckets, repoKey)
-    val df = readFiles(snap, files)
+    val (l0, bucketed) = files.partition(_.kind == "l0")
     val wantsAll = (0 until snap.numBuckets).forall(buckets.contains)
-    if (wantsAll || !files.exists(_.kind == "l0")) df
-    else df.where(LakeTable.bucketExpr(col("repo"), snap.numBuckets)
-      .isin(buckets.filter(_ >= 0).toSeq.map(Integer.valueOf): _*))
+    if (wantsAll || l0.isEmpty) readFiles(snap, files)
+    else {
+      // the row filter applies ONLY to L0-origin rows (they span buckets and
+      // carry no bucket id): bucketed files were already selected by their
+      // STAMPED bucket id, which on a layout-evolved table was computed
+      // under the file's own era — re-filtering those rows with the
+      // CURRENT layout's bucket expression would silently drop old-era rows
+      val l0Filtered = readFiles(snap, l0)
+        .where(LakeTable.bucketExpr(col("repo"), snap.numBuckets)
+          .isin(buckets.filter(_ >= 0).toSeq.map(Integer.valueOf): _*))
+      if (bucketed.isEmpty) l0Filtered
+      else readFiles(snap, bucketed).unionByName(l0Filtered)
+    }
   }
 
   /** Time travel: read the table as of an older committed version. Data
@@ -457,6 +481,18 @@ final class LakeTable private (val root: String, val spark: SparkSession) {
   def readForKey(key: String): DataFrame = {
     val snap = snapshot
     readFiles(snap, filesForKey(snap, key))
+  }
+
+  /** Multi-key point lookup (`repo IN (…)`): ONE read plan over the
+    * deduplicated union of [[filesForKey]] file sets — per-era bucket ids
+    * and key blooms prune per key, so an n-key lookup opens at most n× the
+    * files of a single lookup, never the table. Metadata cost is
+    * O(keys × eras) driver-side hash/bloom probes (manifests are cached).
+    * The caller MUST filter `repo IN keys` on the result. */
+  def readForKeys(keys: Seq[String]): DataFrame = {
+    val snap = snapshot
+    readFiles(snap,
+      keys.distinct.flatMap(k => filesForKey(snap, k)).distinctBy(_.path))
   }
 
   // ------------------------------------------------------------ named refs

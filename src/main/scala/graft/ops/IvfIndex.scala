@@ -194,9 +194,23 @@ final class IvfIndex private (
   def compactPostings(): Unit = {
     val snap = assignTable.snapshot
     val all = assignTable.filesOf(snap)
+    // Resolve from the CAPTURED file set (readSubset), never from a live
+    // re-read: postings/supersedeMax re-read the snapshot at DataFrame
+    // construction, so an upsert committed between this capture and the
+    // rewrite would be folded into the rewritten base AND carried forward
+    // as a delta — duplicate postings both surfacing in search. Posting
+    // rows and supersede rows share the captured frame, split on `op`
+    // ('U' = posting, 'S' = supersede — the two shapes [[upsert]] writes).
+    val captured = assignTable.readSubset(all)
+    val posts = captured.where(col("op") === "U")
+      .select(col("vec_id"), col("cid"), col("embedding"),
+        coalesce(col("epoch"), lit(0L)).as("epoch"))
+    val superMax = captured.where(col("op") === "S")
+      .groupBy(col("vec_id"))
+      .agg(max(coalesce(col("epoch"), lit(0L))).as("bl_epoch"))
     // surviving postings keep their epoch, so future supersedes (stamped
     // with later source versions) still compare correctly against them
-    val resolved = postings.join(broadcast(supersedeMax), Seq("vec_id"), "left")
+    val resolved = posts.join(broadcast(superMax), Seq("vec_id"), "left")
       .where(col("bl_epoch").isNull || col("epoch") >= col("bl_epoch"))
       .select(col("vec_id"), col("cid"), col("embedding"), col("epoch"),
         lit("U").as("op"),

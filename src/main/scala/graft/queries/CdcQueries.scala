@@ -449,6 +449,31 @@ object CdcQueries {
           col("lang"), sha2(col("content"), 256).as("content_sha"))
     }),
 
+    // Multi-key point lookup through SQL (`repo IN (…)`) across a bucket-
+    // layout evolution: each key's bucket is probed under BOTH eras and
+    // per-file key blooms skip bucket companions, all through ONE read plan
+    // — the metadata-pruned shape a 100 TB multi-entity lookup runs. The
+    // resolved multi-repo state is hash-checked against the LWW oracle
+    // filtered to the key set.
+    "q_point_lookup_multi" -> ((s, _) => {
+      val dir = s"$ExportRoot/q_point_lookup_multi"
+      Fs.rmTree(java.nio.file.Paths.get(dir))
+      val all = EventGen.events(s, 10000L, nRepos = 50, pathsPerRepo = 10,
+        langFromLsn = 5000L)
+      exportIf(all, s"$dir/events")
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/wh/ns"))
+      val table = LakeTable.create(s, s"$dir/wh/ns/t", CdcStream.binlogSchema,
+        numBuckets = 4)
+      LakeMerge.mergeBatch(table, all.where(col("lsn") < 5000L), Some(("pqm", 0L)))
+      table.rebucket(16)
+      LakeMerge.mergeBatch(table, all.where(col("lsn") >= 5000L), Some(("pqm", 1L)))
+      val sql = graft.sql.GraftSql.attach(s, root = Some(s"$dir/wh"))
+      sql.sql("""SELECT repo, path, `commit`, lsn, lang,
+                |       sha2(content, 256) AS content_sha
+                |FROM graft.ns.t
+                |WHERE repo IN ('repo_00007', 'repo_00013', 'repo_00031')""".stripMargin)
+    }),
+
     // Bucket-layout evolution mid-replay: batch 1 lands under 4 buckets,
     // rebucket(16) evolves the layout WITHOUT rewriting data, batch 2
     // (updates/deletes over batch 1's keys) lands under 16. The resolved
@@ -569,6 +594,11 @@ object CdcQueries {
       s"$ExportRoot/q_point_lookup/*.parquet",
       """repo, path, "commit", lsn, lang, sha256(content) AS content_sha""",
       tail = " AND repo = 'repo_00007'"),
+
+    "q_point_lookup_multi" -> lwwOracle(
+      s"$ExportRoot/q_point_lookup_multi/events/*.parquet",
+      """repo, path, "commit", lsn, lang, sha256(content) AS content_sha""",
+      tail = " AND repo IN ('repo_00007', 'repo_00013', 'repo_00031')"),
 
     "q_mart_streaming" -> lwwOracle(
       s"$ExportRoot/q_mart_streaming/binlog/segment-*.parquet",

@@ -51,10 +51,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
   override def name(): String = catalogName
 
   private def pathOf(ident: Identifier): String =
-    (Seq(root) ++ ident.namespace().toSeq ++ Seq(ident.name())).mkString("/")
+    GraftPaths.resolve(root, ident.namespace().toSeq :+ ident.name())
 
   private def pathOf(ns: Array[String]): String =
-    (Seq(root) ++ ns.toSeq).mkString("/")
+    GraftPaths.resolve(root, ns.toSeq)
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val dir = Paths.get(pathOf(namespace))
@@ -222,6 +222,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       graft.util.Fs.rmTree(dir)
     }
     existed
+  }
+}
+
+/** Namespace/table-name → filesystem-path resolution, shared by
+  * [[GraftCatalog]] and [[GraftProcedures]]. Every segment is validated
+  * BEFORE it touches a path: SQL identifiers are attacker-adjacent input
+  * (``DROP NAMESPACE graft.`..` CASCADE`` would otherwise resolve outside
+  * the warehouse root and rmTree an arbitrary directory), so '', '.',
+  * '..', path separators and NUL are rejected loudly at resolution time —
+  * on EVERY catalog operation, not just the destructive ones. */
+private[sql] object GraftPaths {
+  def resolve(root: String, segments: Seq[String]): String = {
+    segments.foreach { s =>
+      require(
+        s.nonEmpty && s != "." && s != ".." &&
+          !s.contains('/') && !s.contains('\\') && s.indexOf(0.toChar) < 0,
+        s"illegal table/namespace segment '$s': segments must be non-empty " +
+          "and must not be '.', '..', or contain path separators")
+    }
+    (root +: segments).mkString("/")
   }
 }
 

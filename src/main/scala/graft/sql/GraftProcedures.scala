@@ -50,7 +50,9 @@ object GraftProcedures {
   }
 
   private def lakeOf(root: String, tableArg: String): LakeTable = {
-    val path = (Seq(root) ++ tableArg.split('.').toSeq).mkString("/")
+    // same segment validation as the catalog: a '..'/'/'-bearing procedure
+    // arg must never resolve outside the warehouse root
+    val path = GraftPaths.resolve(root, tableArg.split('.').toSeq)
     require(LakeTable.exists(path), s"not a lake table: $tableArg (resolved $path)")
     LakeTable.load(SparkSession.active, path)
   }

@@ -1,7 +1,7 @@
 package graft.sql
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeSet, Cast, EqualTo, Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeSet, Cast, EqualTo, Expression, In, Literal, Or}
 import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, Filter, InsertAction, InsertIntoStatement, LogicalPlan, MergeIntoTable, Project, SubqueryAlias, UpdateAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -19,11 +19,13 @@ import graft.cdc.{LakeMerge, MergeEngine}
   * the single-exchange LWW shape all survive (PlanSpec gates them through
   * the SQL path).
   *
-  * Point-lookup pruning: a top-level `repo = 'x'` conjunct directly above
-  * the relation routes through `LakeMerge.readRepo` instead — METADATA
-  * bucket pruning (1/numBuckets of the table's files, plus unflushed L0) —
-  * with the original filter retained on top as the residual. This is how
-  * the library's zero-job point-lookup contract reaches SQL users.
+  * Point-lookup pruning: a top-level `repo = 'x'`, `repo IN (…)`, or
+  * OR-of-equalities conjunct directly above the relation routes through
+  * the per-key metadata read (`readForKey`/`readForKeys`) instead —
+  * METADATA bucket + key-bloom pruning per key (a handful of files each,
+  * plus unflushed L0) — with the original filter retained on top as the
+  * residual. This is how the library's zero-job point-lookup contract
+  * reaches SQL users, including multi-key lookups.
   */
 class GraftTableResolution(spark: SparkSession) extends Rule[LogicalPlan] {
 
@@ -44,30 +46,45 @@ class GraftTableResolution(spark: SparkSession) extends Rule[LogicalPlan] {
     case other => Seq(other)
   }
 
-  /** A top-level `repo = 'literal'` conjunct (either side), by exprId. */
-  private def repoEq(cond: Expression, repoAttr: Attribute): Option[String] =
-    conjuncts(cond).collectFirst {
+  /** A top-level point-lookup conjunct on `repo`, by exprId: a single
+    * equality, an `IN`-list of literals, or an OR-tree of equalities all
+    * yield the key set for metadata (bucket + bloom) pruning. */
+  private def repoKeys(cond: Expression, repoAttr: Attribute): Option[Seq[String]] = {
+    def eq(e: Expression): Option[String] = e match {
       case EqualTo(a: Attribute, Literal(v: UTF8String, StringType))
-        if a.exprId == repoAttr.exprId => v.toString
+        if a.exprId == repoAttr.exprId => Some(v.toString)
       case EqualTo(Literal(v: UTF8String, StringType), a: Attribute)
-        if a.exprId == repoAttr.exprId => v.toString
+        if a.exprId == repoAttr.exprId => Some(v.toString)
+      case _ => None
     }
+    def keysOf(e: Expression): Option[Seq[String]] = e match {
+      case In(a: Attribute, vs) if a.exprId == repoAttr.exprId &&
+          vs.forall { case Literal(_: UTF8String, StringType) => true; case _ => false } =>
+        Some(vs.map { case Literal(v: UTF8String, StringType) => v.toString })
+      case Or(l, r) => for { ls <- keysOf(l); rs <- keysOf(r) } yield ls ++ rs
+      case other => eq(other).map(Seq(_))
+    }
+    conjuncts(cond).iterator.map(keysOf).collectFirst {
+      case Some(ks) if ks.nonEmpty => ks.distinct
+    }
+  }
 
   private def substitute(
-      r: DataSourceV2Relation, t: GraftTable, repo: Option[String]): LogicalPlan = {
+      r: DataSourceV2Relation, t: GraftTable, repo: Option[Seq[String]]): LogicalPlan = {
     val lake = t.lake(spark)
     // the WINDOW-shaped live view (not readState's max_by shape): SQL can
     // project any subset, and only the window form lets Catalyst prune
     // unreferenced payload columns down into the parquet scan — a
     // `SELECT repo FROM graft.t` must not read `content`
     val df = (t.asOfVersion, repo) match {
-      case (None, Some(rv)) =>
+      case (None, Some(ks)) =>
         // metadata pruning for the point lookup (per-era hash bucket +
-        // per-file key bloom), then the prunable resolution over only the
-        // files that can hold the key
+        // per-file key bloom, per key), then the prunable resolution over
+        // only the files that can hold any of the keys
+        import org.apache.spark.sql.functions.col
         MergeEngine.prunableLiveView(
-          lake.readForKey(rv)
-            .where(org.apache.spark.sql.functions.col("repo") === rv))
+          if (ks.sizeIs == 1) lake.readForKey(ks.head).where(col("repo") === ks.head)
+          else lake.readForKeys(ks).where(col("repo").isin(ks: _*)))
       case (None, None) => MergeEngine.prunableLiveView(lake.read())
       case (Some(v), _) =>
         // versioned reads resolve the snapshot as-of; the repo residual
@@ -116,7 +133,7 @@ class GraftTableResolution(spark: SparkSession) extends Rule[LogicalPlan] {
       // metadata pruning (matched top-down so this wins over the bare case)
       case f @ Filter(cond, child) if f.resolved && readable(child).isDefined =>
         val (r, t) = readable(child).get
-        val repo = r.output.find(_.name == "repo").flatMap(a => repoEq(cond, a))
+        val repo = r.output.find(_.name == "repo").flatMap(a => repoKeys(cond, a))
         Filter(cond, substitute(r, t, repo))
       case p if readable(p).isDefined =>
         val (r, t) = readable(p).get

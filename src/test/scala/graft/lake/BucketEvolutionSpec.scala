@@ -59,6 +59,35 @@ class BucketEvolutionSpec extends SparkSpec {
     assert(fGamma.size < t.files.size)
   }
 
+  test("readBuckets with L0 present filters only L0 rows — old-era bucketed rows survive") {
+    val root = tmpDir("evolve-rb-l0")
+    val t = LakeTable.create(spark, root, CdcStream.binlogSchema, numBuckets = 4)
+    val repos = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    // bucketed deltas under layout 4
+    LakeMerge.mergeBatch(t, batch(rows(repos, 0L)), Some(("rb", 0L)))
+    t.rebucket(16)
+    // an L0 batch AFTER evolution (bucket-spanning files, current layout 16)
+    LakeMerge.mergeBatch(t, batch(rows(Seq("theta"), 1000L)), Some(("rb", 1L)),
+      l0Mode = true)
+    // pick a key whose bucket id CHANGED across eras — the current-layout
+    // row filter would wrongly drop its old-era rows
+    val moved = repos.find(r =>
+      LakeTable.bucketOf(r, 4) != LakeTable.bucketOf(r, 16)).get
+    val oldBucket = LakeTable.bucketOf(moved, 4)
+    val got = t.readBuckets(Set(oldBucket, LakeTable.L0Bucket))
+      .where($"repo" === moved)
+    assert(got.count() == 20,
+      s"$moved (bucket $oldBucket under era 4) lost rows to the " +
+        "current-layout row filter")
+    // and the L0 row filter still applies: theta's rows only appear when
+    // its current-layout bucket is requested
+    val thetaBucket = LakeTable.bucketOf("theta", 16)
+    val without = t.readBuckets(
+      Set((thetaBucket + 1) % 16, LakeTable.L0Bucket))
+      .where($"repo" === "theta")
+    assert(without.isEmpty, "L0 rows outside the requested buckets must be filtered")
+  }
+
   test("rebucket rejects shrinking and no-op sizes") {
     val root = tmpDir("evolve-shrink")
     val t = LakeTable.create(spark, root, CdcStream.binlogSchema, numBuckets = 8)

@@ -80,10 +80,15 @@ class GraftSqlSpec extends SparkSpec {
   private def scannedFiles(df: org.apache.spark.sql.DataFrame): Int = {
     def walk(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] = p match {
       case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      // after execution AQE materializes stages as LEAF nodes — descend
+      // into them or an executed plan reports zero scans
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => walk(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => walk(r.child)
       case f: FileSourceScanExec => Seq(f)
       case other => (other.children ++ other.subqueries).flatMap(walk)
     }
-    walk(df.queryExecution.executedPlan).map(_.relation.location.inputFiles.length).sum
+    walk(df.queryExecution.executedPlan)
+      .map(_.relation.location.inputFiles.length).sum
   }
 
   test("point lookup via SQL: metadata bucket pruning + parquet pushdown survive") {
@@ -100,6 +105,41 @@ class GraftSqlSpec extends SparkSpec {
     val planStr = lookup.queryExecution.executedPlan.toString
     assert(planStr.contains("PushedFilters") && planStr.contains("EqualTo(repo"),
       s"repo filter not pushed to the scan:\n$planStr")
+  }
+
+  test("multi-key lookup via SQL: IN-list and OR-of-equalities prune to the per-key file sets") {
+    import spark.implicits._
+    // multi-era table: batch 1 under 4 buckets, rebucket(16), batch 2 —
+    // the exact scanned-file count must equal the per-key metadata union
+    val path = s"$warehouse/ns/multi"
+    val t = LakeTable.create(spark, path, CdcStream.binlogSchema, numBuckets = 4)
+    val events = EventGen.events(spark, 6000L, nRepos = 30, pathsPerRepo = 5,
+      langFromLsn = 3000L)
+    LakeMerge.mergeBatch(t, events.where(col("lsn") < 3000L), Some(("mk", 0L)))
+    t.rebucket(16)
+    LakeMerge.mergeBatch(t, events.where(col("lsn") >= 3000L), Some(("mk", 1L)))
+    val t2 = LakeTable.load(spark, path)
+    val keys = Seq("repo_00003", "repo_00017")
+    val expectedFiles = keys
+      .flatMap(k => t2.filesForKey(t2.snapshot, k)).map(_.path).distinct.size
+
+    val inList = sql.sql(
+      s"SELECT * FROM graft.ns.multi WHERE repo IN ('${keys(0)}', '${keys(1)}')")
+    assert(lib(inList) == lib(LakeMerge.readRepos(t2, keys)))
+    assert(scannedFiles(inList) == expectedFiles,
+      s"IN-list lookup must scan exactly the per-key union: " +
+        s"${scannedFiles(inList)} vs $expectedFiles (table has ${t2.files.size})")
+    assert(scannedFiles(inList) < t2.files.size, "pruning must bite on a multi-era table")
+
+    val orShape = sql.sql(
+      s"SELECT * FROM graft.ns.multi WHERE repo = '${keys(0)}' OR repo = '${keys(1)}'")
+    assert(lib(orShape) == lib(inList))
+    assert(scannedFiles(orShape) == expectedFiles, "OR-of-equalities must prune like IN")
+
+    // a non-literal disjunct disables pruning but stays correct
+    val mixed = sql.sql(
+      s"SELECT * FROM graft.ns.multi WHERE repo = '${keys(0)}' OR length(repo) = 0")
+    assert(lib(mixed) == lib(LakeMerge.readRepos(t2, Seq(keys(0)))))
   }
 
   test("key-bloom file skipping: a point lookup scans only files carrying the key") {
@@ -617,6 +657,22 @@ class GraftSqlSpec extends SparkSpec {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start().awaitTermination()
     }
+  }
+
+  test("path-traversal segments in SQL identifiers and procedure args are rejected") {
+    // a '..' (or separator-bearing) segment must fail at name resolution,
+    // never reach the filesystem — DROP NAMESPACE/TABLE with such a segment
+    // would otherwise rmTree OUTSIDE the warehouse root
+    intercept[Exception] { sql.sql("DROP NAMESPACE graft.`..` CASCADE") }
+    intercept[Exception] { sql.sql("DROP TABLE graft.ns.`..`") }
+    intercept[Exception] { sql.sql("DROP TABLE graft.ns.`a/b`") }
+    intercept[Exception] { sql.sql("CREATE NAMESPACE graft.`../evil`") }
+    intercept[Exception] { sql.sql("CALL graft.compact('..')") }
+    intercept[Exception] { sql.sql("CALL graft.compact('ns..t')") } // empty segment
+    intercept[Exception] { sql.sql("CALL graft.rollback('/abs/path.t', 1)") }
+    // the warehouse (and its parent) survived every attempt
+    assert(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(warehouse)))
+    assert(LakeTable.exists(tablePath))
   }
 
   test("catalog DDL: SHOW TABLES, CREATE TABLE with CDC envelope, DROP TABLE") {
