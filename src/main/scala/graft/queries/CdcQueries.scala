@@ -297,6 +297,24 @@ object CdcQueries {
                 |ON t.repo = s.repo AND t.path = s.path
                 |WHEN MATCHED THEN UPDATE SET *
                 |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      // conditional PARTIAL-SET matched action (VERDICT r5 #1): only
+      // matched winners passing the target-side condition are re-emitted,
+      // with the subset SET applied at (winner commit, lsn+1); unmatched
+      // condition rows stay untouched — the guard itself is hash-verified
+      sql.sql("""MERGE INTO graft.ns.mrg t
+                |USING (SELECT DISTINCT repo, path FROM q_sql_merge_src
+                |       WHERE repo >= 'repo_00040') s
+                |ON t.repo = s.repo AND t.path = s.path
+                |WHEN MATCHED AND t.lang = 'scala'
+                |  THEN UPDATE SET content = concat(t.content, '!'), lang = 'scala2'
+                |""".stripMargin)
+      // conditional matched DELETE: tombstone only the repo band the
+      // condition selects (disjoint from the other slices' bands)
+      sql.sql("""MERGE INTO graft.ns.mrg t
+                |USING (SELECT DISTINCT repo, path FROM q_sql_merge_src) s
+                |ON t.repo = s.repo AND t.path = s.path
+                |WHEN MATCHED AND t.repo >= 'repo_00030' AND t.repo < 'repo_00035'
+                |  THEN DELETE""".stripMargin)
       sql.sql("""MERGE INTO graft.ns.mrg t
                 |USING (SELECT DISTINCT repo, path FROM q_sql_merge_src
                 |       WHERE repo < 'repo_00008') s
@@ -305,6 +323,39 @@ object CdcQueries {
       sql.sql("""SELECT repo, path, `commit`, lsn, lang,
                 |       sha2(content, 256) AS content_sha
                 |FROM graft.ns.mrg""".stripMargin)
+    }),
+
+    // MIRROR sync through MERGE (general decomposition): matched keys take
+    // the source row (SET *), unmatched source keys insert, live target keys
+    // ABSENT from the source are deleted (WHEN NOT MATCHED BY SOURCE) — the
+    // classic replicate-a-table statement. The oracle is simply the LWW
+    // winners of the source slice: every slice-1 key either gets replaced
+    // (slice-2 ordering is strictly higher) or by-source-deleted.
+    "q_sql_merge_mirror" -> ((s, _) => {
+      val dir = s"$ExportRoot/q_sql_merge_mirror"
+      Fs.rmTree(java.nio.file.Paths.get(dir))
+      val events = EventGen.events(s, 8000L, nRepos = 50, pathsPerRepo = 6,
+        langFromLsn = 2000L)
+      events.write.mode("overwrite").parquet(s"$dir/input")
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/wh/ns"))
+      val sql = graft.sql.GraftSql.attach(s, root = Some(s"$dir/wh"))
+      sql.sql("CREATE TABLE graft.ns.mir (repo STRING, path STRING, " +
+        "`commit` STRING, lsn BIGINT, op STRING, lang STRING, content STRING) " +
+        "TBLPROPERTIES ('buckets'='8')")
+      sql.read.parquet(s"$dir/input").createOrReplaceTempView("q_sql_mirror_src")
+      sql.sql("""INSERT INTO graft.ns.mir
+                |SELECT repo, path, `commit`, lsn, lang, content
+                |FROM q_sql_mirror_src WHERE lsn < 4000 AND op <> 'D'""".stripMargin)
+      sql.sql("""MERGE INTO graft.ns.mir t
+                |USING (SELECT repo, path, `commit`, lsn, lang, content
+                |       FROM q_sql_mirror_src WHERE lsn >= 4000 AND op <> 'D') s
+                |ON t.repo = s.repo AND t.path = s.path
+                |WHEN MATCHED THEN UPDATE SET *
+                |WHEN NOT MATCHED THEN INSERT *
+                |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+      sql.sql("""SELECT repo, path, `commit`, lsn, lang,
+                |       sha2(content, 256) AS content_sha
+                |FROM graft.ns.mir""".stripMargin)
     }),
 
     // SQL UPDATE: matched winners re-emitted as op='U' events with the SET
@@ -565,13 +616,31 @@ object CdcQueries {
          |      WHERE op <> 'D')
          |WHERE rn = 1""".stripMargin,
 
+    // net effect of the four MERGE slices over disjoint repo bands:
+    // [40,∞) ∧ lang='scala' → partial SET applied at lsn+1;
+    // [30,35) → conditional-deleted; [0,8) → canonical-deleted
     "q_sql_merge" ->
-      s"""SELECT repo, path, "commit", lsn, lang, sha256(content) AS content_sha
+      s"""SELECT repo, path, "commit",
+         |       CASE WHEN repo >= 'repo_00040' AND lang = 'scala'
+         |            THEN lsn + 1 ELSE lsn END AS lsn,
+         |       CASE WHEN repo >= 'repo_00040' AND lang = 'scala'
+         |            THEN 'scala2' ELSE lang END AS lang,
+         |       sha256(CASE WHEN repo >= 'repo_00040' AND lang = 'scala'
+         |              THEN content || '!' ELSE content END) AS content_sha
          |FROM (SELECT *, row_number() OVER (PARTITION BY repo, path
          |                                   ORDER BY "commit" DESC, lsn DESC) rn
          |      FROM read_parquet('$ExportRoot/q_sql_merge/input/*.parquet')
          |      WHERE op <> 'D')
-         |WHERE rn = 1 AND NOT (repo < 'repo_00008')""".stripMargin,
+         |WHERE rn = 1 AND NOT (repo < 'repo_00008')
+         |  AND NOT (repo >= 'repo_00030' AND repo < 'repo_00035')""".stripMargin,
+
+    "q_sql_merge_mirror" ->
+      s"""SELECT repo, path, "commit", lsn, lang, sha256(content) AS content_sha
+         |FROM (SELECT *, row_number() OVER (PARTITION BY repo, path
+         |                                   ORDER BY "commit" DESC, lsn DESC) rn
+         |      FROM read_parquet('$ExportRoot/q_sql_merge_mirror/input/*.parquet')
+         |      WHERE op <> 'D' AND lsn >= 4000)
+         |WHERE rn = 1""".stripMargin,
 
     "q_sql_insert" ->
       s"""SELECT repo, path, "commit", lsn, lang, sha256(content) AS content_sha

@@ -90,6 +90,56 @@ final case class GraftUpdateCommand(path: String, source: LogicalPlan)
   }
 }
 
+/** General MERGE INTO lowering (conditional actions, partial SET lists,
+  * NOT MATCHED BY SOURCE — VERDICT r5 #1): the statement's per-key action
+  * set decomposes into three event shapes, all committed through ONE fenced
+  * LWW merge (one table version per MERGE statement, like the canonical
+  * forms):
+  *
+  *  - `upserts`: full-width rows carried at their OWN (source) ordering —
+  *    the `UPDATE SET *` / `INSERT *` actions, pre-filtered by their
+  *    match/condition joins. CDC semantics: a source row ordered below the
+  *    key's winner loses, exactly like the canonical upsert.
+  *  - `reemits`: matched WINNER rows with a partial SET applied — re-emitted
+  *    at (winner commit, lsn+1), the same fabricated ordering as the UPDATE
+  *    statement (beats the matched state, loses to any later real event).
+  *  - `deletes`: matched winner (key, ordering) rows — tombstoned at
+  *    (winner commit, lsn+1) via [[GraftDml.tombstoneFrame]].
+  *
+  * Plans are FIELDS (re-planned at run time via SessionBridge.ofRows), so
+  * the graft relation inside each resolves to the live winners through the
+  * normal substitution — every component sees the SAME pre-statement state,
+  * and first-match-wins action guards were already folded into each plan's
+  * Filter at rewrite time. Scale note: each component plan scans the target
+  * live view once (2 scans for the common update+insert shape); the
+  * canonical unconditional upsert keeps its zero-target-scan fast path in
+  * [[GraftMergeUpsertCommand]]. */
+final case class GraftMergeCommand(
+    path: String,
+    upserts: Seq[LogicalPlan],
+    reemits: Seq[LogicalPlan],
+    deletes: Seq[LogicalPlan]
+) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+  override def innerChildren: Seq[QueryPlan[_]] = upserts ++ reemits ++ deletes
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = LakeTable.load(spark, path)
+    def frame(p: LogicalPlan): DataFrame =
+      org.apache.spark.sql.graftshim.SessionBridge.ofRows(spark, p)
+    val ups = upserts.map(p => frame(p).withColumn("op", lit("U")))
+    val res = reemits.map(p => frame(p)
+      .withColumn("lsn", col("lsn") + lit(1L)).withColumn("op", lit("U")))
+    val tombs = deletes.map(p => GraftDml.tombstoneFrame(t, frame(p)))
+    (ups ++ res ++ tombs)
+      .reduceOption(_.unionByName(_, allowMissingColumns = true))
+      .foreach { events =>
+        // a no-match MERGE must not commit an empty table version
+        if (!events.isEmpty) { LakeMerge.mergeBatch(t, events); () }
+      }
+    Nil
+  }
+}
+
 /** `MERGE INTO graft.ns.t USING src ON <keys> WHEN MATCHED THEN DELETE` —
   * tombstone every target key present in the source. */
 final case class GraftMergeDeleteCommand(path: String, sourceKeys: LogicalPlan)

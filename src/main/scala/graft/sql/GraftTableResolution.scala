@@ -1,8 +1,9 @@
 package graft.sql
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeSet, Cast, EqualTo, Expression, In, Literal, Or}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, Filter, InsertAction, InsertIntoStatement, LogicalPlan, MergeIntoTable, Project, SubqueryAlias, UpdateAction, UpdateTable}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeSet, Cast, EqualTo, Expression, In, IsNull, Literal, Not, Or}
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftAnti}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, Filter, InsertAction, InsertIntoStatement, Join, JoinHint, LogicalPlan, MergeAction, MergeIntoTable, Project, SubqueryAlias, UpdateAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.types.StringType
@@ -143,16 +144,20 @@ class GraftTableResolution(spark: SparkSession) extends Rule[LogicalPlan] {
 
   // ----------------------------------------------------------- MERGE INTO
   // Graft tables don't implement row-level-operation planning (the LWW
-  // merge IS the row-level operation); instead the two MERGE shapes whose
-  // semantics the CDC merge expresses EXACTLY are rewritten to it:
+  // merge IS the row-level operation). The two canonical shapes keep a
+  // zero-target-scan fast path:
   //   ON <all key cols equal>
   //   WHEN MATCHED THEN UPDATE SET *  WHEN NOT MATCHED THEN INSERT *
   //     → upsert every source row (GraftMergeUpsertCommand), and
   //   WHEN MATCHED THEN DELETE (nothing else)
   //     → tombstone target keys present in the source.
-  // Anything else (partial SET lists, action conditions, not-matched-by-
-  // source clauses, non-key ON) is NOT a plain LWW upsert/delete — left
-  // unrewritten, so Spark fails it with its own unsupported-table error.
+  // Everything else that is still expressible as CDC events — conditional
+  // matched actions, partial SET lists, conditional INSERT, NOT MATCHED BY
+  // SOURCE delete/update — decomposes via [[generalMergeRewrite]] into
+  // filtered joins against the live winners, all committed through ONE
+  // fenced merge (GraftMergeCommand). Non-lowerable pieces (non-star
+  // INSERT, SET on key/ordering/op, non-key ON) are left unrewritten, so
+  // Spark fails them with its own loud unsupported-table error.
 
   /** `e` is column `name` of `from` (through resolution-inserted casts). */
   private def sameCol(e: Expression, name: String, from: AttributeSet): Boolean = e match {
@@ -228,11 +233,14 @@ class GraftTableResolution(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def mergeRewrite(m: MergeIntoTable): Option[LogicalPlan] = {
     val (r, t) = graftOf(m.targetTable).get
-    if (t.asOfVersion.isDefined || m.notMatchedBySourceActions.nonEmpty) return None
+    if (t.asOfVersion.isDefined) return None
     val sOut = m.sourceTable.outputSet
     keyEquiCondition(m.mergeCondition, AttributeSet(r.output), sOut).flatMap { keyAttrs =>
-      (m.matchedActions, m.notMatchedActions) match {
-        case (Seq(UpdateAction(None, up, _)), Seq(InsertAction(None, ins)))
+      (m.matchedActions, m.notMatchedActions, m.notMatchedBySourceActions) match {
+        // canonical fast paths — NO target scan: the LWW merge itself IS the
+        // matched/not-matched decision, so the plain upsert/delete shapes
+        // never join against the live state
+        case (Seq(UpdateAction(None, up, _)), Seq(InsertAction(None, ins)), Seq())
             if starAssignments(up, r.output, sOut) && starAssignments(ins, r.output, sOut) =>
           val byName = ins.flatMap(a => a.key match {
             case k: Attribute => Some(k.name -> a.value)
@@ -240,12 +248,133 @@ class GraftTableResolution(spark: SparkSession) extends Rule[LogicalPlan] {
           }).toMap
           Some(GraftMergeUpsertCommand(t.path,
             Project(r.output.map(o => Alias(byName(o.name), o.name)()), m.sourceTable)))
-        case (Seq(DeleteAction(None)), Seq()) =>
+        case (Seq(DeleteAction(None)), Seq(), Seq()) =>
           Some(GraftMergeDeleteCommand(t.path,
             Project(MergeEngine.keyCols.map(k => Alias(keyAttrs(k), k)()), m.sourceTable)))
-        case _ => None
+        // everything else: the general decomposition (conditional actions,
+        // partial SET lists, NOT MATCHED BY SOURCE)
+        case _ => generalMergeRewrite(m, r, t)
       }
     }
+  }
+
+  /** General MERGE decomposition → [[GraftMergeCommand]] (VERDICT r5 #1).
+    *
+    * Per ANSI, each target row is decided by the FIRST action (in statement
+    * order) of its match class whose condition is true — folded here into a
+    * cumulative `NOT previous-conditions-true` guard on each action's
+    * Filter. Lowerings:
+    *  - matched `UPDATE SET *` (cond optional) → upsert of the matched
+    *    source rows at SOURCE ordering (the canonical CDC replacement,
+    *    filtered by the join + condition);
+    *  - matched `UPDATE SET <payload subset>` → re-emit of the matched
+    *    winners with the SET applied at (winner commit, lsn+1) — the UPDATE
+    *    statement's lowering; SET values may reference source columns;
+    *  - matched `DELETE` (cond optional) → tombstones of the matched
+    *    winners;
+    *  - `NOT MATCHED [AND cond] INSERT *` → upsert of the anti-joined
+    *    source rows at source ordering;
+    *  - `NOT MATCHED BY SOURCE [AND cond] DELETE / UPDATE SET <subset>` →
+    *    tombstone / re-emit over the target-side anti-join.
+    * Non-lowerable pieces (non-star INSERT, SET on key/ordering/op, non-key
+    * ON — checked by the caller) return None, so Spark fails the statement
+    * with its own loud unsupported-table error. */
+  private def generalMergeRewrite(
+      m: MergeIntoTable, r: DataSourceV2Relation, t: GraftTable): Option[LogicalPlan] = {
+    val sOut = m.sourceTable.outputSet
+    val tOut = AttributeSet(r.output)
+    val protectedCols = (MergeEngine.keyCols ++ MergeEngine.orderCols :+ "op").toSet
+    val tz = Some(spark.sessionState.conf.sessionLocalTimeZone)
+
+    // ANSI "condition is not TRUE" (null counts as not-true)
+    def notTrue(e: Expression): Expression = Or(IsNull(e), Not(e))
+    // first-match-wins: each action guarded by the negation of every prior
+    // condition; actions after an unconditional one are unreachable
+    def guarded[A <: MergeAction](as: Seq[A]): Seq[(A, Option[Expression])] = {
+      val idx = as.indexWhere(_.condition.isEmpty)
+      val reachable = if (idx < 0) as else as.take(idx + 1)
+      var prior: Seq[Expression] = Nil
+      reachable.map { a =>
+        val guard = (prior.map(notTrue) ++ a.condition).reduceOption(And)
+        prior = prior ++ a.condition
+        (a, guard)
+      }
+    }
+    def filtered(base: LogicalPlan, cond: Option[Expression]): LogicalPlan =
+      cond.map(Filter(_, base)).getOrElse(base)
+    def byNameOf(assigns: Seq[Assignment]): Option[Map[String, Expression]] = {
+      val m0 = assigns.flatMap(a => a.key match {
+        case k: Attribute => Some(k.name -> a.value)
+        case _ => None
+      }).toMap
+      if (m0.size == assigns.size) Some(m0) else None
+    }
+    // a payload-only partial SET: identity (self) assignments drop out;
+    // the remaining real assignments must avoid key/ordering/op
+    def partialAssign(assigns: Seq[Assignment]): Option[Map[String, Expression]] =
+      byNameOf(assigns).flatMap { bn =>
+        val real = bn.filterNot { case (n, v) => sameCol(v, n, tOut) }
+        if (real.keySet.exists(protectedCols.contains)) None else Some(real)
+      }
+    def projectWith(real: Map[String, Expression], base: LogicalPlan): LogicalPlan =
+      Project(r.output.map { o =>
+        real.get(o.name) match {
+          case Some(v) if v.dataType == o.dataType => Alias(v, o.name)()
+          case Some(v) => Alias(Cast(v, o.dataType, tz), o.name)()
+          case None => o
+        }
+      }, base)
+    def projectSource(byName: Map[String, Expression], base: LogicalPlan): LogicalPlan =
+      Project(r.output.map(o => Alias(byName(o.name), o.name)()), base)
+    val keyAndOrder = (MergeEngine.keyCols ++ MergeEngine.orderCols)
+      .map(c => r.output.find(_.name == c).get)
+
+    // target-winner × source (matched), source ∖ target (insert candidates),
+    // target ∖ source (by-source candidates) — the relation inside each
+    // resolves to the live winners at run time
+    val inner = Join(m.targetTable, m.sourceTable, Inner, Some(m.mergeCondition), JoinHint.NONE)
+    val sourceAnti = Join(m.sourceTable, m.targetTable, LeftAnti, Some(m.mergeCondition), JoinHint.NONE)
+    val targetAnti = Join(m.targetTable, m.sourceTable, LeftAnti, Some(m.mergeCondition), JoinHint.NONE)
+
+    val upserts = Seq.newBuilder[LogicalPlan]
+    val reemits = Seq.newBuilder[LogicalPlan]
+    val deletes = Seq.newBuilder[LogicalPlan]
+
+    val matchedOk = guarded(m.matchedActions).forall {
+      case (UpdateAction(_, assigns, _), guard)
+          if starAssignments(assigns, r.output, sOut) =>
+        byNameOf(assigns).exists { bn =>
+          upserts += projectSource(bn, filtered(inner, guard)); true
+        }
+      case (UpdateAction(_, assigns, _), guard) =>
+        partialAssign(assigns).exists { real =>
+          reemits += projectWith(real, filtered(inner, guard)); true
+        }
+      case (DeleteAction(_), guard) =>
+        deletes += Project(keyAndOrder, filtered(inner, guard)); true
+      case _ => false
+    }
+    val insertOk = guarded(m.notMatchedActions).forall {
+      case (InsertAction(_, ins), guard) if starAssignments(ins, r.output, sOut) =>
+        byNameOf(ins).exists { bn =>
+          upserts += projectSource(bn, filtered(sourceAnti, guard)); true
+        }
+      case _ => false
+    }
+    val bySourceOk = guarded(m.notMatchedBySourceActions).forall {
+      case (DeleteAction(_), guard) =>
+        deletes += Project(keyAndOrder, filtered(targetAnti, guard)); true
+      case (UpdateAction(_, assigns, _), guard) =>
+        // the anti-join exposes target columns only — SET values must too
+        partialAssign(assigns).filter(_.values.forall(_.references.subsetOf(tOut)))
+          .exists { real =>
+            reemits += projectWith(real, filtered(targetAnti, guard)); true
+          }
+      case _ => false
+    }
+    if (matchedOk && insertOk && bySourceOk)
+      Some(GraftMergeCommand(t.path, upserts.result(), reemits.result(), deletes.result()))
+    else None
   }
 }
 

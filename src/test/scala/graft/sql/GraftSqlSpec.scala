@@ -285,13 +285,15 @@ class GraftSqlSpec extends SparkSpec {
     // the SQL path wrote through the real merge: the library view agrees
     val t = LakeTable.load(spark, s"$warehouse/ns/m")
     assert(lib(sql.sql("SELECT * FROM graft.ns.m")) == lib(LakeMerge.readState(t)))
-    // a non-canonical shape (partial SET list ≠ plain LWW upsert) is rejected
-    intercept[Exception] {
-      sql.sql("""MERGE INTO graft.ns.m t USING m_src s
-                |ON t.repo = s.repo AND t.path = s.path
-                |WHEN MATCHED THEN UPDATE SET content = s.content""".stripMargin)
-    }
-    // non-key ON condition is NOT an LWW upsert either
+    // a partial SET list routes through the general decomposition (see the
+    // "general MERGE" test below): matched winners re-emitted with the SET
+    // applied at (winner commit, lsn+1)
+    sql.sql("""MERGE INTO graft.ns.m t USING m_src s
+              |ON t.repo = s.repo AND t.path = s.path
+              |WHEN MATCHED THEN UPDATE SET content = s.content""".stripMargin)
+    assert(lib(sql.sql("SELECT repo, content FROM graft.ns.m WHERE repo = 'r1'"))
+      .forall(_ != null))
+    // non-key ON condition is NOT an LWW upsert
     intercept[Exception] {
       sql.sql("""MERGE INTO graft.ns.m t USING m_src s
                 |ON t.repo = s.repo
@@ -673,6 +675,65 @@ class GraftSqlSpec extends SparkSpec {
     // the warehouse (and its parent) survived every attempt
     assert(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(warehouse)))
     assert(LakeTable.exists(tablePath))
+  }
+
+  test("general MERGE: conditional actions, partial SET, NOT MATCHED BY SOURCE") {
+    import spark.implicits._
+    val path = s"$warehouse/ns/gm"
+    val t = LakeTable.create(spark, path, CdcStream.binlogSchema, numBuckets = 4)
+    val base = Seq(
+      ("r1", "p", "c1", 10L, "U", "scala", "one"),
+      ("r2", "p", "c1", 11L, "U", "java", "two"),
+      ("r3", "p", "c1", 12L, "U", "scala", "three"),
+      ("r4", "p", "c1", 13L, "U", "go", "four"))
+      .toDF("repo", "path", "commit", "lsn", "op", "lang", "content")
+    LakeMerge.mergeBatch(t, base, Some(("gm", 0L)))
+    // source covers r1 (scala → partial SET fires), r2 (java → guard false),
+    // r5 (unmatched → insert); r3/r4 are NOT in the source (by-source rows)
+    sql.sql("""CREATE OR REPLACE TEMP VIEW gm_src AS
+              |SELECT * FROM VALUES
+              |  ('r1', 'p', 'c2', CAST(20 AS BIGINT), 'snew', 'S1'),
+              |  ('r2', 'p', 'c2', CAST(21 AS BIGINT), 'snew', 'S2'),
+              |  ('r5', 'p', 'c2', CAST(22 AS BIGINT), 'snew', 'S5')
+              |AS v(repo, path, `commit`, lsn, lang, content)""".stripMargin)
+    sql.sql("""MERGE INTO graft.ns.gm t
+              |USING gm_src s
+              |ON t.repo = s.repo AND t.path = s.path
+              |WHEN MATCHED AND t.lang = 'scala'
+              |  THEN UPDATE SET content = concat(t.content, '+', s.content)
+              |WHEN NOT MATCHED THEN INSERT *
+              |WHEN NOT MATCHED BY SOURCE AND t.lang = 'go' THEN DELETE""".stripMargin)
+    val got = sql.sql("SELECT repo, lsn, lang, content FROM graft.ns.gm ORDER BY repo")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getString(3)))
+    assert(got.toSeq == Seq(
+      ("r1", 11L, "scala", "one+S1"), // partial SET at winner lsn+1, source col referenced
+      ("r2", 11L, "java", "two"),     // matched, guard false → untouched
+      ("r3", 12L, "scala", "three"),  // by-source, guard false → untouched
+      // r4 by-source-deleted (lang = go)
+      ("r5", 22L, "snew", "S5")))     // inserted at its own ordering
+
+    // two matched actions: first-match-wins ordering
+    sql.sql("""MERGE INTO graft.ns.gm t
+              |USING gm_src s
+              |ON t.repo = s.repo AND t.path = s.path
+              |WHEN MATCHED AND t.repo = 'r1' THEN DELETE
+              |WHEN MATCHED THEN UPDATE SET lang = 'touched'""".stripMargin)
+    val got2 = sql.sql("SELECT repo, lang FROM graft.ns.gm ORDER BY repo")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(got2.toSeq == Seq(("r2", "touched"), ("r3", "scala"), ("r5", "touched")))
+
+    // non-lowerable shapes still fail loudly: SET on an ordering column
+    intercept[Exception] {
+      sql.sql("""MERGE INTO graft.ns.gm t USING gm_src s
+                |ON t.repo = s.repo AND t.path = s.path
+                |WHEN MATCHED THEN UPDATE SET lsn = 999""".stripMargin)
+    }
+    // ... and a non-key ON condition
+    intercept[Exception] {
+      sql.sql("""MERGE INTO graft.ns.gm t USING gm_src s
+                |ON t.repo = s.repo
+                |WHEN MATCHED THEN DELETE""".stripMargin)
+    }
   }
 
   test("catalog DDL: SHOW TABLES, CREATE TABLE with CDC envelope, DROP TABLE") {
