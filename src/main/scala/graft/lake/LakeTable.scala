@@ -838,9 +838,16 @@ final class LakeTable private (val root: String, val spark: SparkSession) {
     * A ROLLBACK inside the range genuinely changes visible state in a way
     * no incremental delta can express (rows un-happen), so it fails loudly:
     * the consumer must re-baseline from a full scan of `toVersion`. */
-  def readChangesBetween(fromVersion: Int, toVersion: Int): DataFrame = {
+  def readChangesBetween(fromVersion: Int, toVersion: Int): DataFrame =
+    readFiles(snapshotAt(toVersion),
+      changedFilesByVersion(fromVersion, toVersion).flatMap(_._2))
+
+  /** The change files of each version in (fromVersion, toVersion], with the
+    * same append-only/rollback classification as [[readChangesBetween]]. */
+  private def changedFilesByVersion(
+      fromVersion: Int, toVersion: Int): Seq[(Int, Seq[DataFileMeta])] = {
     require(fromVersion <= toVersion, s"$fromVersion > $toVersion")
-    val changed = (fromVersion + 1 to toVersion).flatMap { v =>
+    (fromVersion + 1 to toVersion).map { v =>
       val snap = snapshotAt(v)
       if (snap.opKind == "rollback")
         throw new IllegalStateException(
@@ -848,11 +855,32 @@ final class LakeTable private (val root: String, val spark: SparkSession) {
             "reads cannot express un-happened rows — re-baseline from a full scan")
       // the previous snapshot is only consulted for change-carrying commits
       // (v=1 is always "create" — snapshotAt(0) does not exist)
-      if (snap.opKind != "append") Nil
-      else addedFilesOf(snap, filesOf(snapshotAt(v - 1)).map(_.path).toSet)
+      if (snap.opKind != "append") v -> Seq.empty[DataFileMeta]
+      else v -> addedFilesOf(snap, filesOf(snapshotAt(v - 1)).map(_.path).toSet)
     }
-    readFiles(snapshotAt(toVersion), changed)
   }
+
+  /** [[readChangesBetween]] plus a `_change_version` column stamping each
+    * row with the version that committed it — the body of the SQL
+    * `graft.ns.t.changes` inspection table. One scan per change-carrying
+    * version (ranges are bounded by retention); rollback-in-range fails
+    * loudly, non-append commits (compaction, metadata) contribute nothing.
+    * The default starting version for consumers is [[changesFloor]]. */
+  def readChangesWithVersion(fromVersion: Int, toVersion: Int): DataFrame = {
+    val target = snapshotAt(toVersion)
+    val frames = changedFilesByVersion(fromVersion, toVersion).collect {
+      case (v, files) if files.nonEmpty =>
+        readFiles(target, files).withColumn("_change_version", lit(v))
+    }
+    frames.reduceOption(_ unionByName _).getOrElse(
+      readFiles(target, Nil).withColumn("_change_version", lit(0)))
+  }
+
+  /** The lowest `fromVersion` for which the full retained changelog is
+    * readable: 0 on a fresh table (v1 is always the no-data "create"
+    * commit), else the oldest retained version. */
+  def changesFloor: Int =
+    if (minVersionAvailable <= 1) 0 else minVersionAvailable
 
   /** The files ADDED by a snapshot relative to `beforePaths` — the change
     * unit [[readChangesBetween]] delivers and streaming admission control

@@ -450,6 +450,39 @@ object CdcQueries {
           col("lang"), sha2(col("content"), 256).as("content_sha"))
     }),
 
+    // CHANGELOG as SQL (VERDICT r5 #3): three merge epochs with a full
+    // compaction in between — `FROM graft.ns.t.changes WHERE _change_version
+    // > vA AND <= vB` must return exactly the middle epoch's change rows
+    // (the compaction commit re-houses rows and contributes nothing),
+    // LWW-resolved in SQL. The oracle recomputes over the middle lsn slice
+    // of the exported stream, so both the version pruning and the
+    // append-only classification are hash-verified.
+    "q_sql_changes" -> ((s, _) => {
+      val dir = s"$ExportRoot/q_sql_changes"
+      Fs.rmTree(java.nio.file.Paths.get(dir))
+      val events = EventGen.events(s, 9000L, nRepos = 50, pathsPerRepo = 6,
+        langFromLsn = 3000L)
+      exportIf(events, s"$dir/events")
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/wh/ns"))
+      val table = LakeTable.create(s, s"$dir/wh/ns/t", CdcStream.binlogSchema,
+        numBuckets = 8)
+      LakeMerge.mergeBatch(table, events.where(col("lsn") < 3000L), Some(("chq", 0L)))
+      val vA = table.currentVersion
+      LakeMerge.mergeBatch(table,
+        events.where(col("lsn") >= 3000L && col("lsn") < 6000L), Some(("chq", 1L)))
+      val vB = table.currentVersion
+      LakeMerge.compact(table)
+      LakeMerge.mergeBatch(table, events.where(col("lsn") >= 6000L), Some(("chq", 2L)))
+      val sql = graft.sql.GraftSql.attach(s, root = Some(s"$dir/wh"))
+      sql.sql(s"""SELECT repo, path, `commit`, lsn, lang,
+                 |       sha2(content, 256) AS content_sha
+                 |FROM (SELECT *, row_number() OVER (PARTITION BY repo, path
+                 |                                   ORDER BY `commit` DESC, lsn DESC) rn
+                 |      FROM graft.ns.t.changes
+                 |      WHERE _change_version > $vA AND _change_version <= $vB)
+                 |WHERE rn = 1 AND op <> 'D'""".stripMargin)
+    }),
+
     // Schema evolution through the lake: commit narrow batch, evolve, commit
     // wide batch, read reconciled (additive column + widened type), then
     // RENAME the evolved column (metadata-only — field-id reconciliation
@@ -649,6 +682,14 @@ object CdcQueries {
          |      FROM read_parquet('$ExportRoot/q_sql_insert/input/*.parquet')
          |      WHERE op <> 'D')
          |WHERE rn = 1""".stripMargin,
+
+    "q_sql_changes" ->
+      s"""SELECT repo, path, "commit", lsn, lang, sha256(content) AS content_sha
+         |FROM (SELECT *, row_number() OVER (PARTITION BY repo, path
+         |                                   ORDER BY "commit" DESC, lsn DESC) rn
+         |      FROM read_parquet('$ExportRoot/q_sql_changes/events/*.parquet')
+         |      WHERE lsn >= 3000 AND lsn < 6000)
+         |WHERE rn = 1 AND op <> 'D'""".stripMargin,
 
     "q_schema_evolution" -> lwwOracle(
       s"$ExportRoot/q_schema_evolution/*.parquet",

@@ -76,6 +76,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       val parent = pathOf(ident.namespace())
       if (LakeTable.exists(parent)) return GraftMetaTable(parent, ident.name())
     }
+    // changelog inspection table: data-reading, substituted at analysis
+    if (ident.namespace().nonEmpty && ident.name() == "changes") {
+      val parent = pathOf(ident.namespace())
+      if (LakeTable.exists(parent)) return GraftChangesTable(parent)
+    }
     throw tableNotFound(ident)
   }
 

@@ -53,6 +53,48 @@ final case class GraftMetaTable(path: String, kind: String)
     }
 }
 
+/** `SELECT * FROM graft.ns.t.changes` — the table's CHANGELOG as a batch
+  * relation (Iceberg's changes metadata table): every change row the
+  * retained `append` commits added, stamped with a `_change_version`
+  * column, tombstones included (`op` is exposed — a changelog without
+  * deletes is not a changelog). Unlike the other inspection tables this
+  * reads DATA files, so it is not a LocalScan: [[GraftTableResolution]]
+  * substitutes the relation with `LakeTable.readChangesWithVersion` at
+  * analysis, pushing `_change_version` bound conjuncts
+  * (`WHERE _change_version BETWEEN 5 AND 9`) into the VERSION-pruned read —
+  * only those commits' files are ever opened. A rollback inside the
+  * requested range fails loudly (same contract as the streaming source);
+  * an explicit bound below the retention floor fails on the expired
+  * snapshot read rather than silently truncating. */
+final case class GraftChangesTable(path: String)
+    extends Table with SupportsRead {
+
+  override def name(): String = s"$path#changes"
+
+  override def schema: StructType = {
+    val snap = graft.lake.LakeTable.load(SparkSession.active, path).snapshot
+    StructType(snap.schema.fields :+
+      StructField("_change_version", IntegerType, nullable = false))
+  }
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  /** Never executed — [[GraftTableResolution]] substitutes the relation at
+    * analysis (same contract as [[GraftTable]]'s scan). */
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = GraftChangesTable.this.schema
+        override def toBatch: org.apache.spark.sql.connector.read.Batch =
+          throw new IllegalStateException(
+            "graft changes tables resolve through the GraftTableResolution " +
+              "analyzer rule; add spark.sql.extensions=graft.GraftExtensions " +
+              "to the session config (or call graft.sql.GraftSql.attach(spark))")
+      }
+    }
+}
+
 object GraftMetaTable {
   val kinds: Set[String] = Set("snapshots", "files", "fences", "refs")
 

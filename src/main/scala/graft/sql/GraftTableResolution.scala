@@ -47,6 +47,83 @@ class GraftTableResolution(spark: SparkSession) extends Rule[LogicalPlan] {
     case other => Seq(other)
   }
 
+  /** Unwrap to a changes-table relation, if any. */
+  private def changesOf(p: LogicalPlan): Option[(DataSourceV2Relation, GraftChangesTable)] =
+    p match {
+      case r: DataSourceV2Relation => r.table match {
+        case t: GraftChangesTable => Some((r, t))
+        case _ => None
+      }
+      case SubqueryAlias(_, child) => changesOf(child)
+      case _ => None
+    }
+
+  /** Substitute a `graft.ns.t.changes` relation with the version-pruned
+    * changelog read. Bound conjuncts on `_change_version` (=, <, <=, >, >=,
+    * BETWEEN — which parses to >= AND <=) tighten the (from, to] range so
+    * only those commits' files are opened; the full residual filter is
+    * retained on top by the caller. Defaults: the whole retained changelog. */
+  private def substituteChanges(
+      r: DataSourceV2Relation, t: GraftChangesTable,
+      cond: Option[Expression]): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.expressions.{GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+    import org.apache.spark.sql.types.IntegerType
+    val lake = graft.lake.LakeTable.load(spark, t.path)
+    // user bounds tracked separately from the defaults: an EXPLICIT lower
+    // bound below the retention floor must fail loudly on the expired
+    // snapshot read (readChangesWithVersion walks from it), never silently
+    // clamp to the floor — a truncated changelog is a wrong answer
+    var userLo: Option[Int] = None
+    var userHi: Option[Int] = None
+    def tightenLo(v: Int): Unit = { userLo = Some(userLo.fold(v)(math.max(_, v))); () }
+    def tightenHi(v: Int): Unit = { userHi = Some(userHi.fold(v)(math.min(_, v))); () }
+    for {
+      c <- cond.toSeq
+      vAttr <- r.output.find(_.name == "_change_version").toSeq
+      e <- conjuncts(c)
+    } {
+      def isV(a: Expression) = a match {
+        case at: Attribute => at.exprId == vAttr.exprId
+        case _ => false
+      }
+      e match {
+        case EqualTo(a, Literal(v: Int, IntegerType)) if isV(a) =>
+          tightenLo(v - 1); tightenHi(v)
+        case EqualTo(Literal(v: Int, IntegerType), a) if isV(a) =>
+          tightenLo(v - 1); tightenHi(v)
+        case GreaterThanOrEqual(a, Literal(v: Int, IntegerType)) if isV(a) =>
+          tightenLo(v - 1)
+        case GreaterThan(a, Literal(v: Int, IntegerType)) if isV(a) =>
+          tightenLo(v)
+        case LessThanOrEqual(a, Literal(v: Int, IntegerType)) if isV(a) =>
+          tightenHi(v)
+        case LessThan(a, Literal(v: Int, IntegerType)) if isV(a) =>
+          tightenHi(v - 1)
+        case GreaterThanOrEqual(Literal(v: Int, IntegerType), a) if isV(a) =>
+          tightenHi(v)
+        case GreaterThan(Literal(v: Int, IntegerType), a) if isV(a) =>
+          tightenHi(v - 1)
+        case LessThanOrEqual(Literal(v: Int, IntegerType), a) if isV(a) =>
+          tightenLo(v - 1)
+        case LessThan(Literal(v: Int, IntegerType), a) if isV(a) =>
+          tightenLo(v)
+        case _ => ()
+      }
+    }
+    var lo = userLo.getOrElse(lake.changesFloor)
+    // versions beyond current simply have no changes yet — clamp is safe
+    val hi = math.min(userHi.getOrElse(lake.currentVersion), lake.currentVersion)
+    // an over-constrained range reads nothing (but the plan stays valid)
+    if (lo > hi) lo = hi
+    val resolved = lake.readChangesWithVersion(lo, hi).queryExecution.analyzed
+    require(resolved.output.length == r.output.length,
+      s"graft changes table ${t.path}: schema drift (${r.output.length} vs " +
+        s"${resolved.output.length} cols)")
+    Project(r.output.zip(resolved.output).map { case (out, in) =>
+      Alias(in, out.name)(exprId = out.exprId)
+    }, resolved)
+  }
+
   /** A top-level point-lookup conjunct on `repo`, by exprId: a single
     * equality, an `IN`-list of literals, or an OR-tree of equalities all
     * yield the key set for metadata (bucket + bloom) pruning. */
@@ -139,6 +216,14 @@ class GraftTableResolution(spark: SparkSession) extends Rule[LogicalPlan] {
       case p if readable(p).isDefined =>
         val (r, t) = readable(p).get
         substitute(r, t, None)
+      // changelog inspection table: version-bound conjuncts prune which
+      // commits' files are read; the filter stays on top as the residual
+      case f @ Filter(cond, child) if f.resolved && changesOf(child).isDefined =>
+        val (r, t) = changesOf(child).get
+        Filter(cond, substituteChanges(r, t, Some(cond)))
+      case p if changesOf(p).isDefined =>
+        val (r, t) = changesOf(p).get
+        substituteChanges(r, t, None)
     }
   }
 

@@ -677,6 +677,54 @@ class GraftSqlSpec extends SparkSpec {
     assert(LakeTable.exists(tablePath))
   }
 
+  test("changes inspection table: version-pruned changelog with loud failure modes") {
+    import spark.implicits._
+    val path = s"$warehouse/ns/ch"
+    val t = LakeTable.create(spark, path, CdcStream.binlogSchema, numBuckets = 2)
+    def b(r: String, lsn: Long, op: String) =
+      Seq((r, "p", f"c$lsn%04d", lsn, op, "sc", if (op == "D") null else s"v$lsn"))
+        .toDF("repo", "path", "commit", "lsn", "op", "lang", "content")
+    LakeMerge.mergeBatch(t, b("r1", 1L, "U"), Some(("ch", 0L)))
+    val v1 = t.currentVersion
+    LakeMerge.mergeBatch(t, b("r2", 2L, "U").union(b("r1", 3L, "D")), Some(("ch", 1L)))
+    val v2 = t.currentVersion
+    LakeMerge.compact(t) // non-append commit: must contribute no change rows
+    LakeMerge.mergeBatch(t, b("r3", 4L, "U"), Some(("ch", 2L)))
+
+    // full changelog: every append's rows, tombstones included, op exposed
+    val full = sql.sql("SELECT repo, lsn, op, _change_version FROM graft.ns.ch.changes")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).sorted
+    assert(full.toSeq == Seq(("r1", 1L, "U"), ("r1", 3L, "D"), ("r2", 2L, "U"), ("r3", 4L, "U")))
+
+    // version bounds slice to exactly the middle epoch, and the scan opens
+    // ONLY that commit's files (version pruning is metadata-level)
+    val mid = sql.sql(
+      s"""SELECT repo, lsn, op FROM graft.ns.ch.changes
+         |WHERE _change_version > $v1 AND _change_version <= $v2""".stripMargin)
+    assert(mid.collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq ==
+      Seq(("r1", 3L), ("r2", 2L)))
+    val t2 = LakeTable.load(spark, path)
+    val midFiles = t2.filesOf(t2.snapshotAt(v2)).map(_.path).toSet --
+      t2.filesOf(t2.snapshotAt(v1)).map(_.path).toSet
+    assert(scannedFiles(mid) == midFiles.size,
+      s"version-bounded changes must open only that commit's files: " +
+        s"${scannedFiles(mid)} vs ${midFiles.size}")
+
+    // an empty range is empty, not an error
+    assert(sql.sql(
+      s"SELECT * FROM graft.ns.ch.changes WHERE _change_version > 90").isEmpty)
+
+    // rollback inside the requested range fails loudly (re-baseline contract)
+    t.rollback(v1)
+    intercept[Exception] {
+      sql.sql("SELECT * FROM graft.ns.ch.changes").collect()
+    }
+    // ... but a range BELOW the rollback still reads (r1@1, r2@2, r1@3-D)
+    assert(sql.sql(
+      s"SELECT * FROM graft.ns.ch.changes WHERE _change_version <= $v2")
+      .count() == 3)
+  }
+
   test("general MERGE: conditional actions, partial SET, NOT MATCHED BY SOURCE") {
     import spark.implicits._
     val path = s"$warehouse/ns/gm"
