@@ -185,6 +185,107 @@ final class IvfIndex private (
       .select(col("query_id"), col("vec_id"), round(col("sim_raw"), 4).as("sim"), col("rk"))
   }
 
+  /** Incremental retrain (VERDICT r5 #4 — "centroids never retrain"):
+    * detect OVERFULL cells (live posting count above `targetPerCell`,
+    * default 2× the mean), split each into `splitFactor` sub-centroids
+    * trained on that cell's own live vectors, and re-point ONLY the
+    * affected buckets' postings — never a full rebuild, never an
+    * index-wide retrain. Corpus drift piles new vectors into the nearest
+    * stale cells; splitting those cells restores per-cell selectivity, so
+    * recall at a fixed nprobe recovers (IvfRetrainSpec drives the drift →
+    * degrade → retrain → recover curve).
+    *
+    * Three commits, each crash window leaving a CORRECT index:
+    *  1. append the sub-centroids (split centroids kept): new cells rank
+    *     but are empty — harmless;
+    *  2. rewrite the affected posting buckets, the split cells' vectors
+    *     reassigned to the sub-centroids (epochs preserved — the LWW
+    *     supersede protocol keeps working across the rewrite; superseded
+    *     postings move too and stay superseded);
+    *  3. replace the centroid set without the split (now-empty) centroids
+    *     — a crash before this leaves dead cells that rank but score
+    *     nothing (one wasted probe slot until retrain reruns).
+    * NOT safe under CONCURRENT index upserts (an in-flight posting could
+    * still reference a dropped cid and become unreachable) — run it from
+    * the single maintenance loop, like [[compactPostings]].
+    *
+    * @return the cids that were split (empty = nothing overfull) */
+  def retrainCells(
+      targetPerCell: Long = 0L, splitFactor: Int = 2, iters: Int = 5): Seq[Int] = {
+    val counts = assignments.groupBy(col("cid")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap // O(cells) rows
+    if (counts.isEmpty) return Nil
+    val mean = counts.values.sum.toDouble / counts.size
+    val target = if (targetPerCell > 0) targetPerCell else math.ceil(2.0 * mean).toLong
+    val split = counts.filter(_._2 > target).keys.toSeq.sorted
+    if (split.isEmpty) return Nil
+    val spark = assignTable.spark
+    import spark.implicits._
+    val allCents = centroids.collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toSeq // O(k·dim)
+    var nextCid = allCents.map(_._1).max + 1
+    // train sub-centroids per overfull cell on ITS live vectors only
+    val subCents: Seq[(Int, Seq[Double])] = split.flatMap { cid =>
+      val cellVecs = assignments.where(col("cid") === cid)
+        .select(col("vec_id"), col("embedding"))
+      SimilarityQueries.trainCentroids(cellVecs, splitFactor, iters).map {
+        case (_, c) => val id = nextCid; nextCid += 1; (id, c)
+      }
+    }
+    // 1. add the sub-centroids (keep the split ones for crash safety)
+    val subDf = subCents.toDF("cid", "centroid")
+    commitCentroids(allCents ++ subCents, replace = false, added = subCents)
+    // 2. rewrite the affected posting buckets from the CAPTURED file set
+    val splitSet = split.toSet
+    val affected = split.map(c => c % AssignBuckets).toSet
+    val snap = assignTable.snapshot
+    val captured = assignTable.filesOf(snap, affected) // posting buckets only
+    val frame = assignTable.readSubset(captured)
+      .select(col("vec_id"), col("cid"), col("embedding"),
+        coalesce(col("epoch"), lit(0L)).as("epoch"))
+    val keep = frame.where(!col("cid").isin(split.map(Integer.valueOf): _*))
+    val moved = SimilarityQueries.assignCells(
+      frame.where(col("cid").isin(split.map(Integer.valueOf): _*))
+        .select(col("vec_id"), col("embedding"), col("epoch")),
+      subDf) // returns (vec_id, embedding, epoch, cid) — nearest sub-centroid
+    val rebuilt = keep.select("vec_id", "cid", "embedding", "epoch")
+      .unionByName(moved.select("vec_id", "cid", "embedding", "epoch"))
+      .select(col("vec_id"), col("cid"), col("embedding"), col("epoch"),
+        lit("U").as("op"),
+        pmod(col("cid"), lit(AssignBuckets)).cast("int").as("bucket"))
+    val staged = assignTable.stage(rebuilt, snap.schemaId, kind = "base")
+    assignTable.rewriteCommit(
+      affected ++ staged.map(_.bucket).toSet, captured.map(_.path).toSet, staged,
+      summary = Map("operation" -> "ivf-retrain",
+        "split-cids" -> split.mkString(",")))
+    // 3. retire the split (now empty) centroids
+    commitCentroids(
+      allCents.filterNot(c => splitSet(c._1)) ++ subCents, replace = true,
+      added = Nil)
+    split
+  }
+
+  /** Commit a centroid-set change: append-only (crash-safe add) or a full
+    * replace (rewrite of the single centroid bucket — k·dim rows, tiny). */
+  private def commitCentroids(
+      cents: Seq[(Int, Seq[Double])], replace: Boolean,
+      added: Seq[(Int, Seq[Double])]): Unit = {
+    val spark = centroidTable.spark
+    import spark.implicits._
+    val snap = centroidTable.snapshot
+    val df = (if (replace) cents else added)
+      .toDF("cid", "centroid").withColumn("bucket", lit(0))
+    val staged = centroidTable.stage(df, snap.schemaId, kind = "base")
+    if (replace)
+      centroidTable.rewriteCommit(Set(0),
+        centroidTable.filesOf(snap).map(_.path).toSet, staged,
+        summary = Map("operation" -> "ivf-retrain-centroids"))
+    else
+      centroidTable.appendCommit(staged,
+        summary = Map("operation" -> "ivf-retrain-add"))
+    ()
+  }
+
   /** Fold the inverted file to its resolved state: superseded/deleted
     * postings physically dropped, the supersede bucket emptied (after a
     * full resolve no stale posting remains for it to retire). One shuffle

@@ -184,6 +184,36 @@ object SimilarityQueries {
       graft.ops.IvfIndex.load(s, root).search(q, nprobe = 8, topK = 10)
     }),
 
+    // INCREMENTAL RETRAIN (VERDICT r5 #4): the arrival epoch piles new
+    // vectors into the create-time cells; retrainCells splits every cell
+    // above the mean into locally-trained sub-centroids and re-points ONLY
+    // the affected buckets' postings (3 crash-safe commits, no rebuild).
+    // Probing ALL cells of the reloaded index must still equal brute force
+    // over the full corpus — splitting can move postings between cells but
+    // must never lose or duplicate one (the DuckDB oracle is the same
+    // brute-force top-k as q_ann_ivf_index).
+    "q_ann_ivf_retrain" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      val root = java.nio.file.Files.createTempDirectory("graft-ivfret").toString
+      val idx = graft.ops.IvfIndex.create(s, root,
+        e.where(col("vec_id") >= 5 && col("vec_id") < 300)
+          .select(col("vec_id"), col("embedding")),
+        k = 8, iters = 2)
+      assert(idx.append(
+        e.where(col("vec_id") >= 300).select(col("vec_id"), col("embedding")),
+        fence = Some(("ivf-maint", 1L))))
+      val total = idx.assignments.count()
+      // target = the mean: any above-average cell splits (deterministic)
+      val split = idx.retrainCells(targetPerCell = total / 8 + 1)
+      assert(split.nonEmpty, "the arrival epoch must overload at least one cell")
+      val reloaded = graft.ops.IvfIndex.load(s, root)
+      val nCells = reloaded.centroids.count().toInt
+      assert(nCells > 8, "split must add sub-cells")
+      reloaded.search(q, nprobe = nCells, topK = 10)
+    }),
+
     // LWW-resolving inverted file: the index follows a CDC source through
     // UPDATES and DELETES without rebuild. Epoch 0 indexes vec_ids [5,300);
     // epoch 1 UPDATES [5,50) to the embedding of vec_id+200 and DELETES
@@ -255,6 +285,20 @@ object SimilarityQueries {
     // full-corpus brute force: the persisted index (initial build + fenced
     // incremental appends, reloaded from disk) must lose nothing
     "q_ann_ivf_index" ->
+      """WITH scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+        |         list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS sim_raw
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id < 5 AND c.vec_id >= 5),
+        |ranked AS (
+        |  SELECT query_id, vec_id, sim_raw,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY sim_raw DESC, vec_id ASC) AS rk
+        |  FROM scored)
+        |SELECT query_id, vec_id, round(sim_raw, 4) AS sim, rk
+        |FROM ranked WHERE rk <= 10""".stripMargin,
+
+    // same brute-force oracle: retrain moves postings between cells but a
+    // full probe must lose nothing
+    "q_ann_ivf_retrain" ->
       """WITH scored AS (
         |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
         |         list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS sim_raw
