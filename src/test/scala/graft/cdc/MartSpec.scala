@@ -47,6 +47,56 @@ class MartSpec extends SparkSpec {
     assert(docs2.map(_.getAs[String]("doc_key")).distinct.length == docs2.length)
   }
 
+  test("pinned cross-table read: stable and internally consistent under concurrent ingest") {
+    val dir = tmpDir("mart-pin")
+    val table = setupState(dir)
+    val mart = Mart.martTable(spark, s"$dir/mart")
+    def agg(state: org.apache.spark.sql.DataFrame) =
+      state.groupBy($"lang").agg(count(lit(1)).as("n_files"))
+
+    assert(Mart.catchUp(mart, table, Seq("lang"), agg, "bylang").isDefined)
+    val pinned = Mart.pin(mart, "bylang")
+    assert(pinned.sourceVersion == table.currentVersion)
+
+    def docsAt = Mart.readDocsAt(mart, "bylang", pinned)
+      .select("doc_key", "doc_json").collect().map(_.toSeq).toSet
+    def srcAggAt = agg(Mart.readSourceAt(table, pinned))
+      .collect().map(_.toSeq).toSet
+    val docsBefore = docsAt
+    val srcBefore = srcAggAt
+
+    // CONCURRENT ingest: both tables advance several commits
+    LakeMerge.mergeBatch(table,
+      EventGen.eventsRange(spark, 4000L, 6000L, nRepos = 30, pathsPerRepo = 5,
+        langFromLsn = 0L), Some(("ingest", 1L)))
+    assert(Mart.catchUp(mart, table, Seq("lang"), agg, "bylang").isDefined)
+    LakeMerge.mergeBatch(table,
+      EventGen.eventsRange(spark, 6000L, 7000L, nRepos = 30, pathsPerRepo = 5,
+        langFromLsn = 0L), Some(("ingest", 2L)))
+
+    // the pinned read is STABLE: identical rows on both tables
+    assert(docsAt == docsBefore, "pinned mart read must not move under ingest")
+    assert(srcAggAt == srcBefore, "pinned source read must not move under ingest")
+    // ... and INTERNALLY CONSISTENT: the pinned docs are exactly the
+    // aggregate of the pinned source state (never a newer mart against an
+    // older source or vice versa)
+    val docPairs = Mart.readDocsAt(mart, "bylang", pinned)
+      .select(get_json_object($"doc_json", "$.lang").as("lang"),
+        get_json_object($"doc_json", "$.n_files").cast("long").as("n_files"))
+      .collect().map(r => (Option(r.getString(0)).getOrElse(""), r.getLong(1))).toSet
+    val srcPairs = agg(Mart.readSourceAt(table, pinned))
+      .collect().map(r => (Option(r.getString(0)).getOrElse(""), r.getLong(1))).toSet
+    assert(docPairs == srcPairs,
+      "pinned docs must equal the aggregate over the pinned source version")
+
+    // a FRESH pin reflects the newer refresh (and its newer source version)
+    val pinned2 = Mart.pin(mart, "bylang")
+    assert(pinned2.martVersion > pinned.martVersion)
+    assert(pinned2.sourceVersion > pinned.sourceVersion)
+    // pinning an unknown query fails loudly
+    intercept[IllegalStateException] { Mart.pin(mart, "nope") }
+  }
+
   test("two queries coexist in one mart; deleteDocs tombstones one query's docs only") {
     val dir = tmpDir("mart2")
     val table = setupState(dir)
