@@ -324,11 +324,11 @@ object Mart {
               queryId, epoch = to.toLong)
             catch {
               case e: IllegalStateException if e.getMessage != null &&
-                  (e.getMessage.contains("rollback") ||
+                  (e.getMessage.contains("re-baseline") ||
                     e.getMessage.contains("not available")) =>
-                // rollback in the range (rows un-happened) or the range's
-                // history already expired: the changelog can't drive a
-                // sound incremental refresh — re-baseline from the scan
+                // rollback/replace in the range (rows un-happened) or the
+                // range's history already expired: the changelog can't drive
+                // a sound incremental refresh — re-baseline from the scan
                 rebaseline()
             }
         record()

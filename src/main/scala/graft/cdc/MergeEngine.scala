@@ -98,6 +98,21 @@ object MergeEngine {
       .select((keyCols ++ payload).map(col): _*)
   }
 
+  /** Column-pruning-friendly resolved STATE view — like
+    * [[prunableLiveView]] but tombstone winners are KEPT and `op` is
+    * exposed: the per-key LWW winner whatever its kind. The SQL
+    * `graft.ns.t.cdc` relation reads through this (state-as-CDC-events:
+    * what a full re-emission of the table's net content would send). */
+  def prunableStateView(state: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("commit").desc, col("lsn").desc)
+    val payload = state.columns.filterNot(keyCols.contains)
+    state.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1)
+      .select((keyCols ++ payload).map(col): _*)
+  }
+
   /** Plain-Scala fold oracle for tests: the same semantics computed
     * sequentially on the driver (SURVEY.md §5 point 3). */
   def foldOracle(events: Seq[ChangeEvent]): Map[(String, String), ChangeEvent] =

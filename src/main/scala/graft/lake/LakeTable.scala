@@ -101,8 +101,9 @@ final case class ManifestMeta(
   * with a higher lsn.
   *
   * `opKind` is the STRUCTURED operation class of the commit that produced
-  * this snapshot — "create" | "append" | "rewrite" | "rollback" |
-  * "metadata" — stamped at the commit sites themselves so changelog readers
+  * this snapshot — "create" | "append" | "rewrite" | "replace" |
+  * "rollback" | "metadata" — stamped at the commit sites themselves so
+  * changelog readers
   * ([[LakeTable.readChangesBetween]]) never have to pattern-match
   * caller-supplied free-form `summary` strings. `properties` are immutable
   * table-level key/values (format markers etc.), carried through every
@@ -790,12 +791,20 @@ final class LakeTable private (val root: String, val spark: SparkSession) {
     * `buckets` prunes which manifests are even opened; only manifests whose
     * bucket stats intersect are rewritten, the rest are reused by
     * reference. */
+  /** @param opKind "rewrite" (default — state-preserving re-housing,
+    *        invisible to changelog readers) or "replace" (INSERT OVERWRITE:
+    *        the visible state CHANGES in a way no incremental delta can
+    *        express, so changelog reads crossing it fail loudly and
+    *        re-baseline — the rollback contract). */
   def rewriteCommit(
       buckets: Set[Int],
       replacePaths: Set[String],
       staged: Seq[DataFileMeta],
-      summary: Map[String, String] = Map("operation" -> "rewrite")
+      summary: Map[String, String] = Map("operation" -> "rewrite"),
+      opKind: String = "rewrite"
   ): Snapshot = {
+    require(opKind == "rewrite" || opKind == "replace",
+      s"rewriteCommit kind must be rewrite|replace, got $opKind")
     commit { s =>
       val (affected, untouched) = s.manifests.partition(_.buckets.exists(buckets.contains))
       val affectedFiles = affected.flatMap(m => loadManifest(m.path))
@@ -804,7 +813,7 @@ final class LakeTable private (val root: String, val spark: SparkSession) {
       s.copy(
         manifests = untouched ++ ms,
         summary = summary + ("replaced-files" -> replaced.size.toString),
-        opKind = "rewrite"
+        opKind = opKind
       )
     }
   }
@@ -849,10 +858,10 @@ final class LakeTable private (val root: String, val spark: SparkSession) {
     require(fromVersion <= toVersion, s"$fromVersion > $toVersion")
     (fromVersion + 1 to toVersion).map { v =>
       val snap = snapshotAt(v)
-      if (snap.opKind == "rollback")
+      if (snap.opKind == "rollback" || snap.opKind == "replace")
         throw new IllegalStateException(
-          s"rollback at v$v inside ($fromVersion, $toVersion]: incremental " +
-            "reads cannot express un-happened rows — re-baseline from a full scan")
+          s"${snap.opKind} at v$v inside ($fromVersion, $toVersion]: incremental " +
+            "reads cannot express rows that un-happened — re-baseline from a full scan")
       // the previous snapshot is only consulted for change-carrying commits
       // (v=1 is always "create" — snapshotAt(0) does not exist)
       if (snap.opKind != "append") v -> Seq.empty[DataFileMeta]

@@ -81,6 +81,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       val parent = pathOf(ident.namespace())
       if (LakeTable.exists(parent)) return GraftChangesTable(parent)
     }
+    // full-envelope CDC relation (op exposed; raw-event INSERT)
+    if (ident.namespace().nonEmpty && ident.name() == "cdc") {
+      val parent = pathOf(ident.namespace())
+      if (LakeTable.exists(parent)) return GraftCdcTable(parent)
+    }
     throw tableNotFound(ident)
   }
 
@@ -265,8 +270,10 @@ private[sql] object GraftPaths {
   * insert hook (V1 write bridge) is the right shape here: the merge IS a
   * whole DataFrame pipeline (bucket exchange + staged files + one atomic
   * metadata swap), not a per-partition writer protocol. INSERT OVERWRITE
-  * is rejected — truncating an LWW CDC table silently would break the
-  * replay/fence contract. */
+  * maps to one atomic REPLACE commit (truncate-and-load; stamped
+  * `opKind = "replace"` so changelog readers crossing it fail loudly and
+  * re-baseline — see GraftDml.overwrite). Raw CDC events (op included,
+  * tombstones deletable) ingest through the `graft.ns.t.cdc` relation. */
 final case class GraftTable(path: String, asOfVersion: Option[Int])
     extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
@@ -303,9 +310,12 @@ final case class GraftTable(path: String, asOfVersion: Option[Int])
       "schema-id" -> snap.schemaId.toString)).asJava
   }
 
+  // TRUNCATE admits INSERT OVERWRITE (whole-table replace); the V1 bridge
+  // receives overwrite=true and maps it to ONE atomic replace commit
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE)
+      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
 
   /** Reads never execute through this scan — [[GraftTableResolution]]
     * substitutes the relation at analysis. It exists because DELETE
@@ -329,15 +339,21 @@ final case class GraftTable(path: String, asOfVersion: Option[Int])
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(asOfVersion.isEmpty,
       s"cannot INSERT into a time-travel relation: ${name()}")
-    new WriteBuilder {
+    // SupportsTruncate: INSERT OVERWRITE plans as OverwriteByExpression
+    // with a true-literal delete filter; V2Writes lowers it through
+    // truncate(). The flag rides the builder into the V1 bridge.
+    new WriteBuilder with org.apache.spark.sql.connector.write.SupportsTruncate {
+      private var truncateFirst = false
+      override def truncate(): WriteBuilder = { truncateFirst = true; this }
       override def build(): Write = new V1Write {
         override def toInsertableRelation: InsertableRelation =
           (data: org.apache.spark.sql.DataFrame, overwrite: Boolean) => {
-            require(!overwrite,
-              "INSERT OVERWRITE is not supported: graft tables are LWW CDC " +
-                "merges — write tombstones (op='D') through the library API " +
-                "or drop and recreate the table")
-            GraftDml.upsert(data.sparkSession, path, data)
+            // overwrite = one atomic REPLACE commit (truncate-and-load, a
+            // new replay baseline); append = LWW upsert at the rows' own
+            // ordering — see GraftDml
+            if (overwrite || truncateFirst)
+              GraftDml.overwrite(data.sparkSession, path, data)
+            else GraftDml.upsert(data.sparkSession, path, data)
           }
       }
     }

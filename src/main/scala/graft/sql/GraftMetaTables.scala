@@ -6,7 +6,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability}
 import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -89,6 +89,67 @@ final case class GraftChangesTable(path: String)
         override def toBatch: org.apache.spark.sql.connector.read.Batch =
           throw new IllegalStateException(
             "graft changes tables resolve through the GraftTableResolution " +
+              "analyzer rule; add spark.sql.extensions=graft.GraftExtensions " +
+              "to the session config (or call graft.sql.GraftSql.attach(spark))")
+      }
+    }
+}
+
+/** `graft.ns.t.cdc` — the table's FULL CDC envelope as a relation, `op`
+  * included (the read surface of the main table hides it):
+  *
+  *  - `INSERT INTO graft.ns.t.cdc SELECT …` ingests RAW change events —
+  *    tombstones ('D' rows) delete, everything else upserts, all at the
+  *    rows' own (commit, lsn) ordering. This is true CDC ingestion through
+  *    SQL (the main table's INSERT stamps op='U' and cannot delete).
+  *  - `SELECT … FROM graft.ns.t.cdc` reads the resolved STATE as CDC
+  *    events: the per-key LWW winner whatever its kind — live rows AND
+  *    winning tombstones, op exposed (what a full re-emission of the
+  *    table's net content would send downstream).
+  *
+  * Column order: merge keys first, then the remaining envelope in schema
+  * order (matches [[graft.cdc.MergeEngine.prunableStateView]]). */
+final case class GraftCdcTable(path: String)
+    extends Table with SupportsRead with SupportsWrite {
+
+  override def name(): String = s"$path#cdc"
+
+  override def schema: StructType = {
+    val snap = graft.lake.LakeTable.load(SparkSession.active, path).snapshot
+    val keys = graft.cdc.MergeEngine.keyCols
+    StructType(
+      keys.map(k => snap.schema.fields.find(_.name == k).getOrElse(
+        throw new IllegalStateException(s"not a CDC lake table (no $k): $path"))) ++
+        snap.schema.fields.filterNot(f => keys.contains(f.name)))
+  }
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE)
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo): org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation: org.apache.spark.sql.sources.InsertableRelation =
+            (data: org.apache.spark.sql.DataFrame, overwrite: Boolean) => {
+              require(!overwrite,
+                "INSERT OVERWRITE the .cdc relation is not supported — " +
+                  "overwrite the base table instead")
+              GraftDml.upsertCdc(data.sparkSession, path, data)
+            }
+        }
+    }
+
+  /** Never executed — [[GraftTableResolution]] substitutes the relation. */
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = GraftCdcTable.this.schema
+        override def toBatch: org.apache.spark.sql.connector.read.Batch =
+          throw new IllegalStateException(
+            "graft cdc tables resolve through the GraftTableResolution " +
               "analyzer rule; add spark.sql.extensions=graft.GraftExtensions " +
               "to the session config (or call graft.sql.GraftSql.attach(spark))")
       }

@@ -58,6 +58,34 @@ class GraftTableResolution(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ => None
     }
 
+  /** Unwrap to a full-envelope cdc relation, if any. */
+  private def cdcOf(p: LogicalPlan): Option[(DataSourceV2Relation, GraftCdcTable)] =
+    p match {
+      case r: DataSourceV2Relation => r.table match {
+        case t: GraftCdcTable => Some((r, t))
+        case _ => None
+      }
+      case SubqueryAlias(_, child) => cdcOf(child)
+      case _ => None
+    }
+
+  /** Substitute a `graft.ns.t.cdc` READ: the resolved state as CDC events
+    * (per-key LWW winner, tombstones kept, op exposed) in the prunable
+    * window shape. Writes never reach here — the relation under an
+    * InsertIntoStatement is guarded like the base table's. */
+  private def substituteCdc(
+      r: DataSourceV2Relation, t: GraftCdcTable): LogicalPlan = {
+    val lake = graft.lake.LakeTable.load(spark, t.path)
+    val resolved = MergeEngine.prunableStateView(lake.read())
+      .queryExecution.analyzed
+    require(resolved.output.length == r.output.length,
+      s"graft cdc table ${t.path}: schema drift (${r.output.length} vs " +
+        s"${resolved.output.length} cols)")
+    Project(r.output.zip(resolved.output).map { case (out, in) =>
+      Alias(in, out.name)(exprId = out.exprId)
+    }, resolved)
+  }
+
   /** Substitute a `graft.ns.t.changes` relation with the version-pruned
     * changelog read. Bound conjuncts on `_change_version` (=, <, <=, >, >=,
     * BETWEEN — which parses to >= AND <=) tighten the (from, to] range so
@@ -190,6 +218,7 @@ class GraftTableResolution(spark: SparkSession) extends Rule[LogicalPlan] {
     plan.foreach {
       case i: InsertIntoStatement =>
         graftOf(i.table).foreach { case (r, _) => writeTargets.add(r); () }
+        cdcOf(i.table).foreach { case (r, _) => writeTargets.add(r); () }
       case d: DeleteFromTable =>
         graftOf(d.table).foreach { case (r, _) => writeTargets.add(r); () }
       case u: UpdateTable =>
@@ -224,6 +253,10 @@ class GraftTableResolution(spark: SparkSession) extends Rule[LogicalPlan] {
       case p if changesOf(p).isDefined =>
         val (r, t) = changesOf(p).get
         substituteChanges(r, t, None)
+      // full-envelope cdc relation (reads only; INSERT targets are guarded)
+      case p if cdcOf(p).isDefined && !writeTargets.contains(cdcOf(p).get._1) =>
+        val (r, t) = cdcOf(p).get
+        substituteCdc(r, t)
     }
   }
 

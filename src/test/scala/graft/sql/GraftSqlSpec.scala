@@ -214,10 +214,6 @@ class GraftSqlSpec extends SparkSpec {
     // the SQL path wrote through the real merge: the library view agrees
     val t = LakeTable.load(spark, s"$warehouse/ns/w")
     assert(lib(sql.sql("SELECT * FROM graft.ns.w")) == lib(LakeMerge.readState(t)))
-    // INSERT OVERWRITE would silently truncate an LWW CDC table — rejected
-    intercept[Exception] {
-      sql.sql("INSERT OVERWRITE graft.ns.w VALUES ('r9','p9','c1',1,'y')")
-    }
     // self-referential INSERT … SELECT: the SOURCE relation must be
     // substituted with the read plan while the TARGET stays a relation —
     // the sharpest exercise of the write-target guard
@@ -227,6 +223,69 @@ class GraftSqlSpec extends SparkSpec {
     assert(lib(sql.sql("SELECT repo, content FROM graft.ns.w")) ==
       Set(Seq("r1", "v2!"), Seq("r2", "x")))
     sql.sql("DROP TABLE graft.ns.w")
+  }
+
+  test("INSERT OVERWRITE: one atomic replace commit, history retained, changelog fences") {
+    sql.sql("CREATE TABLE graft.ns.ow (repo STRING, path STRING, `commit` STRING, " +
+      "lsn BIGINT, op STRING, content STRING) TBLPROPERTIES ('buckets'='2')")
+    sql.sql("INSERT INTO graft.ns.ow VALUES ('r1','p1','c1',1,'old1'), ('r2','p1','c1',2,'old2')")
+    val t = LakeTable.load(spark, s"$warehouse/ns/ow")
+    val vPre = t.currentVersion
+    // the overwrite source carries an intra-batch duplicate: LWW dedup
+    // applies within the replace commit itself
+    sql.sql("INSERT OVERWRITE graft.ns.ow VALUES " +
+      "('r3','p1','c1',1,'stale'), ('r3','p1','c2',5,'new1'), ('r4','p1','c1',3,'new2')")
+    assert(lib(sql.sql("SELECT repo, path, content FROM graft.ns.ow")) ==
+      Set(Seq("r3", "p1", "new1"), Seq("r4", "p1", "new2")),
+      "the table's entire content must be the deduped overwrite source")
+    // ONE commit, stamped replace
+    val t2 = LakeTable.load(spark, s"$warehouse/ns/ow")
+    assert(t2.currentVersion == vPre + 1, "overwrite must be one atomic commit")
+    assert(t2.snapshot.opKind == "replace")
+    // history retained: time travel still reads the pre-overwrite state
+    assert(lib(sql.sql(s"SELECT repo, content FROM graft.ns.ow VERSION AS OF $vPre")) ==
+      Set(Seq("r1", "old1"), Seq("r2", "old2")))
+    // changelog reads crossing the replace fail loudly: rows un-happened,
+    // no incremental delta can express it (the rollback contract)
+    val ex = intercept[IllegalStateException] {
+      t2.readChangesBetween(vPre - 1, t2.currentVersion).collect()
+    }
+    assert(ex.getMessage.contains("replace"))
+    assert(ex.getMessage.contains("re-baseline"))
+    // post-replace increments are clean again
+    sql.sql("INSERT INTO graft.ns.ow VALUES ('r5','p1','c1',1,'after')")
+    val t3 = LakeTable.load(spark, s"$warehouse/ns/ow")
+    val inc = t3.readChangesBetween(vPre + 1, t3.currentVersion)
+    assert(inc.where("repo = 'r5'").count() == 1)
+    sql.sql("DROP TABLE graft.ns.ow")
+  }
+
+  test(".cdc relation: raw CDC ingestion (op included) and full-envelope state read") {
+    sql.sql("CREATE TABLE graft.ns.c (repo STRING, path STRING, `commit` STRING, " +
+      "lsn BIGINT, op STRING, content STRING) TBLPROPERTIES ('buckets'='2')")
+    // raw events through SQL: r1's tombstone WINS (later ordering), r3's
+    // tombstone LOSES to a later upsert — the LWW fence must hold for both
+    sql.sql("INSERT INTO graft.ns.c.cdc VALUES " +
+      "('r1','p1','c1',1,'U','a'), ('r1','p1','c2',5,'D',NULL), " +
+      "('r2','p1','c1',2,'U','b'), " +
+      "('r3','p1','c2',7,'U','c3'), ('r3','p1','c1',3,'D',NULL)")
+    // base-table read surface: live rows only, op hidden
+    assert(lib(sql.sql("SELECT repo, path, content FROM graft.ns.c")) ==
+      Set(Seq("r2", "p1", "b"), Seq("r3", "p1", "c3")))
+    // .cdc read surface: winning tombstones KEPT, op exposed — the state
+    // as a full re-emission of CDC events
+    assert(lib(sql.sql("SELECT repo, op, content FROM graft.ns.c.cdc")) ==
+      Set(Seq("r1", "D", null), Seq("r2", "U", "b"), Seq("r3", "U", "c3")))
+    // out-of-order redelivery through .cdc: an OLDER upsert for the
+    // deleted key must lose to the stored tombstone
+    sql.sql("INSERT INTO graft.ns.c.cdc VALUES ('r1','p1','c1',2,'U','resurrect?')")
+    assert(lib(sql.sql("SELECT repo FROM graft.ns.c")) ==
+      Set(Seq("r2"), Seq("r3")), "stored tombstone must fence the stale upsert")
+    // overwriting the raw-envelope relation is not a meaningful operation
+    intercept[Exception] {
+      sql.sql("INSERT OVERWRITE graft.ns.c.cdc VALUES ('x','y','c1',1,'U','v')")
+    }
+    sql.sql("DROP TABLE graft.ns.c")
   }
 
   test("DELETE FROM tombstones matched keys above their winners (CDC deletion)") {
