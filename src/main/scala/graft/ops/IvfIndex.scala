@@ -141,7 +141,10 @@ final class IvfIndex private (
       toVersion: Int,
       vecId: org.apache.spark.sql.Column,
       embedding: org.apache.spark.sql.Column,
-      queryId: String = "ivf-sync"
+      queryId: String = "ivf-sync",
+      // 0 disables; > 0 = supersede-backlog byte bound checked (metadata
+      // only) AFTER the sync commit — the ingest loop compacts itself
+      autoCompactSupersedeBytes: Long = 0L
   ): Boolean = {
     if (assignTable.fence(queryId) >= toVersion) return false
     // winners INCLUDING tombstones: a tombstoned key becomes a delete
@@ -153,7 +156,12 @@ final class IvfIndex private (
       val ups = winners.where(col("op") =!= "D" && col("embedding").isNotNull)
         .select(col("vec_id"), col("embedding"))
       val dels = winners.where(col("op") === "D").select(col("vec_id"))
-      upsert(ups, Some(dels), epoch = toVersion.toLong, queryId = queryId)
+      val committed = upsert(ups, Some(dels), epoch = toVersion.toLong, queryId = queryId)
+      if (committed && autoCompactSupersedeBytes > 0L)
+        maybeCompactPostings(
+          maxSupersedeRows = Long.MaxValue,
+          maxSupersedeBytes = autoCompactSupersedeBytes)
+      committed
     } finally {
       winners.unpersist()
       ()
@@ -284,6 +292,28 @@ final class IvfIndex private (
       centroidTable.appendCommit(staged,
         summary = Map("operation" -> "ivf-retrain-add"))
     ()
+  }
+
+  /** Cost-based supersede-compaction trigger: the supersede set is
+    * BROADCAST at every probe and upsert join, so the backlog between
+    * compactions must stay under Spark's broadcast limit. The decision is
+    * metadata-only — the supersede bucket's manifest row/byte stats, zero
+    * file IO, zero jobs — and fires [[compactPostings]] only when the
+    * backlog exceeds either bound (rows with unknown counts — legacy
+    * manifests — still contribute bytes). Defaults keep the broadcast an
+    * order of magnitude under the usual 10 MiB auto-broadcast threshold.
+    * Returns true iff a compaction ran. Wired into [[syncFromChangelog]]
+    * so the ingest loop bounds its own backlog, the same shape as the
+    * lake's cost-based auto-rebucket. */
+  def maybeCompactPostings(
+      maxSupersedeRows: Long = 256L * 1024,
+      maxSupersedeBytes: Long = 4L << 20): Boolean = {
+    val metas = assignTable.filesOf(assignTable.snapshot, Set(SuperBucket))
+    val bytes = metas.map(_.bytes).sum
+    val rows = metas.filter(_.rows >= 0).map(_.rows).sum
+    if (rows > maxSupersedeRows || bytes > maxSupersedeBytes) {
+      compactPostings(); true
+    } else false
   }
 
   /** Fold the inverted file to its resolved state: superseded/deleted

@@ -69,6 +69,27 @@ class IvfIndexSpec extends SparkSpec {
     assert(!topIds(idx, q).contains(target))
   }
 
+  test("maybeCompactPostings: metadata-only trigger — no-op under threshold, folds above it") {
+    val root = tmpDir("ivf-auto")
+    val idx = IvfIndex.create(spark, root, vecs(0 until 40, seed = 3), k = 4, iters = 2)
+    val q = vecs(100 until 101, seed = 9)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    // build a supersede backlog: two update epochs over the same keys
+    assert(idx.upsert(vecs(0 until 10, seed = 4), epoch = 1L))
+    assert(idx.upsert(vecs(0 until 10, seed = 5), epoch = 2L))
+    val expected = topIds(idx, q)
+    val vBefore = idx.assignTable.currentVersion
+    // generous bounds: decision is metadata-only, nothing must happen
+    assert(!idx.maybeCompactPostings(), "backlog under default bounds must be a no-op")
+    assert(idx.assignTable.currentVersion == vBefore, "no-op must not commit")
+    // tight byte bound: the backlog trips it, the fold runs, results hold
+    assert(idx.maybeCompactPostings(maxSupersedeBytes = 1L))
+    assert(idx.assignTable.readBuckets(Set(IvfIndex.SuperBucket)).count() == 0L)
+    assert(topIds(idx, q) == expected, "auto-compaction changed probe results")
+    // immediately after a fold the backlog is zero → no-op again
+    assert(!idx.maybeCompactPostings(maxSupersedeBytes = 1L))
+  }
+
   test("legacy insert-only index layout is refused with a rebuild hint") {
     val root = tmpDir("ivf-legacy")
     // fake a legacy layout: 8-bucket assignments table (no supersede bucket)
