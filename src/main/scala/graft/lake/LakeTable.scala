@@ -632,20 +632,113 @@ final class LakeTable private (val root: String, val spark: SparkSession) {
       Await.result(
         Future.traverse(listed) { f =>
           Future {
-            val (lo, hi, n, bloom) = footerStats(f.path, hasLsn, hasRepo)
+            val (lo, hi, n, bloom, _) = footerStats(f.path, hasLsn, hasRepo)
             f.copy(minLsn = lo, maxLsn = hi, rows = n, keyBloom = bloom.orNull)
           }
         }, 10.minutes)
     }
   }
 
+  /** Zero-copy in-place import — the 100 TB migration path (the shape of
+    * Iceberg's `add_files`): register EXISTING parquet files as this
+    * table's data without reading a single data page or running a single
+    * Spark job. Per file: hard-link into the table's data dir (copy only
+    * across filesystems) so the table owns the registered copy's lifecycle
+    * (expire/GC reclaim it; the SOURCE path is never touched), lift stats
+    * from the footer (rows, lsn min/max for range pruning, repo key bloom
+    * for point-lookup skipping), then land ALL files in ONE atomic append
+    * commit as L0 files: the rows are raw CDC events — merge-on-read
+    * resolves them immediately (intra-file duplicates and tombstones
+    * included), and `flushL0`/compaction migrates them into the bucket
+    * layout lazily, exactly like streamed L0 ingest. O(files) parallel
+    * footer reads + O(1) metadata; cost is independent of data volume.
+    *
+    * Every file must carry the full CDC envelope (merge keys, ordering
+    * columns, `op`) — a missing envelope column would read as null and
+    * silently drop rows at the tombstone filter, so it is rejected loudly.
+    * All files in one call must share ONE parquet schema (checked against
+    * each footer; call once per schema group otherwise). Payload columns
+    * may differ from the table's: the table widens exactly like a merge
+    * batch's schema would, and the files are pinned to a [[SchemaInfo]]
+    * matching their exact schema so reads reconcile by field id. */
+  def addFiles(paths: Seq[String],
+      fence: Option[(String, Long)] = None): Snapshot = {
+    require(paths.nonEmpty, "addFiles: no files given")
+    val srcs = paths.map(p => Paths.get(p).toAbsolutePath)
+    srcs.foreach(p => require(Files.isRegularFile(p), s"addFiles: not a file: $p"))
+    // schema from the first file's footer — driver-side IO, no data pages,
+    // no Spark job (the listing/inference a spark.read would do)
+    val fileSchema = {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(srcs.head.toString),
+        spark.sparkContext.hadoopConfiguration)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try new org.apache.spark.sql.execution.datasources.parquet
+        .ParquetToSparkSchemaConverter()
+        .convert(reader.getFooter.getFileMetaData.getSchema)
+      finally reader.close()
+    }
+    val envelope = graft.cdc.MergeEngine.keyCols ++
+      graft.cdc.MergeEngine.orderCols :+ "op"
+    val missing = envelope.filterNot(fileSchema.fieldNames.contains)
+    require(missing.isEmpty,
+      s"addFiles: file(s) lack CDC envelope column(s) ${missing.mkString(", ")} " +
+        s"(schema: ${fileSchema.toDDL}) — rows without key/ordering/op cannot " +
+        "merge; ingest through LakeMerge.mergeBatch instead")
+    // widen the table if the files carry new/wider columns, then pin the
+    // files to a SchemaInfo matching their EXACT schema
+    evolveSchema(fileSchema)
+    val sid = snapshot.schemas.find(_.ddl == fileSchema.toDDL).map(_.id).getOrElse {
+      commit { s =>
+        if (s.schemas.exists(_.ddl == fileSchema.toDDL)) s // racing same-schema import
+        else s.copy(
+          schemas = s.schemas :+ SchemaInfo(s.schemas.map(_.id).max + 1,
+            fileSchema.toDDL, LakeTable.assignFieldIds(s, fileSchema)),
+          summary = Map("operation" -> "register-import-schema"),
+          opKind = "metadata")
+      }.schemas.find(_.ddl == fileSchema.toDDL).get.id
+    }
+    val dir = Paths.get(root, "data", s"add-${UUID.randomUUID()}")
+    Files.createDirectories(dir)
+    val hasLsn = fileSchema.fieldNames.contains("lsn")
+    val hasRepo = fileSchema.fields.exists(f =>
+      f.name == "repo" && f.dataType == org.apache.spark.sql.types.StringType)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val firstSchemaStr = new java.util.concurrent.atomic.AtomicReference[String]()
+    val metas = Await.result(
+      Future.traverse(srcs.zipWithIndex.toSeq) { case (src, i) =>
+        Future {
+          val linked = dir.resolve(f"import-$i%05d.parquet")
+          try Files.createLink(linked, src)
+          catch { case NonFatal(_) => Files.copy(src, linked); () }
+          val (lo, hi, n, bloom, schemaStr) = footerStats(linked.toString, hasLsn, hasRepo)
+          require(schemaStr.nonEmpty, s"addFiles: unreadable parquet footer: $src")
+          firstSchemaStr.compareAndSet(null, schemaStr)
+          require(schemaStr == firstSchemaStr.get,
+            s"addFiles: $src has a different schema than ${srcs.head} — " +
+              "import one schema group per call")
+          DataFileMeta(linked.toString, LakeTable.L0Bucket, Files.size(linked),
+            sid, kind = "l0", minLsn = lo, maxLsn = hi, rows = n,
+            keyBloom = bloom.orNull, layoutBuckets = 0)
+        }
+      }, 10.minutes)
+    appendCommit(metas, fence,
+      summary = Map("operation" -> "add-files",
+        "added-files" -> metas.size.toString,
+        "added-bytes" -> metas.map(_.bytes).sum.toString))
+  }
+
   /** Lift per-file statistics from the parquet footer — O(files added)
     * footer reads, never data pages: the lsn column's min/max plus the row
-    * count (when `wantLsn`), and the repo-key bloom from dictionary pages
-    * (when `wantBloom`, see [[KeyBloom]]). Unknown stats degrade to the
-    * full range / no bloom (file never pruned) and rows = -1. */
-  private def footerStats(
-      path: String, wantLsn: Boolean, wantBloom: Boolean): (Long, Long, Long, Option[String]) =
+    * count (when `wantLsn`), the repo-key bloom from dictionary pages
+    * (when `wantBloom`, see [[KeyBloom]]), and the file's parquet message
+    * type string (schema-equality checks in [[addFiles]]). Unknown stats
+    * degrade to the full range / no bloom (file never pruned), rows = -1
+    * and an empty schema string. */
+  private def footerStats(path: String, wantLsn: Boolean,
+      wantBloom: Boolean): (Long, Long, Long, Option[String], String) =
     try {
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
         new org.apache.hadoop.fs.Path(path), spark.sparkContext.hadoopConfiguration)
@@ -653,6 +746,7 @@ final class LakeTable private (val root: String, val spark: SparkSession) {
       try {
         val blocks = reader.getFooter.getBlocks.asScala
         val rowCount = blocks.map(_.getRowCount).sum
+        val schemaStr = reader.getFooter.getFileMetaData.getSchema.toString
         val bloom =
           if (!wantBloom) None
           else KeyBloom.liftDictionary(reader, "repo").flatMap(KeyBloom.build)
@@ -661,14 +755,14 @@ final class LakeTable private (val root: String, val spark: SparkSession) {
           else blocks.flatMap(_.getColumns.asScala
             .find(_.getPath.toDotString == "lsn").map(_.getStatistics))
         if (stats.isEmpty || stats.exists(s => s == null || !s.hasNonNullValue))
-          (Long.MinValue, Long.MaxValue, rowCount, bloom)
+          (Long.MinValue, Long.MaxValue, rowCount, bloom, schemaStr)
         else {
           val mins = stats.map(_.genericGetMin.asInstanceOf[Number].longValue())
           val maxs = stats.map(_.genericGetMax.asInstanceOf[Number].longValue())
-          (mins.min, maxs.max, rowCount, bloom)
+          (mins.min, maxs.max, rowCount, bloom, schemaStr)
         }
       } finally reader.close()
-    } catch { case NonFatal(_) => (Long.MinValue, Long.MaxValue, -1L, None) }
+    } catch { case NonFatal(_) => (Long.MinValue, Long.MaxValue, -1L, None, "") }
 
   private def listParquet(dir: Path, schemaId: Int): Seq[DataFileMeta] = {
     val out = Seq.newBuilder[DataFileMeta]

@@ -542,6 +542,36 @@ object CdcQueries {
                 |FROM graft.ns.cdct.cdc""".stripMargin)
     }),
 
+    // Zero-copy import (the 100 TB migration path): slice 1 ingested as raw
+    // CDC events through SQL; slice 2 pre-written as plain parquet and
+    // REGISTERED in place via CALL graft.add_files — hard-linked L0 files,
+    // footer-lifted stats, one atomic commit, no data pages read. The final
+    // read must be indistinguishable from having ingested both slices, so
+    // the oracle is the LWW winners over the WHOLE input.
+    "q_add_files" -> ((s, _) => {
+      val dir = s"$ExportRoot/q_add_files"
+      Fs.rmTree(java.nio.file.Paths.get(dir))
+      val events = EventGen.events(s, 8000L, nRepos = 50, pathsPerRepo = 6,
+        langFromLsn = 2000L)
+      events.write.mode("overwrite").parquet(s"$dir/input")
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/wh/ns"))
+      val sql = graft.sql.GraftSql.attach(s, root = Some(s"$dir/wh"))
+      sql.sql("CREATE TABLE graft.ns.af (repo STRING, path STRING, " +
+        "`commit` STRING, lsn BIGINT, op STRING, lang STRING, content STRING) " +
+        "TBLPROPERTIES ('buckets'='8')")
+      sql.read.parquet(s"$dir/input").createOrReplaceTempView("q_add_files_src")
+      sql.sql("""INSERT INTO graft.ns.af.cdc
+                |SELECT repo, path, `commit`, lsn, op, lang, content
+                |FROM q_add_files_src WHERE lsn < 4000""".stripMargin)
+      sql.read.parquet(s"$dir/input").where("lsn >= 4000")
+        .select("repo", "path", "commit", "lsn", "op", "lang", "content")
+        .write.mode("overwrite").parquet(s"$dir/ext")
+      sql.sql(s"CALL graft.add_files('ns.af', '$dir/ext')")
+      sql.sql("""SELECT repo, path, `commit`, lsn, lang,
+                |       sha2(content, 256) AS content_sha
+                |FROM graft.ns.af""".stripMargin)
+    }),
+
     // Schema evolution through the lake: commit narrow batch, evolve, commit
     // wide batch, read reconciled (additive column + widened type), then
     // RENAME the evolved column (metadata-only — field-id reconciliation
@@ -759,6 +789,15 @@ object CdcQueries {
          |      FROM read_parquet('$ExportRoot/q_sql_overwrite/input/*.parquet')
          |      WHERE op <> 'D' AND lsn >= 4000)
          |WHERE rn = 1""".stripMargin,
+
+    // the zero-copy import is indistinguishable from ingest: final state =
+    // LWW winners over the whole input (both slices), live rows only
+    "q_add_files" ->
+      s"""SELECT repo, path, "commit", lsn, lang, sha256(content) AS content_sha
+         |FROM (SELECT *, row_number() OVER (PARTITION BY repo, path
+         |                                   ORDER BY "commit" DESC, lsn DESC) rn
+         |      FROM read_parquet('$ExportRoot/q_add_files/input/*.parquet'))
+         |WHERE rn = 1 AND op <> 'D'""".stripMargin,
 
     // full-envelope state: per-key LWW winner INCLUDING winning tombstones
     "q_sql_cdc" ->

@@ -28,7 +28,7 @@ object GraftProcedures {
 
   val names: Seq[String] =
     Seq("compact", "flush_l0", "expire_snapshots", "gc_orphans", "rollback",
-      "tag", "drop_tag", "rebucket", "auto_rebucket")
+      "tag", "drop_tag", "rebucket", "auto_rebucket", "add_files")
 
   def load(root: String, ident: Identifier): UnboundProcedure = {
     require(ident.namespace().isEmpty || ident.namespace().sameElements(Array("system")),
@@ -43,6 +43,7 @@ object GraftProcedures {
       case "drop_tag" => new DropTagProcedure(root)
       case "rebucket" => new RebucketProcedure(root)
       case "auto_rebucket" => new AutoRebucketProcedure(root)
+      case "add_files" => new AddFilesProcedure(root)
       case other =>
         throw new UnsupportedOperationException(
           s"no such procedure: $other (available: ${names.mkString(", ")})")
@@ -263,5 +264,40 @@ object GraftProcedures {
     override def parameters(): Array[ProcedureParameter] = Array(tableParam)
     override def call(input: InternalRow): java.util.Iterator[Scan] =
       result(GcSchema, lake(input).gcOrphans())
+  }
+
+  private val AddFilesSchema = StructType(Seq(
+    StructField("added_files", IntegerType, nullable = false),
+    StructField("added_bytes", LongType, nullable = false),
+    StructField("version", IntegerType, nullable = false)))
+
+  private final class AddFilesProcedure(root: String) extends MaintenanceProcedure(root) {
+    override def name(): String = "add_files"
+    override def description(): String =
+      "Zero-copy import: register existing parquet files (a directory walked " +
+        "recursively, or one file) as a lake table's L0 data — hard-linked into " +
+        "the table, footer-lifted stats, ONE atomic commit, no data pages read. " +
+        "Files must carry the full CDC envelope (repo, path, commit, lsn, op)."
+    override def parameters(): Array[ProcedureParameter] = Array(
+      tableParam,
+      ProcedureParameter.in("source", StringType)
+        .comment("directory (all *.parquet under it) or a single parquet file").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      require(input.numFields > 1 && !input.isNullAt(1), "source is required")
+      val t = lake(input)
+      val src = input.getUTF8String(1).toString
+      val p = java.nio.file.Paths.get(src)
+      val files =
+        if (java.nio.file.Files.isDirectory(p))
+          graft.util.Fs.walk(p).filter { q =>
+            val n = q.getFileName.toString
+            n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_")
+          }.map(_.toString).sorted
+        else List(src)
+      require(files.nonEmpty, s"add_files: no parquet files under $src")
+      val snap = t.addFiles(files)
+      result(AddFilesSchema, files.size,
+        snap.summary.getOrElse("added-bytes", "0").toLong, snap.version)
+    }
   }
 }

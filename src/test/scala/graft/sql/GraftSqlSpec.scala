@@ -633,6 +633,26 @@ class GraftSqlSpec extends SparkSpec {
     intercept[Exception] { sql.sql("SELECT * FROM graft.ns.t.nope").collect() }
   }
 
+  test("CALL graft.add_files: zero-copy import through SQL") {
+    sql.sql("CREATE TABLE graft.ns.af (repo STRING, path STRING, `commit` STRING, " +
+      "lsn BIGINT, op STRING, content STRING) TBLPROPERTIES ('buckets'='2')")
+    sql.sql("INSERT INTO graft.ns.af VALUES ('r1','p1','c1',1,'native')")
+    // external raw events: an update for r1 and a fresh key, one parquet dir
+    val ext = tmpDir("sql-addf")
+    import spark.implicits._
+    Seq(("r1", "p1", "c2", 5L, "U", "imported"), ("r2", "p1", "c1", 1L, "U", "new"))
+      .toDF("repo", "path", "commit", "lsn", "op", "content")
+      .coalesce(1).write.mode("overwrite").parquet(s"$ext/src")
+    val r = sql.sql(s"CALL graft.add_files('ns.af', '$ext/src')").collect()
+    assert(r.length == 1 && r.head.getInt(0) == 1 && r.head.getLong(1) > 0L)
+    assert(lib(sql.sql("SELECT repo, content FROM graft.ns.af")) ==
+      Set(Seq("r1", "imported"), Seq("r2", "new")))
+    // the imported file is table-owned (hard link under the table root)
+    val t = LakeTable.load(spark, s"$warehouse/ns/af")
+    assert(t.files.exists(f => f.kind == "l0" && f.path.startsWith(s"$warehouse/ns/af")))
+    sql.sql("DROP TABLE graft.ns.af")
+  }
+
   test("CALL procedures: compact / expire_snapshots / flush_l0 / gc_orphans") {
     sql.sql("CREATE TABLE graft.ns.p (repo STRING, path STRING, `commit` STRING, " +
       "lsn BIGINT, op STRING, content STRING) TBLPROPERTIES ('buckets'='2')")
