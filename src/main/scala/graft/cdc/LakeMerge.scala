@@ -252,6 +252,79 @@ object LakeMerge {
           "watermark" -> s"$commit/$lsn"))
     }
 
+  // ------------------------------------------------------ write-audit-publish
+  // The Iceberg WAP pattern over the LWW merge: stage a batch through the
+  // NORMAL write shape but commit nothing; audit the would-be state; then
+  // publish atomically or abort. The staged files are invisible to every
+  // reader (referenced by no snapshot) and pinned against gcOrphans /
+  // expireSnapshots by a `metadata/wap-<id>.json` sidecar until resolved.
+
+  /** Stage `batch` for write-audit-publish: schema evolution, LWW write
+    * dedup, bucket exchange and footer stats all run exactly as in
+    * [[mergeBatch]], but NO snapshot is committed. Returns the staged file
+    * metas (row counts/bytes — the first audit facts, free). */
+  def wapStage(table: LakeTable, batch: DataFrame, wapId: String,
+      saltPartitions: Int = 4,
+      aliases: Map[String, String] = Map.empty): Seq[DataFileMeta] = {
+    val snap = table.snapshot
+    val renamed = aliases.foldLeft(batch) { case (df, (oldName, newName)) =>
+      if (df.columns.contains(oldName) && !df.columns.contains(newName))
+        df.withColumnRenamed(oldName, newName)
+      else df
+    }
+    val schemaId = table.evolveSchema(renamed.schema)
+    val tableSchema = table.schema
+    val aligned = renamed.select(tableSchema.fields.map { f =>
+      (if (renamed.columns.contains(f.name)) col(f.name) else lit(null))
+        .cast(f.dataType).as(f.name)
+    }.toSeq: _*)
+    val deltas = lwwWriteShape(aligned, snap.numBuckets,
+      tableSchema.fieldNames.toSeq, saltPartitions)
+    val staged = table.stage(deltas, schemaId, kind = "delta",
+      layoutBuckets = snap.numBuckets)
+    table.wapWrite(wapId, schemaId, staged)
+    staged
+  }
+
+  /** Audit view: the resolved LIVE state as if `wapId` were published —
+    * current files ∪ staged files through the same LWW resolution as
+    * [[readState]]. Reads the staged data; commits nothing. */
+  def wapView(table: LakeTable, wapId: String): DataFrame = {
+    val (_, staged) = table.wapRead(wapId)
+    MergeEngine.liveView(MergeEngine.dedupBatch(
+      table.readSubset(table.files ++ staged)))
+  }
+
+  /** Publish: land the staged files in ONE atomic fenced append — the
+    * same commit [[mergeBatch]] would have made, stamped with the wap id.
+    * Publishing is the only moment readers see the batch; a concurrent
+    * commit between stage and publish is safe (the merge is append-only
+    * and LWW resolution is order-free). The sidecar is deleted after the
+    * commit; a crash between the two leaves a published wap whose sidecar
+    * merely pins already-referenced files until the next publish/abort. */
+  def wapPublish(table: LakeTable, wapId: String,
+      fence: Option[(String, Long)] = None): Snapshot = {
+    val (schemaId, staged) = table.wapRead(wapId)
+    val snap = table.appendCommit(staged, fence = fence,
+      schemaId = Some(schemaId),
+      summary = Map(
+        "operation" -> "wap-publish",
+        "wap-id" -> wapId,
+        "added-files" -> staged.size.toString))
+    table.wapDelete(wapId)
+    snap
+  }
+
+  /** Abort: delete the staged files and the sidecar. Nothing was ever
+    * visible, so there is nothing to roll back. */
+  def wapAbort(table: LakeTable, wapId: String): Unit = {
+    val (_, staged) = table.wapRead(wapId)
+    table.wapDelete(wapId)
+    staged.map(f => java.nio.file.Paths.get(f.path).getParent).distinct
+      .foreach(d => graft.util.Fs.rmTree(
+        if (d.getFileName.toString.startsWith("bucket=")) d.getParent else d))
+  }
+
   /** Fold deltas into base files for the buckets whose delta count exceeds
     * `ifDeltasAtLeast` (0 = always compact everything). Bounded read
     * amplification: after compaction a bucket is one LWW-resolved base file

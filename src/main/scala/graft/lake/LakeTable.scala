@@ -1007,6 +1007,70 @@ final class LakeTable private (val root: String, val spark: SparkSession) {
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
+  // ------------------------------------------- write-audit-publish sidecars
+  // A WAP sidecar (`metadata/wap-<id>.json`) pins a set of STAGED files —
+  // written, invisible to every reader, referenced by no snapshot — so the
+  // audit window survives gcOrphans (which reclaims unreferenced staging
+  // dirs) until the caller publishes or aborts. See LakeMerge.wapStage.
+
+  private def wapPath(id: String): Path = {
+    require(id.nonEmpty && id.matches("[A-Za-z0-9._-]+"),
+      s"invalid wap id (letters/digits/._- only): $id")
+    metaDir.resolve(s"wap-$id.json")
+  }
+
+  /** Persist a staged-file set under `id`. Refuses to overwrite a live
+    * sidecar — ids are single-use until published/aborted. */
+  def wapWrite(id: String, schemaId: Int, files: Seq[DataFileMeta]): Unit = {
+    require(!Files.exists(wapPath(id)), s"wap '$id' already staged on $root")
+    atomicWriteMeta(s"wap-$id.json",
+      mapper.writeValueAsString(Map("schemaId" -> schemaId, "files" -> files)))
+  }
+
+  /** Load a staged sidecar: (schemaId at stage time, staged files). */
+  def wapRead(id: String): (Int, Seq[DataFileMeta]) = {
+    val p = wapPath(id)
+    require(Files.exists(p),
+      s"no staged wap '$id' on $root (staged: ${wapIds.mkString(", ")})")
+    val node = mapper.readTree(Files.readString(p))
+    val files = node.get("files").elements().asScala.map(f =>
+      mapper.treeToValue(f, classOf[DataFileMeta])).toSeq
+    (node.get("schemaId").asInt(), files)
+  }
+
+  def wapDelete(id: String): Unit = { Files.deleteIfExists(wapPath(id)); () }
+
+  /** Ids of every live (staged, unpublished) WAP on this table. */
+  def wapIds: Seq[String] =
+    if (!Files.exists(metaDir)) Seq.empty
+    else graft.util.Fs.list(metaDir).map(_.getFileName.toString)
+      .filter(n => n.startsWith("wap-") && n.endsWith(".json"))
+      .map(n => n.stripPrefix("wap-").stripSuffix(".json")).sorted
+
+  /** The staging-dir name (first path component under `data/`) holding a
+    * data file, whatever its depth: bucketed files live at
+    * `data/<uuid>/bucket=N/part.parquet`, L0 and imported files one level
+    * shallower at `data/<uuid>/part.parquet` — a fixed
+    * `getParent.getParent` misclassifies the shallow shapes (and once made
+    * [[gcOrphans]] reclaim LIVE L0 dirs as orphans). None = the file is
+    * not under this table's data dir. */
+  private def stagingDirName(path: String): Option[String] = {
+    val dataDir = Paths.get(root, "data")
+    val p = Paths.get(path)
+    if (p.startsWith(dataDir) && p.getNameCount > dataDir.getNameCount)
+      Some(p.getName(dataDir.getNameCount).toString)
+    else None
+  }
+
+  /** Staging dirs pinned by live WAP sidecars — spared by [[gcOrphans]]. */
+  private def wapPinnedDirs: Set[String] =
+    wapIds.flatMap(id => wapRead(id)._2.flatMap(f => stagingDirName(f.path))).toSet
+
+  /** Exact file paths pinned by live WAP sidecars — spared by
+    * [[expireSnapshots]]'s unreferenced-file sweep. */
+  private def wapPinnedFiles: Set[String] =
+    wapIds.flatMap(id => wapRead(id)._2.map(_.path)).toSet
+
   /** Evolve the table schema to accommodate `incoming`: additive columns are
     * appended as nullable; int→long / float→double widenings upgrade the
     * column type; anything else must match. Returns the (possibly new)
@@ -1133,7 +1197,11 @@ final class LakeTable private (val root: String, val spark: SparkSession) {
       math.max(minVersionAvailable, math.min(cur - retainLast + 1, tagFloor))
     val retained = (minRetained to cur).map(snapshotAt)
     val keepManifests = retained.flatMap(_.manifests.map(_.path)).toSet
-    val keepFiles = keepManifests.flatMap(p => loadManifest(p).map(_.path))
+    // WAP-staged files are referenced by no manifest DELIBERATELY (staged,
+    // unpublished) — the unreferenced-file sweep must spare them for as
+    // long as their sidecar lives, age notwithstanding
+    val keepFiles = keepManifests.flatMap(p => loadManifest(p).map(_.path)) ++
+      wapPinnedFiles
 
     // 1. drop expired snapshot metadata (makes their versions unreadable
     //    BEFORE their files disappear — never a half-readable version)
@@ -1193,10 +1261,13 @@ final class LakeTable private (val root: String, val spark: SparkSession) {
     * maintenance (the engine's normal deployment: one streaming query owns
     * the table). */
   def gcOrphans(minAgeMs: Long = 0L): Int = {
+    // [[stagingDirName]], not a fixed path depth: L0 and imported files sit
+    // one level shallower than bucketed ones — the fixed-depth version of
+    // this mapping reclaimed LIVE L0/import dirs as orphans. WAP-staged
+    // dirs (referenced by no snapshot yet, by design) are pinned too.
     val referenced = (minVersionAvailable to currentVersion).flatMap { v =>
-      filesOf(snapshotAt(v)).map(f =>
-        Paths.get(f.path).getParent.getParent.getFileName.toString)
-    }.toSet
+      filesOf(snapshotAt(v)).flatMap(f => stagingDirName(f.path))
+    }.toSet ++ wapPinnedDirs
     val cutoff = System.currentTimeMillis() - minAgeMs
     def oldEnough(p: Path): Boolean = minAgeMs == 0L ||
       (try Files.getLastModifiedTime(p).toMillis <= cutoff

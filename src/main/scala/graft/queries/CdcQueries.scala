@@ -572,6 +572,38 @@ object CdcQueries {
                 |FROM graft.ns.af""".stripMargin)
     }),
 
+    // Write-audit-publish: slice 1 ingested normally; slice 2 STAGED
+    // (invisible — asserted), audited via the preview view, then published
+    // in one atomic commit via CALL graft.wap_publish. The final read must
+    // equal direct ingestion of both slices — the WAP detour is
+    // semantically free.
+    "q_wap" -> ((s, _) => {
+      val dir = s"$ExportRoot/q_wap"
+      Fs.rmTree(java.nio.file.Paths.get(dir))
+      val events = EventGen.events(s, 8000L, nRepos = 50, pathsPerRepo = 6,
+        langFromLsn = 2000L)
+      events.write.mode("overwrite").parquet(s"$dir/input")
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/wh/ns"))
+      val sql = graft.sql.GraftSql.attach(s, root = Some(s"$dir/wh"))
+      sql.sql("CREATE TABLE graft.ns.wap (repo STRING, path STRING, " +
+        "`commit` STRING, lsn BIGINT, op STRING, lang STRING, content STRING) " +
+        "TBLPROPERTIES ('buckets'='8')")
+      val input = sql.read.parquet(s"$dir/input")
+        .select("repo", "path", "commit", "lsn", "op", "lang", "content")
+      val t = graft.lake.LakeTable.load(s, s"$dir/wh/ns/wap")
+      graft.cdc.LakeMerge.mergeBatch(t, input.where(col("lsn") < 4000L))
+      graft.cdc.LakeMerge.wapStage(t, input.where(col("lsn") >= 4000L), "q")
+      // staged = invisible; the audit view previews the would-be state
+      require(sql.sql("SELECT max(lsn) AS m FROM graft.ns.wap")
+        .collect().head.getLong(0) < 4000L, "staged slice leaked pre-publish")
+      require(graft.cdc.LakeMerge.wapView(t, "q")
+        .agg(max("lsn")).collect().head.getLong(0) >= 4000L, "audit view missing staged slice")
+      sql.sql("CALL graft.wap_publish('ns.wap', 'q')").collect()
+      sql.sql("""SELECT repo, path, `commit`, lsn, lang,
+                |       sha2(content, 256) AS content_sha
+                |FROM graft.ns.wap""".stripMargin)
+    }),
+
     // Schema evolution through the lake: commit narrow batch, evolve, commit
     // wide batch, read reconciled (additive column + widened type), then
     // RENAME the evolved column (metadata-only — field-id reconciliation
@@ -789,6 +821,15 @@ object CdcQueries {
          |      FROM read_parquet('$ExportRoot/q_sql_overwrite/input/*.parquet')
          |      WHERE op <> 'D' AND lsn >= 4000)
          |WHERE rn = 1""".stripMargin,
+
+    // the WAP detour is semantically free: final state = LWW winners over
+    // the whole input (both slices), live rows only
+    "q_wap" ->
+      s"""SELECT repo, path, "commit", lsn, lang, sha256(content) AS content_sha
+         |FROM (SELECT *, row_number() OVER (PARTITION BY repo, path
+         |                                   ORDER BY "commit" DESC, lsn DESC) rn
+         |      FROM read_parquet('$ExportRoot/q_wap/input/*.parquet'))
+         |WHERE rn = 1 AND op <> 'D'""".stripMargin,
 
     // the zero-copy import is indistinguishable from ingest: final state =
     // LWW winners over the whole input (both slices), live rows only

@@ -307,7 +307,8 @@ final case class GraftTable(path: String, asOfVersion: Option[Int])
       "bucket-layouts" -> snap.layoutsList.mkString(","),
       "data-files" -> snap.fileCount.toString,
       "delta-files" -> snap.deltaCount.toString,
-      "schema-id" -> snap.schemaId.toString)).asJava
+      "schema-id" -> snap.schemaId.toString,
+      "staged-waps" -> t.wapIds.mkString(","))).asJava
   }
 
   // TRUNCATE admits INSERT OVERWRITE (whole-table replace); the V1 bridge

@@ -28,7 +28,8 @@ object GraftProcedures {
 
   val names: Seq[String] =
     Seq("compact", "flush_l0", "expire_snapshots", "gc_orphans", "rollback",
-      "tag", "drop_tag", "rebucket", "auto_rebucket", "add_files")
+      "tag", "drop_tag", "rebucket", "auto_rebucket", "add_files",
+      "wap_publish", "wap_abort")
 
   def load(root: String, ident: Identifier): UnboundProcedure = {
     require(ident.namespace().isEmpty || ident.namespace().sameElements(Array("system")),
@@ -44,6 +45,8 @@ object GraftProcedures {
       case "rebucket" => new RebucketProcedure(root)
       case "auto_rebucket" => new AutoRebucketProcedure(root)
       case "add_files" => new AddFilesProcedure(root)
+      case "wap_publish" => new WapPublishProcedure(root)
+      case "wap_abort" => new WapAbortProcedure(root)
       case other =>
         throw new UnsupportedOperationException(
           s"no such procedure: $other (available: ${names.mkString(", ")})")
@@ -264,6 +267,45 @@ object GraftProcedures {
     override def parameters(): Array[ProcedureParameter] = Array(tableParam)
     override def call(input: InternalRow): java.util.Iterator[Scan] =
       result(GcSchema, lake(input).gcOrphans())
+  }
+
+  private val WapPublishSchema = StructType(Seq(
+    StructField("version", IntegerType, nullable = false),
+    StructField("published_files", IntegerType, nullable = false)))
+
+  private final class WapPublishProcedure(root: String) extends MaintenanceProcedure(root) {
+    override def name(): String = "wap_publish"
+    override def description(): String =
+      "Atomically publish a write-audit-publish staging set (see " +
+        "LakeMerge.wapStage): the staged files land in one append commit " +
+        "stamped with the wap id — the first moment readers see them."
+    override def parameters(): Array[ProcedureParameter] = Array(
+      tableParam,
+      ProcedureParameter.in("wap_id", StringType).build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      require(input.numFields > 1 && !input.isNullAt(1), "wap_id is required")
+      val snap = LakeMerge.wapPublish(lake(input), input.getUTF8String(1).toString)
+      result(WapPublishSchema, snap.version,
+        snap.summary.getOrElse("added-files", "0").toInt)
+    }
+  }
+
+  private val WapAbortSchema = StructType(Seq(
+    StructField("aborted", BooleanType, nullable = false)))
+
+  private final class WapAbortProcedure(root: String) extends MaintenanceProcedure(root) {
+    override def name(): String = "wap_abort"
+    override def description(): String =
+      "Discard a write-audit-publish staging set: staged files and sidecar " +
+        "deleted; nothing was ever visible."
+    override def parameters(): Array[ProcedureParameter] = Array(
+      tableParam,
+      ProcedureParameter.in("wap_id", StringType).build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      require(input.numFields > 1 && !input.isNullAt(1), "wap_id is required")
+      LakeMerge.wapAbort(lake(input), input.getUTF8String(1).toString)
+      result(WapAbortSchema, true)
+    }
   }
 
   private val AddFilesSchema = StructType(Seq(

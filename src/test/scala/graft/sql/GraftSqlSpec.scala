@@ -633,6 +633,33 @@ class GraftSqlSpec extends SparkSpec {
     intercept[Exception] { sql.sql("SELECT * FROM graft.ns.t.nope").collect() }
   }
 
+  test("CALL graft.wap_publish / wap_abort: audit gate visible through SQL") {
+    sql.sql("CREATE TABLE graft.ns.wp (repo STRING, path STRING, `commit` STRING, " +
+      "lsn BIGINT, op STRING, content STRING) TBLPROPERTIES ('buckets'='2')")
+    sql.sql("INSERT INTO graft.ns.wp VALUES ('r1','p1','c1',1,'base')")
+    val t = LakeTable.load(spark, s"$warehouse/ns/wp")
+    import spark.implicits._
+    val batch = Seq(("r1", "p1", "c2", 5L, "U", "updated"), ("r2", "p1", "c1", 1L, "U", "fresh"))
+      .toDF("repo", "path", "commit", "lsn", "op", "content")
+    LakeMerge.wapStage(t, batch, "q1")
+    // invisible until published; the staged id shows in table properties
+    assert(lib(sql.sql("SELECT repo, content FROM graft.ns.wp")) ==
+      Set(Seq("r1", "base")))
+    val props = sql.sql("SHOW TBLPROPERTIES graft.ns.wp").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props("staged-waps") == "q1")
+    val r = sql.sql("CALL graft.wap_publish('ns.wp', 'q1')").collect()
+    assert(r.length == 1 && r.head.getInt(1) > 0)
+    assert(lib(sql.sql("SELECT repo, content FROM graft.ns.wp")) ==
+      Set(Seq("r1", "updated"), Seq("r2", "fresh")))
+    // abort path: staged then discarded, state untouched
+    LakeMerge.wapStage(t, batch.withColumn("content", lit("no!")), "q2")
+    sql.sql("CALL graft.wap_abort('ns.wp', 'q2')").collect()
+    assert(lib(sql.sql("SELECT repo, content FROM graft.ns.wp")) ==
+      Set(Seq("r1", "updated"), Seq("r2", "fresh")))
+    sql.sql("DROP TABLE graft.ns.wp")
+  }
+
   test("CALL graft.add_files: zero-copy import through SQL") {
     sql.sql("CREATE TABLE graft.ns.af (repo STRING, path STRING, `commit` STRING, " +
       "lsn BIGINT, op STRING, content STRING) TBLPROPERTIES ('buckets'='2')")
