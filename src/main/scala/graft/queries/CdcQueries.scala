@@ -593,11 +593,11 @@ object CdcQueries {
       val t = graft.lake.LakeTable.load(s, s"$dir/wh/ns/wap")
       graft.cdc.LakeMerge.mergeBatch(t, input.where(col("lsn") < 4000L))
       graft.cdc.LakeMerge.wapStage(t, input.where(col("lsn") >= 4000L), "q")
-      // staged = invisible; the audit view previews the would-be state
+      // staged = invisible; the SQL audit view previews the would-be state
       require(sql.sql("SELECT max(lsn) AS m FROM graft.ns.wap")
         .collect().head.getLong(0) < 4000L, "staged slice leaked pre-publish")
-      require(graft.cdc.LakeMerge.wapView(t, "q")
-        .agg(max("lsn")).collect().head.getLong(0) >= 4000L, "audit view missing staged slice")
+      require(sql.sql("SELECT max(lsn) AS m FROM graft.ns.wap.wap_q")
+        .collect().head.getLong(0) >= 4000L, "audit view missing staged slice")
       sql.sql("CALL graft.wap_publish('ns.wap', 'q')").collect()
       sql.sql("""SELECT repo, path, `commit`, lsn, lang,
                 |       sha2(content, 256) AS content_sha

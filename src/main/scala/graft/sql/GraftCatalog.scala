@@ -86,6 +86,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       val parent = pathOf(ident.namespace())
       if (LakeTable.exists(parent)) return GraftCdcTable(parent)
     }
+    // WAP audit view: `graft.ns.t.wap_<id>` reads the table AS IF the
+    // staged set <id> were published (see LakeMerge.wapView) — the SQL
+    // audit gate before CALL graft.wap_publish
+    if (ident.namespace().nonEmpty && ident.name().startsWith("wap_")) {
+      val parent = pathOf(ident.namespace())
+      val id = ident.name().stripPrefix("wap_")
+      if (LakeTable.exists(parent) &&
+        LakeTable.load(SparkSession.active, parent).wapIds.contains(id))
+        return GraftWapTable(parent, id)
+    }
     throw tableNotFound(ident)
   }
 

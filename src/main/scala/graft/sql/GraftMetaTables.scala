@@ -156,6 +156,35 @@ final case class GraftCdcTable(path: String)
     }
 }
 
+/** `graft.ns.t.wap_<id>` — read-only WAP audit view: the table AS IF the
+  * staged set `<id>` were published (current files ∪ staged files through
+  * the same prunable LWW resolution as the base relation). The SQL audit
+  * gate before `CALL graft.wap_publish`; substituted at analysis by
+  * [[GraftTableResolution]]. */
+final case class GraftWapTable(path: String, wapId: String)
+    extends Table with SupportsRead {
+
+  override def name(): String = s"$path#wap_$wapId"
+
+  override def schema: StructType = GraftTable(path, None).schema
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  /** Never executed — [[GraftTableResolution]] substitutes the relation. */
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = GraftWapTable.this.schema
+        override def toBatch: org.apache.spark.sql.connector.read.Batch =
+          throw new IllegalStateException(
+            "graft wap audit views resolve through the GraftTableResolution " +
+              "analyzer rule; add spark.sql.extensions=graft.GraftExtensions " +
+              "to the session config (or call graft.sql.GraftSql.attach(spark))")
+      }
+    }
+}
+
 object GraftMetaTable {
   val kinds: Set[String] = Set("snapshots", "files", "fences", "refs")
 

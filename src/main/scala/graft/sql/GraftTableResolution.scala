@@ -58,6 +58,34 @@ class GraftTableResolution(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ => None
     }
 
+  /** Unwrap to a WAP audit-view relation, if any. */
+  private def wapOf(p: LogicalPlan): Option[(DataSourceV2Relation, GraftWapTable)] =
+    p match {
+      case r: DataSourceV2Relation => r.table match {
+        case t: GraftWapTable => Some((r, t))
+        case _ => None
+      }
+      case SubqueryAlias(_, child) => wapOf(child)
+      case _ => None
+    }
+
+  /** Substitute a `graft.ns.t.wap_<id>` READ: current ∪ staged files
+    * through the prunable LWW live view — the table as if the staged set
+    * were published. Read-only (no write capability on the relation). */
+  private def substituteWap(
+      r: DataSourceV2Relation, t: GraftWapTable): LogicalPlan = {
+    val lake = graft.lake.LakeTable.load(spark, t.path)
+    val (_, staged) = lake.wapRead(t.wapId)
+    val resolved = MergeEngine.prunableLiveView(
+      lake.readSubset(lake.files ++ staged)).queryExecution.analyzed
+    require(resolved.output.length == r.output.length,
+      s"graft wap view ${t.path}#${t.wapId}: schema drift (${r.output.length} " +
+        s"vs ${resolved.output.length} cols)")
+    Project(r.output.zip(resolved.output).map { case (out, in) =>
+      Alias(in, out.name)(exprId = out.exprId)
+    }, resolved)
+  }
+
   /** Unwrap to a full-envelope cdc relation, if any. */
   private def cdcOf(p: LogicalPlan): Option[(DataSourceV2Relation, GraftCdcTable)] =
     p match {
@@ -257,6 +285,10 @@ class GraftTableResolution(spark: SparkSession) extends Rule[LogicalPlan] {
       case p if cdcOf(p).isDefined && !writeTargets.contains(cdcOf(p).get._1) =>
         val (r, t) = cdcOf(p).get
         substituteCdc(r, t)
+      // WAP audit view (read-only by construction)
+      case p if wapOf(p).isDefined =>
+        val (r, t) = wapOf(p).get
+        substituteWap(r, t)
     }
   }
 

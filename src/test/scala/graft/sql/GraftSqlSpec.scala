@@ -648,6 +648,14 @@ class GraftSqlSpec extends SparkSpec {
     val props = sql.sql("SHOW TBLPROPERTIES graft.ns.wp").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(props("staged-waps") == "q1")
+    // the audit view through SQL: the table AS IF q1 were published —
+    // while the base relation still reads pre-publish
+    assert(lib(sql.sql("SELECT repo, content FROM graft.ns.wp.wap_q1")) ==
+      Set(Seq("r1", "updated"), Seq("r2", "fresh")))
+    assert(lib(sql.sql("SELECT repo, content FROM graft.ns.wp")) ==
+      Set(Seq("r1", "base")))
+    // unknown id does not resolve
+    intercept[Exception](sql.sql("SELECT * FROM graft.ns.wp.wap_nope").collect())
     val r = sql.sql("CALL graft.wap_publish('ns.wp', 'q1')").collect()
     assert(r.length == 1 && r.head.getInt(1) > 0)
     assert(lib(sql.sql("SELECT repo, content FROM graft.ns.wp")) ==
