@@ -572,6 +572,38 @@ object CdcQueries {
                 |FROM graft.ns.af""".stripMargin)
     }),
 
+    // Incremental materialized view through SQL: define with CALL
+    // graft.create_mart over slice 1, ingest slice 2, CALL
+    // graft.refresh_mart (changelog-driven incremental recompute of only
+    // the affected groups — or cost-based re-baseline), read back TYPED via
+    // graft.ns.m.view_<qid>. The oracle recomputes the aggregate directly
+    // over the LWW winners of the whole input: the materialized detour must
+    // be invisible in the result.
+    "q_sql_mart" -> ((s, _) => {
+      val dir = s"$ExportRoot/q_sql_mart"
+      Fs.rmTree(java.nio.file.Paths.get(dir))
+      val events = EventGen.events(s, 8000L, nRepos = 50, pathsPerRepo = 6,
+        langFromLsn = 2000L)
+      events.write.mode("overwrite").parquet(s"$dir/input")
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/wh/ns"))
+      val sql = graft.sql.GraftSql.attach(s, root = Some(s"$dir/wh"))
+      sql.sql("CREATE TABLE graft.ns.mvs (repo STRING, path STRING, " +
+        "`commit` STRING, lsn BIGINT, op STRING, lang STRING, content STRING) " +
+        "TBLPROPERTIES ('buckets'='8')")
+      sql.read.parquet(s"$dir/input").createOrReplaceTempView("q_sql_mart_src")
+      sql.sql("""INSERT INTO graft.ns.mvs.cdc
+                |SELECT repo, path, `commit`, lsn, op, lang, content
+                |FROM q_sql_mart_src WHERE lsn < 4000""".stripMargin)
+      sql.sql("CALL graft.create_mart('ns.mvs', 'ns.mvm', 'bylang', " +
+        "'SELECT lang, count(*) AS n_rows, max(lsn) AS max_lsn, " +
+        "min(lsn) AS min_lsn FROM source GROUP BY lang', 'lang')")
+      sql.sql("""INSERT INTO graft.ns.mvs.cdc
+                |SELECT repo, path, `commit`, lsn, op, lang, content
+                |FROM q_sql_mart_src WHERE lsn >= 4000""".stripMargin)
+      sql.sql("CALL graft.refresh_mart('ns.mvm', 'bylang')")
+      sql.sql("SELECT lang, n_rows, max_lsn, min_lsn FROM graft.ns.mvm.view_bylang")
+    }),
+
     // Write-audit-publish: slice 1 ingested normally; slice 2 STAGED
     // (invisible — asserted), audited via the preview view, then published
     // in one atomic commit via CALL graft.wap_publish. The final read must
@@ -821,6 +853,16 @@ object CdcQueries {
          |      FROM read_parquet('$ExportRoot/q_sql_overwrite/input/*.parquet')
          |      WHERE op <> 'D' AND lsn >= 4000)
          |WHERE rn = 1""".stripMargin,
+
+    // the materialized detour is invisible: the view equals the aggregate
+    // recomputed directly over the LWW winners of the whole input
+    "q_sql_mart" ->
+      s"""SELECT lang, count(*) AS n_rows, max(lsn) AS max_lsn, min(lsn) AS min_lsn
+         |FROM (SELECT *, row_number() OVER (PARTITION BY repo, path
+         |                                   ORDER BY "commit" DESC, lsn DESC) rn
+         |      FROM read_parquet('$ExportRoot/q_sql_mart/input/*.parquet'))
+         |WHERE rn = 1 AND op <> 'D'
+         |GROUP BY lang""".stripMargin,
 
     // the WAP detour is semantically free: final state = LWW winners over
     // the whole input (both slices), live rows only

@@ -96,6 +96,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
         LakeTable.load(SparkSession.active, parent).wapIds.contains(id))
         return GraftWapTable(parent, id)
     }
+    // materialized-view read-back: `graft.ns.m.view_<qid>` reads a mart
+    // query's documents TYPED (from_json against the schema recorded at
+    // CALL graft.create_mart time)
+    if (ident.namespace().nonEmpty && ident.name().startsWith("view_")) {
+      val parent = pathOf(ident.namespace())
+      val qid = ident.name().stripPrefix("view_")
+      if (LakeTable.exists(parent)) {
+        val props = LakeTable.load(SparkSession.active, parent).snapshot.properties
+        props.get(s"mart.def.$qid.schema").foreach { ddl =>
+          return GraftMartViewTable(parent, qid, ddl)
+        }
+      }
+    }
     throw tableNotFound(ident)
   }
 

@@ -185,6 +185,34 @@ final case class GraftWapTable(path: String, wapId: String)
     }
 }
 
+/** `graft.ns.m.view_<qid>` — TYPED read-back of a materialized view: the
+  * mart query's current documents decoded against the result schema
+  * recorded at `CALL graft.create_mart` time. Substituted at analysis by
+  * [[GraftTableResolution]] with readDocs → from_json → project. */
+final case class GraftMartViewTable(path: String, queryId: String, ddl: String)
+    extends Table with SupportsRead {
+
+  override def name(): String = s"$path#view_$queryId"
+
+  override def schema: StructType = StructType.fromDDL(ddl)
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  /** Never executed — [[GraftTableResolution]] substitutes the relation. */
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = GraftMartViewTable.this.schema
+        override def toBatch: org.apache.spark.sql.connector.read.Batch =
+          throw new IllegalStateException(
+            "graft mart views resolve through the GraftTableResolution " +
+              "analyzer rule; add spark.sql.extensions=graft.GraftExtensions " +
+              "to the session config (or call graft.sql.GraftSql.attach(spark))")
+      }
+    }
+}
+
 object GraftMetaTable {
   val kinds: Set[String] = Set("snapshots", "files", "fences", "refs")
 

@@ -29,7 +29,7 @@ object GraftProcedures {
   val names: Seq[String] =
     Seq("compact", "flush_l0", "expire_snapshots", "gc_orphans", "rollback",
       "tag", "drop_tag", "rebucket", "auto_rebucket", "add_files",
-      "wap_publish", "wap_abort")
+      "wap_publish", "wap_abort", "create_mart", "refresh_mart")
 
   def load(root: String, ident: Identifier): UnboundProcedure = {
     require(ident.namespace().isEmpty || ident.namespace().sameElements(Array("system")),
@@ -47,6 +47,8 @@ object GraftProcedures {
       case "add_files" => new AddFilesProcedure(root)
       case "wap_publish" => new WapPublishProcedure(root)
       case "wap_abort" => new WapAbortProcedure(root)
+      case "create_mart" => new CreateMartProcedure(root)
+      case "refresh_mart" => new RefreshMartProcedure(root)
       case other =>
         throw new UnsupportedOperationException(
           s"no such procedure: $other (available: ${names.mkString(", ")})")
@@ -307,6 +309,119 @@ object GraftProcedures {
       result(WapAbortSchema, true)
     }
   }
+
+  // --------------------------------------- incremental materialized views
+  // A mart definition lives in the mart table's snapshot properties
+  // (mart.def.<qid>.{source,sql,groups,schema}) so refreshes need nothing
+  // but the catalog. The SQL text references the source's resolved live
+  // state as the view name `source`; refresh routes through Mart.catchUp —
+  // changelog-driven incremental recompute of ONLY affected groups, with
+  // the cost-based fallback to a full re-baseline, exactly one fenced
+  // commit either way. Typed read-back: `SELECT … FROM graft.ns.m.view_<qid>`.
+
+  private[sql] def martAggregate(
+      spark: SparkSession, sqlText: String): org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+    (src: org.apache.spark.sql.DataFrame) => {
+      src.createOrReplaceTempView("source")
+      spark.sql(sqlText)
+    }
+
+  private def defKey(qid: String, field: String) = s"mart.def.$qid.$field"
+
+  private val CreateMartSchema = StructType(Seq(
+    StructField("mart_version", IntegerType, nullable = false),
+    StructField("source_version", IntegerType, nullable = false),
+    StructField("result_schema", StringType, nullable = false)))
+
+  private final class CreateMartProcedure(root: String) extends MaintenanceProcedure(root) {
+    override def name(): String = "create_mart"
+    override def description(): String =
+      "Create an incrementally-maintained materialized view: `query` (SQL " +
+        "over the view name `source` = the source table's resolved live " +
+        "state) is published into a mart table and kept fresh by CALL " +
+        "graft.refresh_mart — changelog-driven, only affected groups " +
+        "recomputed. Read it typed via SELECT … FROM graft.<mart>.view_<id>."
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("source", StringType).comment("source table, e.g. 'ns.t'").build(),
+      ProcedureParameter.in("mart", StringType).comment("mart table to create, e.g. 'ns.m'").build(),
+      ProcedureParameter.in("query_id", StringType).build(),
+      ProcedureParameter.in("query", StringType)
+        .comment("GROUP BY SQL over the view name `source`").build(),
+      ProcedureParameter.in("group_cols", StringType)
+        .comment("comma-separated grouping columns of the query's output").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val spark = SparkSession.active
+      val src = lake(input)
+      val martName = input.getUTF8String(1).toString
+      val qid = input.getUTF8String(2).toString
+      require(qid.matches("[A-Za-z0-9_-]+"), s"invalid query_id: $qid")
+      val sqlText = input.getUTF8String(3).toString
+      val groups = input.getUTF8String(4).toString.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+      require(groups.nonEmpty, "group_cols must name at least one column")
+      val martPath = GraftPaths.resolve(root, martName.split('.').toSeq)
+      val mart = graft.cdc.Mart.martTable(spark, martPath)
+      require(!mart.snapshot.properties.contains(defKey(qid, "sql")),
+        s"mart query '$qid' already defined on $martName")
+      // resolve the result schema NOW (plan only, nothing runs): validates
+      // the SQL and that every group column is in the output
+      val resultSchema = martAggregate(spark, sqlText)(LakeMerge.readState(src)).schema
+      val missing = groups.filterNot(resultSchema.fieldNames.contains)
+      require(missing.isEmpty,
+        s"group_cols not in query output: ${missing.mkString(", ")} " +
+          s"(output: ${resultSchema.fieldNames.mkString(", ")})")
+      val srcName = input.getUTF8String(0).toString
+      mart.commit(s => s.copy(
+        properties = s.properties ++ Map(
+          defKey(qid, "source") -> srcName,
+          defKey(qid, "sql") -> sqlText,
+          defKey(qid, "groups") -> groups.mkString(","),
+          defKey(qid, "schema") -> resultSchema.toDDL),
+        opKind = "metadata",
+        summary = Map("operation" -> "create-mart", "query" -> qid)))
+      // initial publish (full; later refreshes go incremental when cheap)
+      graft.cdc.Mart.catchUp(mart, src, groups, martAggregate(spark, sqlText), qid)
+      result(CreateMartSchema, mart.currentVersion, src.currentVersion,
+        utf8(resultSchema.toDDL))
+    }
+  }
+
+  private val RefreshMartSchema = StructType(Seq(
+    StructField("refreshed", BooleanType, nullable = false),
+    StructField("mart_version", IntegerType, nullable = false),
+    StructField("source_version", IntegerType, nullable = false)))
+
+  private final class RefreshMartProcedure(root: String) extends MaintenanceProcedure(root) {
+    override def name(): String = "refresh_mart"
+    override def description(): String =
+      "Catch a materialized view up to its source's current version: " +
+        "changelog-driven incremental recompute of affected groups, " +
+        "cost-based re-baseline fallback, one fenced commit; no-op when " +
+        "already current."
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("mart", StringType).build(),
+      ProcedureParameter.in("query_id", StringType).build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val spark = SparkSession.active
+      val mart = lake(input)
+      val qid = input.getUTF8String(1).toString
+      val props = mart.snapshot.properties
+      val sqlText = props.getOrElse(defKey(qid, "sql"),
+        throw new IllegalArgumentException(
+          s"no mart query '$qid' here (defined: ${martQueryIds(props).mkString(", ")})"))
+      val src = lakeOf(root, props(defKey(qid, "source")))
+      val groups = props(defKey(qid, "groups")).split(',').toSeq
+      val stats = graft.cdc.Mart.catchUp(mart, src, groups,
+        martAggregate(spark, sqlText), qid)
+      result(RefreshMartSchema, stats.isDefined, mart.currentVersion,
+        src.currentVersion)
+    }
+  }
+
+  private[sql] def martQueryIds(props: Map[String, String]): Seq[String] =
+    props.keys.collect {
+      case k if k.startsWith("mart.def.") && k.endsWith(".sql") =>
+        k.stripPrefix("mart.def.").stripSuffix(".sql")
+    }.toSeq.sorted
 
   private val AddFilesSchema = StructType(Seq(
     StructField("added_files", IntegerType, nullable = false),

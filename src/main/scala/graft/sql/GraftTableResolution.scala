@@ -86,6 +86,37 @@ class GraftTableResolution(spark: SparkSession) extends Rule[LogicalPlan] {
     }, resolved)
   }
 
+  /** Unwrap to a mart-view relation, if any. */
+  private def martViewOf(p: LogicalPlan): Option[(DataSourceV2Relation, GraftMartViewTable)] =
+    p match {
+      case r: DataSourceV2Relation => r.table match {
+        case t: GraftMartViewTable => Some((r, t))
+        case _ => None
+      }
+      case SubqueryAlias(_, child) => martViewOf(child)
+      case _ => None
+    }
+
+  /** Substitute a `graft.ns.m.view_<qid>` READ: the mart query's current
+    * documents decoded with from_json against the recorded result schema —
+    * a typed materialized-view read. */
+  private def substituteMartView(
+      r: DataSourceV2Relation, t: GraftMartViewTable): LogicalPlan = {
+    val mart = graft.lake.LakeTable.load(spark, t.path)
+    val viewSchema = org.apache.spark.sql.types.StructType.fromDDL(t.ddl)
+    import org.apache.spark.sql.functions.{col, from_json}
+    val docs = graft.cdc.Mart.readDocs(mart, t.queryId)
+    val resolved = docs
+      .select(from_json(col("doc_json"), viewSchema).as("_doc"))
+      .select(viewSchema.fieldNames.map(n => col(s"_doc.$n").as(n)).toSeq: _*)
+      .queryExecution.analyzed
+    require(resolved.output.length == r.output.length,
+      s"graft mart view ${t.path}#${t.queryId}: schema drift")
+    Project(r.output.zip(resolved.output).map { case (out, in) =>
+      Alias(in, out.name)(exprId = out.exprId)
+    }, resolved)
+  }
+
   /** Unwrap to a full-envelope cdc relation, if any. */
   private def cdcOf(p: LogicalPlan): Option[(DataSourceV2Relation, GraftCdcTable)] =
     p match {
@@ -289,6 +320,10 @@ class GraftTableResolution(spark: SparkSession) extends Rule[LogicalPlan] {
       case p if wapOf(p).isDefined =>
         val (r, t) = wapOf(p).get
         substituteWap(r, t)
+      // typed materialized-view read-back (read-only by construction)
+      case p if martViewOf(p).isDefined =>
+        val (r, t) = martViewOf(p).get
+        substituteMartView(r, t)
     }
   }
 

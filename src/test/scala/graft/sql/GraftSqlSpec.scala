@@ -633,6 +633,41 @@ class GraftSqlSpec extends SparkSpec {
     intercept[Exception] { sql.sql("SELECT * FROM graft.ns.t.nope").collect() }
   }
 
+  test("CALL graft.create_mart / refresh_mart: incremental materialized views in SQL") {
+    sql.sql("CREATE TABLE graft.ns.mv (repo STRING, path STRING, `commit` STRING, " +
+      "lsn BIGINT, op STRING, lang STRING, content STRING) TBLPROPERTIES ('buckets'='2')")
+    sql.sql("INSERT INTO graft.ns.mv.cdc VALUES " +
+      "('r1','p1','c1',1,'U','scala','a'), ('r2','p1','c1',2,'U','scala','b'), " +
+      "('r3','p1','c1',3,'U','rust','c')")
+    val created = sql.sql("CALL graft.create_mart('ns.mv', 'ns.mvm', 'bylang', " +
+      "'SELECT lang, count(*) AS n, max(lsn) AS mx FROM source GROUP BY lang', 'lang')")
+      .collect()
+    assert(created.length == 1 && created.head.getString(2).contains("lang"))
+    def view = lib(sql.sql("SELECT lang, n, mx FROM graft.ns.mvm.view_bylang"))
+    assert(view == Set(Seq("scala", 2L, 2L), Seq("rust", 1L, 3L)))
+    // source moves: an update flips r3 to scala; refresh recomputes ONLY
+    // the affected groups (changelog-driven) and the view follows
+    sql.sql("INSERT INTO graft.ns.mv.cdc VALUES ('r3','p1','c2',9,'U','scala','c2')")
+    assert(view == Set(Seq("scala", 2L, 2L), Seq("rust", 1L, 3L)),
+      "view must be STALE until refreshed (materialized, not live)")
+    val r1 = sql.sql("CALL graft.refresh_mart('ns.mvm', 'bylang')").collect()
+    assert(r1.head.getBoolean(0), "refresh must apply")
+    assert(view == Set(Seq("scala", 3L, 9L)), "vanished rust group must be swept")
+    // no-op when current
+    assert(!sql.sql("CALL graft.refresh_mart('ns.mvm', 'bylang')").collect().head.getBoolean(0))
+    // equivalence with a direct aggregate over the source's live state
+    assert(view == lib(sql.sql(
+      "SELECT lang, count(*) AS n, max(lsn) AS mx FROM graft.ns.mv GROUP BY lang")))
+    // loud failures: duplicate definition, unknown id, bad group col
+    intercept[Exception](sql.sql("CALL graft.create_mart('ns.mv', 'ns.mvm', 'bylang', " +
+      "'SELECT lang, count(*) AS n FROM source GROUP BY lang', 'lang')").collect())
+    intercept[Exception](sql.sql("CALL graft.refresh_mart('ns.mvm', 'nope')").collect())
+    intercept[Exception](sql.sql("CALL graft.create_mart('ns.mv', 'ns.mvm2', 'q', " +
+      "'SELECT lang, count(*) AS n FROM source GROUP BY lang', 'not_a_col')").collect())
+    sql.sql("DROP TABLE graft.ns.mvm")
+    sql.sql("DROP TABLE graft.ns.mv")
+  }
+
   test("CALL graft.wap_publish / wap_abort: audit gate visible through SQL") {
     sql.sql("CREATE TABLE graft.ns.wp (repo STRING, path STRING, `commit` STRING, " +
       "lsn BIGINT, op STRING, content STRING) TBLPROPERTIES ('buckets'='2')")
