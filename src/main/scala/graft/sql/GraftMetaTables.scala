@@ -214,7 +214,7 @@ final case class GraftMartViewTable(path: String, queryId: String, ddl: String)
 }
 
 object GraftMetaTable {
-  val kinds: Set[String] = Set("snapshots", "files", "fences", "refs")
+  val kinds: Set[String] = Set("snapshots", "files", "fences", "refs", "health")
 
   val schemas: Map[String, StructType] = Map(
     "snapshots" -> StructType(Seq(
@@ -243,7 +243,17 @@ object GraftMetaTable {
     "refs" -> StructType(Seq(
       StructField("name", StringType, nullable = false),
       StructField("version", IntegerType, nullable = false),
-      StructField("snapshot_id", LongType))))
+      StructField("snapshot_id", LongType))),
+    // per-bucket health facts (LakeTable.describe — read amplification is
+    // the statistic an operator watches to schedule compaction)
+    "health" -> StructType(Seq(
+      StructField("bucket", IntegerType, nullable = false),
+      StructField("base_files", LongType, nullable = false),
+      StructField("delta_files", LongType, nullable = false),
+      StructField("l0_files", LongType, nullable = false),
+      StructField("base_bytes", LongType, nullable = false),
+      StructField("delta_bytes", LongType, nullable = false),
+      StructField("read_amp", LongType, nullable = false))))
 
   private def utf8(s: String): UTF8String =
     if (s == null) null else UTF8String.fromString(s)
@@ -287,6 +297,18 @@ object GraftMetaTable {
           catch { case _: Exception => null }
           new GenericInternalRow(Array[Any](utf8(name), v, sid))
         }.toArray
+      case "health" =>
+        val fs = t.filesOf(t.snapshot)
+        val l0 = fs.count(_.kind == "l0").toLong
+        fs.filter(_.bucket != LakeTable.L0Bucket).groupBy(_.bucket)
+          .toSeq.sortBy(_._1).iterator.map { case (b, bf) =>
+            val base = bf.filter(_.kind == "base")
+            val deltas = bf.filter(_.kind == "delta")
+            new GenericInternalRow(Array[Any](
+              b, base.size.toLong, deltas.size.toLong, l0,
+              base.map(_.bytes).sum, deltas.map(_.bytes).sum,
+              base.size + deltas.size + l0))
+          }.toArray
       case other =>
         throw new IllegalArgumentException(s"unknown metadata table: $other")
     }

@@ -95,6 +95,29 @@ class WapSpec extends SparkSpec {
     assert(t.wapIds == Seq("once"))
   }
 
+  test("publish after a concurrent rebucket: era-stamped staged files stay correct") {
+    val root = tmpDir("wap-rebucket")
+    val t = LakeTable.create(spark, root, schema, numBuckets = 2)
+    LakeMerge.mergeBatch(t, batch1)
+    // stage under the 2-bucket layout...
+    LakeMerge.wapStage(t, batch2, "pre-evo")
+    // ...then the table's layout evolves underneath the audit window
+    t.rebucket(8)
+    assert(LakeTable.load(spark, root).snapshot.numBuckets == 8)
+    LakeMerge.wapPublish(t, "pre-evo")
+    // staged files carry their own era stamp (layoutBuckets=2), so
+    // era-aware reads resolve them correctly under the new layout
+    assert(state(t) == expectedFinal)
+    // point lookups across the era mix stay exact
+    assert(LakeMerge.readRepo(t, "r3").collect()
+      .head.getAs[String]("content") == "v3")
+    assert(LakeMerge.readRepo(t, "r2").collect().isEmpty,
+      "published tombstone must hold across the layout evolution")
+    // compaction migrates everything into the new layout, state unchanged
+    LakeMerge.compact(t)
+    assert(state(t) == expectedFinal)
+  }
+
   test("gcOrphans spares live L0 and imported dirs (shallow staging-dir regression)") {
     val root = tmpDir("wap-gcl0")
     val t = LakeTable.create(spark, root, schema, numBuckets = 2)

@@ -629,6 +629,14 @@ class GraftSqlSpec extends SparkSpec {
       "SELECT kind, count(*) AS n, sum(bytes) AS b FROM graft.ns.t.files GROUP BY kind")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(byKind.values.sum == files.length)
+    // per-bucket health facts (LakeTable.describe through SQL) — also a
+    // zero-job LocalTableScan, and read_amp is internally consistent
+    val health = sql.sql("SELECT bucket, base_files, delta_files, l0_files, read_amp " +
+      "FROM graft.ns.t.health")
+    assert(health.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+    val hRows = health.collect()
+    assert(hRows.nonEmpty)
+    assert(hRows.forall(r => r.getLong(4) == r.getLong(1) + r.getLong(2) + r.getLong(3)))
     // an unknown suffix is still a missing table, not a metadata view
     intercept[Exception] { sql.sql("SELECT * FROM graft.ns.t.nope").collect() }
   }
@@ -658,6 +666,15 @@ class GraftSqlSpec extends SparkSpec {
     // equivalence with a direct aggregate over the source's live state
     assert(view == lib(sql.sql(
       "SELECT lang, count(*) AS n, max(lsn) AS mx FROM graft.ns.mv GROUP BY lang")))
+    // INSERT OVERWRITE the source (a replace commit — rows un-happened):
+    // the changelog can't drive the refresh, so catchUp must RE-BASELINE
+    // and the view must equal the aggregate over the replaced content
+    sql.sql("INSERT OVERWRITE graft.ns.mv " +
+      "SELECT repo, path, `commit`, lsn, lang, content FROM graft.ns.mv.cdc WHERE lang = 'scala'")
+    assert(sql.sql("CALL graft.refresh_mart('ns.mvm', 'bylang')").collect().head.getBoolean(0))
+    assert(view == lib(sql.sql(
+      "SELECT lang, count(*) AS n, max(lsn) AS mx FROM graft.ns.mv GROUP BY lang")),
+      "refresh across a replace commit must re-baseline, not fail or drift")
     // loud failures: duplicate definition, unknown id, bad group col
     intercept[Exception](sql.sql("CALL graft.create_mart('ns.mv', 'ns.mvm', 'bylang', " +
       "'SELECT lang, count(*) AS n FROM source GROUP BY lang', 'lang')").collect())
