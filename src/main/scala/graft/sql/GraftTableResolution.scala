@@ -278,6 +278,11 @@ class GraftTableResolution(spark: SparkSession) extends Rule[LogicalPlan] {
       case i: InsertIntoStatement =>
         graftOf(i.table).foreach { case (r, _) => writeTargets.add(r); () }
         cdcOf(i.table).foreach { case (r, _) => writeTargets.add(r); () }
+        // read-only relations: keep the relation in place so Spark raises
+        // its clean "table does not support append" instead of this rule
+        // substituting a query plan under the INSERT target
+        wapOf(i.table).foreach { case (r, _) => writeTargets.add(r); () }
+        martViewOf(i.table).foreach { case (r, _) => writeTargets.add(r); () }
       case d: DeleteFromTable =>
         graftOf(d.table).foreach { case (r, _) => writeTargets.add(r); () }
       case u: UpdateTable =>
@@ -316,12 +321,12 @@ class GraftTableResolution(spark: SparkSession) extends Rule[LogicalPlan] {
       case p if cdcOf(p).isDefined && !writeTargets.contains(cdcOf(p).get._1) =>
         val (r, t) = cdcOf(p).get
         substituteCdc(r, t)
-      // WAP audit view (read-only by construction)
-      case p if wapOf(p).isDefined =>
+      // WAP audit view (read-only; INSERT targets stay relations)
+      case p if wapOf(p).isDefined && !writeTargets.contains(wapOf(p).get._1) =>
         val (r, t) = wapOf(p).get
         substituteWap(r, t)
-      // typed materialized-view read-back (read-only by construction)
-      case p if martViewOf(p).isDefined =>
+      // typed materialized-view read-back (read-only; INSERT targets stay)
+      case p if martViewOf(p).isDefined && !writeTargets.contains(martViewOf(p).get._1) =>
         val (r, t) = martViewOf(p).get
         substituteMartView(r, t)
     }

@@ -708,6 +708,9 @@ class GraftSqlSpec extends SparkSpec {
       Set(Seq("r1", "base")))
     // unknown id does not resolve
     intercept[Exception](sql.sql("SELECT * FROM graft.ns.wp.wap_nope").collect())
+    // the audit view is read-only: INSERT INTO it fails cleanly
+    intercept[Exception](
+      sql.sql("INSERT INTO graft.ns.wp.wap_q1 VALUES ('x','y','c1',1,'U','v')"))
     val r = sql.sql("CALL graft.wap_publish('ns.wp', 'q1')").collect()
     assert(r.length == 1 && r.head.getInt(1) > 0)
     assert(lib(sql.sql("SELECT repo, content FROM graft.ns.wp")) ==
