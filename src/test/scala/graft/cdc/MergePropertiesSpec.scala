@@ -71,6 +71,30 @@ class MergePropertiesSpec extends SparkSpec {
     }, 10)
   }
 
+  test("property: the SQL read shapes equal the merge algebra (prunable window == aggregate)") {
+    // the SQL surface resolves reads through the WINDOW-shaped views
+    // (column pruning); the library resolves through the max_by AGGREGATE.
+    // They must agree on arbitrary event sets, both with tombstones kept
+    // (the .cdc relation) and filtered (the base relation).
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(String, String, String, String)] =
+      df.select($"repo", $"path",
+        coalesce($"op", lit("∅")), coalesce(sha2($"content", 256), lit("∅")))
+        .as[(String, String, String, String)].collect().toSet
+    checkProp(Prop.forAll(genEvents) { events =>
+      val raw = events.toDF()
+      val agg = MergeEngine.dedupBatch(raw)
+      rows(MergeEngine.prunableStateView(raw)) == rows(agg) && {
+        val liveWindow = MergeEngine.prunableLiveView(raw)
+          .select($"repo", $"path", coalesce(sha2($"content", 256), lit("∅")))
+          .as[(String, String, String)].collect().toSet
+        val liveAgg = MergeEngine.liveView(agg)
+          .select($"repo", $"path", coalesce(sha2($"content", 256), lit("∅")))
+          .as[(String, String, String)].collect().toSet
+        liveWindow == liveAgg
+      }
+    }, 10)
+  }
+
   test("property: tombstone purge below the replay watermark never changes the live view") {
     // split any event set at an arbitrary watermark on the FULL ordering
     // key (commit, lsn): apply history → advance watermark → compact (which
