@@ -80,7 +80,12 @@ object CoreQueries {
         .select(col("doc_id"), sha2(col("text"), 256).as("content_sha"))
     }),
 
-    // TPC-H Q1 shape (A1 pivot-style aggregation).
+    // TPC-H Q1 shape (A1 pivot-style aggregation). Round-7 note: a
+    // pre-partition on the distinct-agg keys (one shared exchange, fully
+    // parallel aggregation) was tried and measured a WASH (0.83 s warm both
+    // ways — the raw-row exchange costs what the 3-task partial agg did),
+    // so the canonical partial-agg-first shape is kept: it shuffles no more
+    // bytes and is strictly better when keys do repeat.
     "q1_agg" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"), col("l_linestatus"))

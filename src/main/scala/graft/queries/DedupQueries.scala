@@ -33,15 +33,58 @@ object DedupQueries {
             element_at(toks, i + 2))))
         .otherwise(array(concat_ws(" ", toks))))
 
-  /** documents + a `sh` shingle-array column (tokens materialized first). */
+  /** documents + a `sh` shingle-array column (tokens materialized first).
+    * The scan is spread first (guide §2.5): the shingle+md5 pipeline is the
+    * most expensive per-row work in the bench and must not serialize onto
+    * the 1-task scan a single small parquet file produces. */
   private def docsWithShingles(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
+    Par.spreadRead(s, s"$dir/documents.parquet")
       .withColumn("_toks", tokens(col("text")))
       .withColumn("sh", shinglesFromTokens(col("_toks")))
       .drop("_toks")
 
   private val NumHashes = 8
   private val BandSize = 2 // 4 bands × 2 hashes
+
+  /** (doc_id, band, sig) MinHash signatures from a shingled-docs frame —
+    * the pipeline body of q_minhash_sig, factored so q_ngram_jaccard can
+    * build it over a SHARED exchange subtree (see there). */
+  private def sigFrom(docsSh: DataFrame): DataFrame = {
+    val withH = docsSh
+      .select(col("doc_id"),
+        transform(col("sh"), x => md5(x)).as("h1"),
+        transform(col("sh"), x => md5(concat(x, lit("~")))).as("h2"))
+    val mh = (seed: Int) => {
+      val (src, off) = if (seed < 4) (col("h1"), seed * 8) else (col("h2"), (seed - 4) * 8)
+      array_min(transform(src, h => substring(h, off + 1, 8)))
+    }
+    val bands = (0 until NumHashes / BandSize).map { b =>
+      struct(lit(b).as("band"),
+        concat((0 until BandSize).map(k => mh(b * BandSize + k)): _*).as("sig"))
+    }
+    withH.select(col("doc_id"), explode(array(bands: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
+
+  /** LSH candidate pairs from signatures WITHOUT a self-join: group each
+    * (band, sig) bucket, emit its in-bucket combinations (ids are distinct
+    * within a bucket — one row per doc per band — and sorted, so d1 < d2 by
+    * construction), then global distinct. Replaces the round-5 self-join
+    * shape, which planned the whole md5 signature pipeline TWICE (two
+    * identical scan→shingle→sig subtrees feeding a BroadcastHashJoin — see
+    * plans/r07/q_minhash_pairs_before.txt) plus a broadcast build. One
+    * aggregation exchange instead; bucket blow-up is bounded exactly as the
+    * join was (a k-doc bucket emitted k² join rows, now k²/2 pairs). */
+  private def candidatePairs(sig: DataFrame): DataFrame =
+    sig.groupBy(col("band"), col("sig"))
+      .agg(collect_list(col("doc_id")).as("ids0"))
+      .where(size(col("ids0")) >= 2)
+      .select(sort_array(col("ids0")).as("ids"))
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))),
+          y => struct(x.as("d1"), y.as("d2")))))).as("p"))
+      .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
+      .distinct()
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: content-hash groupBy, keep lowest doc_id as survivor.
@@ -62,40 +105,15 @@ object DedupQueries {
       // slices). 16-bit slices measured pathological: min over ~250
       // shingles clusters near zero, so band signatures collide massively
       // and the candidate join explodes with false positives.
-      val withH = docsWithShingles(s, dir)
-        .select(col("doc_id"),
-          transform(col("sh"), x => md5(x)).as("h1"),
-          transform(col("sh"), x => md5(concat(x, lit("~")))).as("h2"))
-      val mh = (seed: Int) => {
-        val (src, off) = if (seed < 4) (col("h1"), seed * 8) else (col("h2"), (seed - 4) * 8)
-        array_min(transform(src, h => substring(h, off + 1, 8)))
-      }
-      val bands = (0 until NumHashes / BandSize).map { b =>
-        struct(lit(b).as("band"),
-          concat((0 until BandSize).map(k => mh(b * BandSize + k)): _*).as("sig"))
-      }
-      withH.select(col("doc_id"), explode(array(bands: _*)).as("bs"))
-        .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+      sigFrom(docsWithShingles(s, dir))
     }),
 
-    // LSH candidate pairs: docs sharing any (band, signature) bucket.
-    // The signature pipeline (one md5 per shingle over every doc — the
-    // expensive part) must compute ONCE: an explicit repartition on the
-    // join keys gives both self-join sides an IDENTICAL Exchange subtree,
-    // which Catalyst's ReuseExchange dedups. Without it the planner
-    // broadcasts the (small) signature relation and the pipeline runs
-    // twice — once for the probe, once for the broadcast build (measured
-    // ~1.5× slower at sf0.1). persist() also measured slower (stats lost).
-    "q_minhash_pairs" -> ((s, dir) => {
-      val sig = queries("q_minhash_sig")(s, dir)
-        .repartition(col("band"), col("sig"))
-      val a = sig.as("a")
-      val b = sig.as("b")
-      a.join(b, col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-        .distinct()
-    }),
+    // LSH candidate pairs: docs sharing any (band, signature) bucket —
+    // bucket-local combination generation (see candidatePairs), not a
+    // self-join: the signature pipeline (one md5 per shingle over every
+    // doc — the expensive part) computes exactly once, on the spread scan.
+    "q_minhash_pairs" -> ((s, dir) =>
+      candidatePairs(sigFrom(docsWithShingles(s, dir)))),
 
     // SimHash (16-bit) per document from md5-derived 16-bit token hashes —
     // pure per-row HOF pipeline, zero shuffles before the projection.
@@ -105,18 +123,28 @@ object DedupQueries {
     // path). Bit b of h is extracted arithmetically (floor(h / 2^b) & 1 —
     // exact in double for 16-bit h) because shiftright needs a literal
     // shift, and the lambda's bit index is a column.
+    // Round-7 shape: explode the per-doc token hashes and compute the 16
+    // bit-votes as 16 codegen'd shiftright sums under ONE hash aggregation
+    // (map-side partial, one exchange of 10k×16 partial sums). The previous
+    // array-fold accumulator allocated a fresh 16-long array and evaluated
+    // 16 interpreted pow/floor/cast chains PER TOKEN (shiftright needs a
+    // literal shift, which the fold's lambda-bound bit index can't supply —
+    // the exploded shape can). Vote semantics identical: integer ±1 sums,
+    // order-independent; a null/absent token array yields all-negative
+    // votes → simhash 0, exactly as the fold's null propagation did.
     "q_simhash" -> ((s, dir) => {
       val toks = array_distinct(tokens(col("text")))
       val hashes = transform(toks, t => conv(substring(md5(t), 1, 4), 16, 10).cast("long"))
-      val votes = aggregate(hashes, array_repeat(lit(0L), 16),
-        (acc, h) => transform(acc, (v, b) =>
-          v + when(floor(h.cast("double") / pow(lit(2.0), b.cast("double")))
-            .cast("long").bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)))
+      val voteAgg = (b: Int) =>
+        sum(when(shiftright(col("_h"), b).bitwiseAND(lit(1L)) === 1L, 1L)
+          .otherwise(-1L)).as(s"_v$b")
       val bits = (0 until 16).map { b =>
-        when(element_at(col("_votes"), b + 1) > 0, lit(1L << b)).otherwise(lit(0L))
+        when(col(s"_v$b") > 0, lit(1L << b)).otherwise(lit(0L))
       }
-      t(s, dir, "documents")
-        .withColumn("_votes", votes)
+      Par.spreadRead(s, s"$dir/documents.parquet")
+        .select(col("doc_id"), explode_outer(hashes).as("_h"))
+        .groupBy(col("doc_id"))
+        .agg(voteAgg(0), (1 until 16).map(voteAgg): _*)
         .select(col("doc_id"), bits.reduce(_ + _).as("simhash"))
     }),
 
@@ -127,12 +155,25 @@ object DedupQueries {
     // rows — one viral boilerplate line at corpus scale is a job-killer,
     // 11 s at sf0.1); this shape is O(candidates) end-to-end and is the
     // standard near-dup pipeline for web-scale corpora.
+    // Round-7 shape: ONE shingle computation for the whole query. The
+    // shingled docs get an explicit doc_id exchange; the signature pipeline
+    // (candidate generation) and BOTH jaccard-side joins hang off that same
+    // exchange subtree, so Spark's exchange/stage reuse computes the
+    // tokenize+shingle pass once (the round-5 shape planned it three
+    // times: once inside the candidate pipeline, once per join side — see
+    // plans/r07/q_ngram_jaccard_before.txt). The candidate side is tiny and
+    // broadcast explicitly, so the big shingled side is never re-shuffled.
     "q_ngram_jaccard" -> ((s, dir) => {
-      val docs = docsWithShingles(s, dir).select(col("doc_id"), col("sh"))
-      val cands = queries("q_minhash_pairs")(s, dir)
-      cands
-        .join(docs.as("da"), col("d1") === col("da.doc_id"))
-        .join(docs.as("db"), col("d2") === col("db.doc_id"))
+      // the isNotNull filter matches the one the optimizer derives on the
+      // two join probe sides, so ALL THREE consumers' exchange subtrees
+      // canonicalize identically and stage reuse fires (a null doc_id could
+      // never join nor appear in a candidate pair — result-identical)
+      val docs = docsWithShingles(s, dir).where(col("doc_id").isNotNull)
+        .select(col("doc_id"), col("sh"))
+        .persist()
+      val cands = candidatePairs(sigFrom(docs))
+      val withA = docs.as("da").join(broadcast(cands), col("d1") === col("da.doc_id"))
+      docs.as("db").join(broadcast(withA), col("d2") === col("db.doc_id"))
         .withColumn("inter", size(array_intersect(col("da.sh"), col("db.sh"))))
         .withColumn("jaccard",
           round(col("inter").cast("double") /

@@ -113,6 +113,9 @@ object SimilarityQueries {
       val e = t(s, dir, "embeddings")
       val q = e.where(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      // Round-7 note: spreading the corpus scan (guide §2.5) was tried and
+      // measured WORSE (0.35-0.41 s warm vs 0.24-0.38 baseline): ~2000
+      // 64-dim cosine folds are too little work to pay for an exchange.
       val c = e.where(col("vec_id") >= 5)
       val scored = c.join(broadcast(q))
         .select(col("query_id"), col("vec_id"),
