@@ -51,16 +51,26 @@ object BenchExtra {
     var reps = 0
     var plansDir: Option[String] = None
     var only: Option[Set[String]] = None
+    var confs: List[(String, String)] = Nil
     var i = 0
     while (i < args.length) {
       args(i) match {
         case "--reps" => reps = args(i + 1).toInt; i += 2
         case "--plans" => plansDir = Some(args(i + 1)); i += 2
         case "--only" => only = Some(args(i + 1).split(",").toSet); i += 2
+        case "--conf" => // diagnosis only: session-conf override k=v
+          val Array(k, v) = args(i + 1).split("=", 2); confs ::= (k, v); i += 2
         case other => sys.error(s"unknown arg $other")
       }
     }
-    val names = HeadlineQueries.filter(n => only.forall(_.contains(n)))
+    // --only may name ANY SparkEntry query (plan dumps for non-headline
+    // operators); default is the headline set in Bench order
+    val names = only match {
+      case Some(set) =>
+        HeadlineQueries.filter(set.contains) ++
+          set.toSeq.sorted.filterNot(HeadlineQueries.contains)
+      case None => HeadlineQueries
+    }
     sys.props("graft.skipOracleExport") = "true"
 
     def loadavg0(): Double =
@@ -68,6 +78,7 @@ object BenchExtra {
       catch { case _: Throwable => -1.0 }
 
     val spark = session(Runtime.getRuntime.availableProcessors())
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
     val qmap = SparkEntry.queries
     // untimed warmup — identical to Bench phase 1
     try qmap(HeadlineQueries.head)(spark, sfDir)

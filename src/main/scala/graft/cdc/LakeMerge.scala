@@ -137,6 +137,16 @@ object LakeMerge {
     *                swap as the data commit (one commit carries data, fence
     *                and lineage; a crash can no longer land between them)
     */
+  /** @param skipIfEmpty when the staged batch turns out to hold ZERO rows,
+    *                delete the staged files and commit nothing (applied =
+    *                false). The SQL DML commands use this instead of an
+    *                `isEmpty` probe before the merge: the probe executed the
+    *                full source plan (joins included) a second time just to
+    *                avoid an empty table version (r6 verdict #7 / advice) —
+    *                with this flag the plan executes exactly once and the
+    *                emptiness is read for free from the staged footer stats.
+    *                Only honored on the deduped write path, where staged row
+    *                counts are known exact. */
   def mergeBatch(
       table: LakeTable,
       batch: DataFrame,
@@ -145,7 +155,8 @@ object LakeMerge {
       dedupOnWrite: Boolean = true,
       l0Mode: Boolean = false,
       aliases: Map[String, String] = Map.empty,
-      extraSummary: Seq[DataFileMeta] => Map[String, String] = _ => Map.empty
+      extraSummary: Seq[DataFileMeta] => Map[String, String] = _ => Map.empty,
+      skipIfEmpty: Boolean = false
   ): CommitStats = {
     val t0 = System.nanoTime()
     val (queryId, epochId) = fence.getOrElse(("adhoc", -1L))
@@ -206,6 +217,15 @@ object LakeMerge {
       if (!l0Mode && dedupOnWrite && staged.forall(_.rows >= 0L))
         staged.map(_.rows).sum
       else -1L
+    if (skipIfEmpty && dk == 0L) {
+      // the batch resolved to zero rows: reclaim the (empty) staged files,
+      // commit no table version
+      staged.map(f => java.nio.file.Paths.get(f.path).getParent).distinct
+        .foreach(d => graft.util.Fs.rmTree(
+          if (d.getFileName.toString.startsWith("bucket=")) d.getParent else d))
+      return CommitStats(applied = false, epochId, table.snapshot.snapshotId,
+        0L, 0, (System.nanoTime() - t0) / 1000000L, distinctKeys = 0L)
+    }
     // append commit: metadata written = one manifest for THIS batch's files
     // (O(batch)); every prior manifest is reused by reference
     val committed = table.appendCommit(

@@ -229,8 +229,10 @@ final class LakeTable private (val root: String, val spark: SparkSession) {
       // Pre-upgrade snapshots in range fall back to metadata-file mtimes,
       // which a copied/restored metadata directory resets — monotonicity
       // is NOT guaranteed, so scan linearly for the last version at or
-      // before tsMs instead of silently returning a wrong binary-search hit.
-      (lo0 to currentVersion).takeWhile(v => tsOf(v) <= tsMs).lastOption
+      // before tsMs instead of silently returning a wrong binary-search hit
+      // (a takeWhile here stopped at the first over-tsMs mtime and could
+      // return an EARLIER version than the last qualifying one — r6 advice).
+      (lo0 to currentVersion).filter(v => tsOf(v) <= tsMs).lastOption
         .getOrElse(lo0)
     }
   }
@@ -664,7 +666,10 @@ final class LakeTable private (val root: String, val spark: SparkSession) {
   def addFiles(paths: Seq[String],
       fence: Option[(String, Long)] = None): Snapshot = {
     require(paths.nonEmpty, "addFiles: no files given")
-    val srcs = paths.map(p => Paths.get(p).toAbsolutePath)
+    // dedup by absolute path: the same source file passed twice (dir walk +
+    // explicit arg) would be hard-linked and committed twice, doubling rows
+    // in stats/changelog reads (r6 advice) — mirror readForKeys' distinct
+    val srcs = paths.map(p => Paths.get(p).toAbsolutePath.normalize).distinct
     srcs.foreach(p => require(Files.isRegularFile(p), s"addFiles: not a file: $p"))
     // schema from the first file's footer — driver-side IO, no data pages,
     // no Spark job (the listing/inference a spark.read would do)
@@ -911,6 +916,27 @@ final class LakeTable private (val root: String, val spark: SparkSession) {
       )
     }
   }
+
+  /** Replace the table's ENTIRE content with `staged` in one atomic commit.
+    * Unlike [[rewriteCommit]] with a pre-listed replace set, the replaced
+    * files are determined INSIDE the commit closure from the commit-time
+    * snapshot, so rows committed concurrently between the caller's read and
+    * this commit cannot survive an INSERT OVERWRITE (r6 advice: the
+    * "entire content becomes the new rows" contract must hold under
+    * concurrent writers — the optimistic retry re-runs this closure on the
+    * advanced snapshot). */
+  def replaceAllCommit(
+      staged: Seq[DataFileMeta],
+      summary: Map[String, String] = Map("operation" -> "replace-all")
+  ): Snapshot =
+    commit { s =>
+      val replaced = s.manifests.map(_.fileCount).sum
+      s.copy(
+        manifests = writeManifests(staged, s.manifestGroups),
+        summary = summary + ("replaced-files" -> replaced.toString),
+        opKind = "replace"
+      )
+    }
 
   /** Read a specific set of this table's files (schema-reconciled like
     * [[read]]) — the minor-compaction input path. */

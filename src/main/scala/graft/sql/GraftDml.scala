@@ -17,9 +17,14 @@ import graft.lake.LakeTable
   * MERGE INTO rewrite. */
 object GraftDml {
 
-  /** Upsert `rows` (table columns minus `op`) through the LWW merge. */
-  def upsert(spark: SparkSession, path: String, rows: DataFrame): Unit = {
-    LakeMerge.mergeBatch(LakeTable.load(spark, path), rows.withColumn("op", lit("U")))
+  /** Upsert `rows` (table columns minus `op`) through the LWW merge.
+    * `skipIfEmpty` commits no version when the batch resolves to zero rows
+    * — the single-execution replacement for the former `isEmpty` pre-probe
+    * that ran the source plan twice (r6 verdict #7). */
+  def upsert(spark: SparkSession, path: String, rows: DataFrame,
+      skipIfEmpty: Boolean = false): Unit = {
+    LakeMerge.mergeBatch(LakeTable.load(spark, path),
+      rows.withColumn("op", lit("U")), skipIfEmpty = skipIfEmpty)
     ()
   }
 
@@ -52,16 +57,20 @@ object GraftDml {
       (if (events.columns.contains(f.name)) col(f.name) else lit(null))
         .cast(f.dataType).as(f.name)
     }.toSeq: _*)
+    // salted exchange (r6 verdict wrong-#4): a zipf-skewed overwrite
+    // otherwise serializes its hottest bucket into one task — same
+    // (bucket, salt) fan-out as lwwWriteShape, winners unchanged
     val bucketed = aligned
       .withColumn("bucket", LakeMerge.bucketOf(col("repo"), snap.numBuckets))
-      .repartition(col("bucket"))
+      .repartition(col("bucket"),
+        org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.xxhash64(col("path")), lit(4L)))
     val staged = t.stage(bucketed, schemaId, kind = "base",
       layoutBuckets = snap.numBuckets)
-    t.rewriteCommit(
-      (0 until snap.numBuckets).toSet + LakeTable.L0Bucket,
-      t.filesOf(snap).map(_.path).toSet, staged,
-      summary = Map("operation" -> "insert-overwrite"),
-      opKind = "replace")
+    // replace set computed at COMMIT time (r6 advice): files committed
+    // concurrently between the load above and this commit must not survive
+    // an INSERT OVERWRITE
+    t.replaceAllCommit(staged, summary = Map("operation" -> "insert-overwrite"))
     ()
   }
 
@@ -89,8 +98,8 @@ object GraftDml {
   }
 
   def tombstone(t: LakeTable, matched: DataFrame): Unit = {
-    val tomb = tombstoneFrame(t, matched)
-    if (!tomb.isEmpty) { LakeMerge.mergeBatch(t, tomb); () }
+    LakeMerge.mergeBatch(t, tombstoneFrame(t, matched), skipIfEmpty = true)
+    ()
   }
 }
 
@@ -126,8 +135,10 @@ final case class GraftUpdateCommand(path: String, source: LogicalPlan)
     val updated = org.apache.spark.sql.graftshim.SessionBridge
       .ofRows(spark, source)
       .withColumn("lsn", col("lsn") + lit(1L))
-    // a no-match UPDATE must not commit an empty table version
-    if (!updated.isEmpty) GraftDml.upsert(spark, path, updated)
+    // a no-match UPDATE must not commit an empty table version; the
+    // emptiness is read from the staged footer stats inside the ONE merge
+    // (the former isEmpty probe executed the source plan twice)
+    GraftDml.upsert(spark, path, updated, skipIfEmpty = true)
     Nil
   }
 }
@@ -175,8 +186,12 @@ final case class GraftMergeCommand(
     (ups ++ res ++ tombs)
       .reduceOption(_.unionByName(_, allowMissingColumns = true))
       .foreach { events =>
-        // a no-match MERGE must not commit an empty table version
-        if (!events.isEmpty) { LakeMerge.mergeBatch(t, events); () }
+        // a no-match MERGE must not commit an empty table version; checked
+        // from the staged footer stats inside the ONE merge — the former
+        // isEmpty probe executed every component join a second time
+        // (r6 verdict #7 / advice)
+        LakeMerge.mergeBatch(t, events, skipIfEmpty = true)
+        ()
       }
     Nil
   }

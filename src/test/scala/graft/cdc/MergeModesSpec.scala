@@ -225,4 +225,31 @@ class MergeModesSpec extends SparkSpec {
     val row2 = LakeMerge.readState(table).orderBy(desc("lsn")).collect()(0)
     assert(row2.getAs[String]("lang") == "java")
   }
+
+  test("skipIfEmpty: a zero-row batch stages once, commits nothing, leaves no files") {
+    val dir = tmpDir("skipempty")
+    val table = LakeTable.create(spark, s"$dir/t", CdcStream.binlogSchema, 4)
+    LakeMerge.mergeBatch(table,
+      EventGen.events(spark, 100L, nRepos = 5, pathsPerRepo = 2), Some(("s", 0L)))
+    val v0 = table.currentVersion
+    val files0 = table.files.map(_.path).toSet
+    // empty batch through the DML path: no version, no staged leftovers
+    val empty = EventGen.events(spark, 100L, nRepos = 5, pathsPerRepo = 2)
+      .where(lit(false))
+    val stats = LakeMerge.mergeBatch(table, empty, skipIfEmpty = true)
+    assert(!stats.applied && stats.distinctKeys == 0L)
+    assert(table.currentVersion == v0, "no empty table version committed")
+    assert(table.files.map(_.path).toSet == files0)
+    // the staged (empty) write left no dangling data dirs beyond v0's
+    val dataDirs = java.nio.file.Files.list(
+      java.nio.file.Paths.get(s"$dir/t", "data")).count()
+    assert(dataDirs <= files0.map(p =>
+      java.nio.file.Paths.get(p).getParent).size + 1,
+      "empty staged dir reclaimed or never created")
+    // a NON-empty batch through the same flag still commits normally
+    val stats2 = LakeMerge.mergeBatch(table,
+      EventGen.eventsRange(spark, 100L, 200L, nRepos = 5, pathsPerRepo = 2),
+      Some(("s", 1L)), skipIfEmpty = true)
+    assert(stats2.applied && table.currentVersion > v0)
+  }
 }
