@@ -48,7 +48,20 @@ object DedupQueries {
 
   /** (doc_id, band, sig) MinHash signatures from a shingled-docs frame —
     * the pipeline body of q_minhash_sig, factored so q_ngram_jaccard can
-    * build it over a SHARED exchange subtree (see there). */
+    * build it over a SHARED exchange subtree (see there).
+    *
+    * Round-7 negative result, kept for the record: an exploded
+    * formulation (explode shingles → codegen'd md5 + 8 conv/substring
+    * long slices → one HashAggregate of 8 min(long) buffers, re-hexed
+    * with %08x) was built, oracle-verified and measured: 0.96 s warm /
+    * 2.72 s cold vs 0.85/2.39 for this HOF shape in an equal window —
+    * the 2.5M-row Generate + per-row agg probing costs more than the
+    * interpreted-lambda overhead it removes. Two traps found on the way:
+    * a plain explode triggers InferFiltersFromGenerate, whose
+    * size(sh)>0 filter inlines the WHOLE shingle expression at the scan
+    * (2× shingle work on one task, 7× slower — use explode_outer if ever
+    * resurrecting this); and min over conv'd longs does reproduce the hex
+    * sig exactly (that part worked). */
   private def sigFrom(docsSh: DataFrame): DataFrame = {
     val withH = docsSh
       .select(col("doc_id"),
