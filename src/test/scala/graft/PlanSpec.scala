@@ -102,6 +102,32 @@ class PlanSpec extends SparkSpec {
       s"query-id filter must reach the parquet scan, got $pushed")
   }
 
+  test("minhash pairs: ONE signature pipeline — single scan, no join (r7 shape)") {
+    val plan = executed(q("q_minhash_pairs"))
+    val scans = collectAll(plan) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.size == 1,
+      s"the md5 signature pipeline must plan exactly once (r5 self-join planned 2 scans), got ${scans.size}")
+    assert(collectAll(plan) { case j: SortMergeJoinExec => j }.isEmpty &&
+      collectAll(plan) { case b: BroadcastExchangeExec => b }.isEmpty,
+      "bucket-combination pair generation needs no join at all")
+    // spread exchange + (band,sig) aggregation + pair distinct; at
+    // production scale the spread is a no-op and this drops to 2
+    assert(shuffles(q("q_minhash_pairs")) <= 3)
+  }
+
+  test("ngram jaccard: every document read goes through the one shared shingle pass") {
+    val plan = executed(q("q_ngram_jaccard"))
+    val fileScans = collectAll(plan) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(fileScans.isEmpty,
+      s"all three consumers must read the cached shingle pass (r5 shape re-scanned documents 3×), got ${fileScans.size} direct scans")
+    assert(collectAll(plan) { case j: SortMergeJoinExec => j }.isEmpty,
+      "the tiny candidate side must broadcast, never shuffle the shingled side")
+  }
+
   test("windowed rates scan prunes to the three referenced columns") {
     val scans = collectAll(executed(q("q_windowed_rates"))) {
       case f: org.apache.spark.sql.execution.FileSourceScanExec => f.requiredSchema.fieldNames.toSet
