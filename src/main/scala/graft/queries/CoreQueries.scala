@@ -19,7 +19,7 @@ import graft.exprs.RefFunctions
 object CoreQueries {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    Tables.read(s, dir, name)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // LWW dedup — the engine's W2/top-1-per-key pattern (§7.3): latest event

@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
 object DedupQueries {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    Tables.read(s, dir, name)
 
   private def tokens(c: Column): Column = split(lower(c), " ")
 

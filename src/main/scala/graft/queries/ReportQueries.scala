@@ -25,7 +25,7 @@ import graft.exprs.{HeaderOps, PivotSumAggregator, RefFunctions}
 object ReportQueries {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    Tables.read(s, dir, name)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Reference adoption shape: GROUP BY app, per-client distinct origins,

@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
 object SimilarityQueries {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    Tables.read(s, dir, name)
 
   /** Sequential-fold cosine similarity over two float-array columns, in
     * double precision — bit-identical to DuckDB's list_cosine_similarity on

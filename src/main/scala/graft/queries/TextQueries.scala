@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
 object TextQueries {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    Tables.read(s, dir, name)
 
   /** Occurrences of marker `m` in text via length-difference — portable,
     * overlapping-free count (plain string replace, not regex). */

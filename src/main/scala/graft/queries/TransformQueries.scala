@@ -31,7 +31,7 @@ object TransformQueries {
   import graft.exprs.RefFunctions
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    Tables.read(s, dir, name)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_features_union" -> ((s, dir) => {

@@ -12,7 +12,7 @@ import graft.streaming.StreamMetrics
 object WindowQueries {
 
   private def events(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/events.parquet")
+    Tables.read(s, dir, "events")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // tumbling event-time windows (10 min) per event type: count + exact
