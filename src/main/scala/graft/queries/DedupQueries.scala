@@ -50,34 +50,33 @@ object DedupQueries {
     * the pipeline body of q_minhash_sig, factored so q_ngram_jaccard can
     * build it over a SHARED exchange subtree (see there).
     *
+    * Round-7 shape #2 (per-task work, guide §1.2 step 2): the 4 band
+    * signatures come from the fused [[graft.exprs.MinHashSigs]] kernel —
+    * one loop per row, one reused MD5 digest, 8 running byte-slice minima —
+    * replacing the HOF chain (2 × `transform(sh, md5)` + 8 ×
+    * `array_min(transform(substring))`) whose interpreted lambdas and
+    * per-element hex strings dominated the bench's hottest query.
+    * Value-equality with that chain is asserted in DedupHashesSpec and by
+    * the unchanged DuckDB oracles. posexplode_outer (not posexplode: the
+    * plain generator triggers InferFiltersFromGenerate, whose inferred
+    * size>0 filter would duplicate the kernel per row — the round-7 trap)
+    * yields (band = position 0-3, sig), 4 rows per doc exactly as the
+    * explode-of-band-structs did, null sigs included (the kernel returns
+    * [null×4] for empty/all-null shingle arrays, never a null array).
+    *
     * Round-7 negative result, kept for the record: an exploded
     * formulation (explode shingles → codegen'd md5 + 8 conv/substring
     * long slices → one HashAggregate of 8 min(long) buffers, re-hexed
     * with %08x) was built, oracle-verified and measured: 0.96 s warm /
-    * 2.72 s cold vs 0.85/2.39 for this HOF shape in an equal window —
+    * 2.72 s cold vs 0.85/2.39 for the HOF shape in an equal window —
     * the 2.5M-row Generate + per-row agg probing costs more than the
-    * interpreted-lambda overhead it removes. Two traps found on the way:
-    * a plain explode triggers InferFiltersFromGenerate, whose
-    * size(sh)>0 filter inlines the WHOLE shingle expression at the scan
-    * (2× shingle work on one task, 7× slower — use explode_outer if ever
-    * resurrecting this); and min over conv'd longs does reproduce the hex
-    * sig exactly (that part worked). */
-  private def sigFrom(docsSh: DataFrame): DataFrame = {
-    val withH = docsSh
+    * interpreted-lambda overhead it removes. */
+  private def sigFrom(docsSh: DataFrame): DataFrame =
+    docsSh
       .select(col("doc_id"),
-        transform(col("sh"), x => md5(x)).as("h1"),
-        transform(col("sh"), x => md5(concat(x, lit("~")))).as("h2"))
-    val mh = (seed: Int) => {
-      val (src, off) = if (seed < 4) (col("h1"), seed * 8) else (col("h2"), (seed - 4) * 8)
-      array_min(transform(src, h => substring(h, off + 1, 8)))
-    }
-    val bands = (0 until NumHashes / BandSize).map { b =>
-      struct(lit(b).as("band"),
-        concat((0 until BandSize).map(k => mh(b * BandSize + k)): _*).as("sig"))
-    }
-    withH.select(col("doc_id"), explode(array(bands: _*)).as("bs"))
-      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-  }
+        graft.exprs.DedupHashes.minhashSigs(col("sh")).as("_sigs"))
+      .select(col("doc_id"),
+        posexplode_outer(col("_sigs")).as(Seq("band", "sig")))
 
   /** LSH candidate pairs from signatures WITHOUT a self-join: group each
     * (band, sig) bucket, emit its in-bucket combinations (ids are distinct
@@ -146,19 +145,19 @@ object DedupQueries {
     // order-independent; a null/absent token array yields all-negative
     // votes → simhash 0, exactly as the fold's null propagation did.
     "q_simhash" -> ((s, dir) => {
+      // Round-7 shape #2: the fused SimHash16 kernel computes the 16
+      // bit-votes in one loop per row (reused MD5 digest, no hex strings),
+      // making the query a pure per-row projection — the round-7 #1 shape
+      // (explode_outer + 16 codegen'd shiftright sums under one hash
+      // aggregation) still shuffled 10k × 16 partial sums and paid a
+      // 2.5M-row Generate; this computes the identical votes (±1 integer
+      // sums, null token = −1 on every bit, empty/null array → simhash 0 —
+      // DedupHashesSpec asserts equality against the aggregation form)
+      // with ZERO exchanges.
       val toks = array_distinct(tokens(col("text")))
-      val hashes = transform(toks, t => conv(substring(md5(t), 1, 4), 16, 10).cast("long"))
-      val voteAgg = (b: Int) =>
-        sum(when(shiftright(col("_h"), b).bitwiseAND(lit(1L)) === 1L, 1L)
-          .otherwise(-1L)).as(s"_v$b")
-      val bits = (0 until 16).map { b =>
-        when(col(s"_v$b") > 0, lit(1L << b)).otherwise(lit(0L))
-      }
       Par.spreadRead(s, s"$dir/documents.parquet")
-        .select(col("doc_id"), explode_outer(hashes).as("_h"))
-        .groupBy(col("doc_id"))
-        .agg(voteAgg(0), (1 until 16).map(voteAgg): _*)
-        .select(col("doc_id"), bits.reduce(_ + _).as("simhash"))
+        .select(col("doc_id"),
+          graft.exprs.DedupHashes.simhash16(toks).as("simhash"))
     }),
 
     // n-gram Jaccard near-dup pairs, candidates bounded by the MinHash+LSH
