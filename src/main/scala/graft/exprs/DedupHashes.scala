@@ -164,6 +164,42 @@ object DedupHashes {
     sim
   }
 
+  private val Space = UTF8String.fromString(" ")
+
+  /** Distinct word 3-gram shingles of a token array; ≡
+    * `array_distinct(when(size(toks) >= 3, transform(sequence(1, size-2),
+    * i => concat_ws(" ", toks[i], toks[i+1], toks[i+2])))
+    * .otherwise(array(concat_ws(" ", toks))))`:
+    *  - null/short arrays fall to the single-shingle branch (concat_ws
+    *    skips a null array / null elements and yields "" for no input),
+    *  - 3-grams use concat_ws semantics per gram (null tokens skipped),
+    *  - distinct keeps first-occurrence order (array_distinct semantics).
+    */
+  def shingles3(arr: ArrayData): ArrayData = {
+    if (arr == null)
+      return new GenericArrayData(Array[Any](UTF8String.concatWs(Space)))
+    val n = arr.numElements()
+    val get = (i: Int) => if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+    if (n < 3) {
+      val parts = new Array[UTF8String](n)
+      var i = 0
+      while (i < n) { parts(i) = get(i); i += 1 }
+      new GenericArrayData(Array[Any](UTF8String.concatWs(Space, parts: _*)))
+    } else {
+      val seen = new java.util.LinkedHashSet[UTF8String](n * 2)
+      var i = 0
+      while (i < n - 2) {
+        seen.add(UTF8String.concatWs(Space, get(i), get(i + 1), get(i + 2)))
+        i += 1
+      }
+      val out = new Array[Any](seen.size)
+      val it = seen.iterator()
+      var j = 0
+      while (it.hasNext) { out(j) = it.next(); j += 1 }
+      new GenericArrayData(out)
+    }
+  }
+
   def minhashSigs(c: Column): Column = {
     import org.apache.spark.sql.graftshim.ColumnBridge
     ColumnBridge.toColumn(MinHashSigs(ColumnBridge.toExpression(c)))
@@ -173,6 +209,35 @@ object DedupHashes {
     import org.apache.spark.sql.graftshim.ColumnBridge
     ColumnBridge.toColumn(SimHash16(ColumnBridge.toExpression(c)))
   }
+
+  def shingles3(c: Column): Column = {
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    ColumnBridge.toColumn(Shingles3(ColumnBridge.toExpression(c)))
+  }
+}
+
+/** array<string> tokens → distinct word 3-gram shingles (array<string>,
+  * never null, elements never null — concat_ws semantics). */
+case class Shingles3(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any =
+    DedupHashes.shingles3(child.eval(input).asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = DedupHashes.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    val childGen = child.genCode(ctx)
+    val resultCode =
+      s"org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = " +
+        s"$cls.shingles3(${childGen.isNull} ? null : ${childGen.value});"
+    ev.copy(code = code"${childGen.code}\n$resultCode", isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Shingles3 =
+    copy(child = newChild)
+
+  override def prettyName: String = "shingles3"
 }
 
 /** array<string> shingles → the 4 MinHash band signatures (array<string>,

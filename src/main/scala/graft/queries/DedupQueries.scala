@@ -20,28 +20,18 @@ object DedupQueries {
 
   private def tokens(c: Column): Column = split(lower(c), " ")
 
-  /** Word 3-gram shingles over a MATERIALIZED token-array column
-    * (distinct). The tokens must be a column reference, not the split
-    * expression inline: Catalyst does not hoist common subexpressions out
-    * of lambda bodies, so an inline split would re-tokenize the whole text
-    * for every element_at — quadratic per document. */
-  private def shinglesFromTokens(toks: Column): Column =
-    array_distinct(
-      when(size(toks) >= 3,
-        transform(sequence(lit(1), size(toks) - 2),
-          i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
-            element_at(toks, i + 2))))
-        .otherwise(array(concat_ws(" ", toks))))
-
-  /** documents + a `sh` shingle-array column (tokens materialized first).
-    * The scan is spread first (guide §2.5): the shingle+md5 pipeline is the
-    * most expensive per-row work in the bench and must not serialize onto
-    * the 1-task scan a single small parquet file produces. */
+  /** documents + a `sh` shingle-array column — distinct word 3-grams via
+    * the fused [[graft.exprs.Shingles3]] kernel (round-7 shape #2: one
+    * loop per row replacing the interpreted
+    * `array_distinct(transform(sequence, i => concat_ws(element_at ×3)))`
+    * chain; DedupHashesSpec asserts value-equality against that chain, the
+    * shingle SQL in the DuckDB oracles pins it end-to-end). The scan is
+    * spread first (guide §2.5): the shingle+md5 pipeline is the most
+    * expensive per-row work in the bench and must not serialize onto the
+    * 1-task scan a single small parquet file produces. */
   private def docsWithShingles(s: SparkSession, dir: String): DataFrame =
     Par.spreadRead(s, s"$dir/documents.parquet")
-      .withColumn("_toks", tokens(col("text")))
-      .withColumn("sh", shinglesFromTokens(col("_toks")))
-      .drop("_toks")
+      .withColumn("sh", graft.exprs.DedupHashes.shingles3(tokens(col("text"))))
 
   private val NumHashes = 8
   private val BandSize = 2 // 4 bands × 2 hashes

@@ -61,6 +61,38 @@ class DedupHashesSpec extends SparkSpec {
     df.select(col("doc_id"), DedupHashes.minhashSigs(col("sh")).as("_sigs"))
       .select(col("doc_id"), posexplode_outer(col("_sigs")).as(Seq("band", "sig")))
 
+  test("Shingles3 equals the HOF shingle chain on adversarial texts") {
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+      .withColumn("_toks", tokens(col("text")))
+    val want = df.select(col("doc_id"), shingles(col("_toks")).as("sh"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1))).sortBy(_._1)
+    val got = df.select(col("doc_id"),
+        DedupHashes.shingles3(col("_toks")).as("sh"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1))).sortBy(_._1)
+    assert(got.length === want.length)
+    got.zip(want).foreach { case (g, w) => assert(g === w) }
+  }
+
+  test("Shingles3 null/short/null-element arrays mirror concat_ws semantics") {
+    val df = Seq(
+      (1L, null.asInstanceOf[Seq[String]]),
+      (2L, Seq.empty[String]),
+      (3L, Seq[String]("a")),
+      (4L, Seq[String]("a", "b")),
+      (5L, Seq[String](null, "b", "c", null, "e")),
+      (6L, Seq[String]("a", "a", "a", "a"))
+    ).toDF("doc_id", "toks")
+    val want = df.select(col("doc_id"), shingles(col("toks")).as("sh"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1))).toMap
+    val got = df.select(col("doc_id"),
+        DedupHashes.shingles3(col("toks")).as("sh"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1))).toMap
+    assert(got === want)
+    assert(got(1L) === Seq(""))
+    assert(got(6L) === Seq("a a a"))
+  }
+
   test("MinHashSigs equals the HOF band-signature chain on adversarial texts") {
     val want = hofSigs(docs).collect().map(r =>
       (r.getLong(0), r.getInt(1), Option(r.getString(2)))).sortBy(x => (x._1, x._2))
