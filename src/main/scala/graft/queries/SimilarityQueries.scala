@@ -13,17 +13,16 @@ object SimilarityQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.read(s, dir, name)
 
-  /** Sequential-fold cosine similarity over two float-array columns, in
-    * double precision — bit-identical to DuckDB's list_cosine_similarity on
-    * DOUBLE[] (both are left-to-right folds). Pure HOF expression, stays in
-    * codegen; no UDF. */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-    val na = aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double"))
-    val nb = aggregate(b, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double"))
-    dot / (sqrt(na) * sqrt(nb))
-  }
+  /** Sequential-fold cosine similarity over two float/double-array columns,
+    * in double precision — bit-identical to DuckDB's list_cosine_similarity
+    * on DOUBLE[] (both are left-to-right folds). Round-7 shape #2: the
+    * fused [[graft.exprs.CosineSim]] kernel (one loop per row) replaces the
+    * triple interpreted HOF fold `aggregate(zip_with(a,b,x*y)) /
+    * (sqrt(aggregate(a,v*v)) * sqrt(aggregate(b,v*v)))` — identical
+    * accumulation order and null semantics, asserted in VectorOpsSpec and
+    * pinned by the ANN/embed oracles. */
+  def cosine(a: Column, b: Column): Column =
+    graft.exprs.VectorOps.cosineSim(a, b)
 
   /** 8-bit sign-LSH bucket from the first 8 dimensions. */
   def signBucket(emb: Column): Column =
