@@ -33,8 +33,9 @@ object DedupQueries {
     Par.spreadRead(s, s"$dir/documents.parquet")
       .withColumn("sh", graft.exprs.DedupHashes.shingles3(tokens(col("text"))))
 
-  private val NumHashes = 8
-  private val BandSize = 2 // 4 bands × 2 hashes
+  // MinHash scheme: 8 hash families (4 per md5 variant), 4 bands × 2
+  // hashes — hardcoded inside the fused MinHashSigs kernel; the DuckDB
+  // sigCtes below remain the scheme's readable definition.
 
   /** (doc_id, band, sig) MinHash signatures from a shingled-docs frame —
     * the pipeline body of q_minhash_sig, factored so q_ngram_jaccard can
