@@ -20,8 +20,9 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   *  - zip_with pads the shorter array with nulls, a null×y product nulls
   *    the whole dot fold (acc + null = null); a null element likewise nulls
   *    its norm fold; any null component nulls the result,
-  *  - zero-length / zero-norm inputs raise, as the ANSI-mode fold's Divide
-  *    raises on a zero divisor (loud failure preserved, never silent Inf).
+  *  - zero-length / zero-norm inputs follow the fold's Divide exactly:
+  *    raise under ANSI mode (the session default), null with ANSI off —
+  *    the flag is captured at construction like Spark's own arithmetic.
   *
   * VectorOpsSpec asserts value-equality against the replaced fold on
   * adversarial inputs; the ANN oracles (q_ann_topk/lsh/ivf*, q_embed_dups)
@@ -34,7 +35,7 @@ object VectorOps {
     * float, widened exactly as `cast("double")` does). Returns
     * java.lang.Double or null. */
   def cosineSim(a: ArrayData, b: ArrayData,
-      aDouble: Boolean, bDouble: Boolean): java.lang.Double = {
+      aDouble: Boolean, bDouble: Boolean, failOnZero: Boolean): java.lang.Double = {
     if (a == null || b == null) return null
     val la = a.numElements()
     val lb = b.numElements()
@@ -71,13 +72,15 @@ object VectorOps {
     if (dotNull || naNull || nbNull) null
     else {
       val denom = math.sqrt(na) * math.sqrt(nb)
-      // ANSI Divide raises on a zero divisor; mirror the failure (zero-norm
-      // or empty vectors) rather than silently emitting Inf/NaN — the
-      // oracled data never produces this class of input.
-      if (denom == 0.0)
-        throw new ArithmeticException(
-          "[DIVIDE_BY_ZERO] Division by zero in cosine_sim (zero-norm or empty vector)")
-      java.lang.Double.valueOf(dot / denom)
+      // mirror Divide on a zero divisor (zero-norm or empty vectors): ANSI
+      // raises, non-ANSI yields null — never a silent Inf/NaN. The oracled
+      // data never produces this input class.
+      if (denom == 0.0) {
+        if (failOnZero)
+          throw new ArithmeticException(
+            "[DIVIDE_BY_ZERO] Division by zero in cosine_sim (zero-norm or empty vector)")
+        null
+      } else java.lang.Double.valueOf(dot / denom)
     }
   }
 
@@ -90,7 +93,9 @@ object VectorOps {
 
 /** array<float> × array<float> → cosine similarity (double, null on null
   * input/elements — see [[VectorOps.cosineSim]]). */
-case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
+case class CosineSim(left: Expression, right: Expression,
+    failOnZero: Boolean = org.apache.spark.sql.internal.SQLConf.get.ansiEnabled)
+  extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
 
@@ -100,12 +105,16 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
     case t => throw new IllegalArgumentException(
       s"cosine_sim expects array<float>/array<double>, got $t")
   }
+  // resolved once, not per row (the interpreted path matters under
+  // codegen fallback / wholeStage=false)
+  private lazy val leftIsDouble = isDouble(left)
+  private lazy val rightIsDouble = isDouble(right)
 
   override def eval(input: InternalRow): Any = {
     val r = VectorOps.cosineSim(
       left.eval(input).asInstanceOf[ArrayData],
       right.eval(input).asInstanceOf[ArrayData],
-      isDouble(left), isDouble(right))
+      leftIsDouble, rightIsDouble, failOnZero)
     if (r == null) null else r.doubleValue()
   }
 
@@ -118,7 +127,7 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
       s"""java.lang.Double $boxed = $cls.cosineSim(
          |  ${leftGen.isNull} ? null : ${leftGen.value},
          |  ${rightGen.isNull} ? null : ${rightGen.value},
-         |  ${isDouble(left)}, ${isDouble(right)});
+         |  $leftIsDouble, $rightIsDouble, $failOnZero);
          |boolean ${ev.isNull} = ($boxed == null);
          |double ${ev.value} = ${ev.isNull} ? 0.0 : $boxed.doubleValue();
          |""".stripMargin

@@ -144,7 +144,8 @@ object DedupQueries {
       // 2.5M-row Generate; this computes the identical votes (±1 integer
       // sums, null token = −1 on every bit, empty/null array → simhash 0 —
       // DedupHashesSpec asserts equality against the aggregation form)
-      // with ZERO exchanges.
+      // with no exchange beyond the conditional spread repartition below
+      // (plans/r07/final/q_simhash.txt: Scan → RR Exchange → Project).
       val toks = array_distinct(tokens(col("text")))
       Par.spreadRead(s, s"$dir/documents.parquet")
         .select(col("doc_id"),

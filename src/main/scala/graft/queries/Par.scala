@@ -50,7 +50,9 @@ private[queries] object Par {
   /** Read `path` and spread it across the cluster iff its scan would plan
     * fewer tasks than half the default parallelism. */
   def spreadRead(s: SparkSession, path: String): DataFrame = {
-    val df = Tables.schemaFor(path).fold(s.read)(s.read.schema(_)).parquet(path)
+    // Tables.reader: declared schema for the fixed test tables (by
+    // basename — see its scaladoc), inference for everything else
+    val df = Tables.reader(s, path)
     val par = s.sparkContext.defaultParallelism
     if (estScanTasks(s, path) < math.max(2, par / 2)) df.repartition(par) else df
   }

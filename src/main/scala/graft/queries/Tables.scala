@@ -67,10 +67,18 @@ object Tables {
     else None
   }
 
+  /** Read `path` with the declared schema when its basename names a known
+    * test table, inferring otherwise — the ONE reader both [[read]] and
+    * `Par.spreadRead` use. The basename match is deliberate and narrow:
+    * only the 9 fixed `<table>.parquet` names resolve to a declared
+    * schema, and TablesSchemaSpec pins those against the real files at
+    * every scale factor. Derived/lake files never share these basenames;
+    * anything else infers as before. */
+  def reader(s: SparkSession, path: String): DataFrame =
+    schemaFor(path).fold(s.read)(s.read.schema(_)).parquet(path)
+
   /** Read `dir/name.parquet` with the declared schema (falls back to
     * inference for tables outside the fixed set). */
-  def read(s: SparkSession, dir: String, name: String): DataFrame = {
-    val r = schemas.get(name).fold(s.read)(s.read.schema(_))
-    r.parquet(s"$dir/$name.parquet")
-  }
+  def read(s: SparkSession, dir: String, name: String): DataFrame =
+    reader(s, s"$dir/$name.parquet")
 }

@@ -9,13 +9,18 @@ import graft.queries.Tables
   * instead of silently mis-casting in every query. */
 class TablesSchemaSpec extends SparkSpec {
 
-  private val dir = "/root/testdata/sf0.001"
+  // every scale factor the driver benches or verifies against — a drifted
+  // regeneration of ANY of them must fail here, not null-fill silently
+  private val dirs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+    "/root/testdata/sf0.1")
 
   Tables.schemas.keys.toSeq.sorted.foreach { name =>
-    test(s"declared schema for $name matches parquet inference") {
-      val inferred = spark.read.parquet(s"$dir/$name.parquet").schema
-      assert(Tables.schemas(name) === inferred,
-        s"declared schema for $name drifted from the files")
+    test(s"declared schema for $name matches parquet inference at every SF") {
+      dirs.foreach { dir =>
+        val inferred = spark.read.parquet(s"$dir/$name.parquet").schema
+        assert(Tables.schemas(name) === inferred,
+          s"declared schema for $name drifted from $dir")
+      }
     }
   }
 

@@ -71,6 +71,19 @@ class VectorOpsSpec extends SparkSpec {
     assert(e2.getMessage.contains("DIVIDE_BY_ZERO"))
   }
 
+  test("CosineSim yields null on zero-norm with ANSI off, like the fold's Divide") {
+    val zeros = Seq((1L, Seq(0f, 0f), Seq(1f, 2f))).toDF("id", "a", "b")
+      .withColumn("a", col("a").cast("array<float>"))
+      .withColumn("b", col("b").cast("array<float>"))
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val want = zeros.select(hofCosine(col("a"), col("b"))).collect()
+      val got = zeros.select(VectorOps.cosineSim(col("a"), col("b"))).collect()
+      assert(want.head.isNullAt(0), "fold Divide yields null under non-ANSI")
+      assert(got.head.isNullAt(0), "kernel mirrors the non-ANSI null")
+    } finally spark.conf.unset("spark.sql.ansi.enabled")
+  }
+
   test("CosineSim handles double-array inputs (the IVF centroid side)") {
     val df = (0L until 20L).map(i => (i, vec(8), vec(8).map(f =>
         java.lang.Double.valueOf(f.toDouble))))
